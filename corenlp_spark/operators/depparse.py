@@ -1,0 +1,370 @@
+"""Dependency parsing: UD-style labeled edge lists per sentence.
+
+Behavioral reference (re-expressed):
+  - transition-based parsing ``parser/nndep/DependencyParser.java`` /
+    ``parser/nndep/ArcStandard.java:68-102`` (Chen & Manning 2014). Here the
+    *output contract* (per-sentence labeled dependency graph, UD relations,
+    enhanced case-collapse like ``nmod:of``) is produced by a deterministic
+    chunk-and-attach clause parser — the same greedy left-to-right discipline,
+    rule-scored instead of NN-scored. The scorer is pluggable; a trained
+    arc-standard model can drop in without changing the stage contract.
+  - enhanced++ case-marker collapse (``nmod:<case>``):
+    ``trees/UniversalEnglishGrammaticalStructure.java:211-268,304``.
+
+Graph encoding (SURVEY.md §1.1): no object graph — an edge-list column
+``deps: array<struct<sent_idx:int, head:int, dep:int, rel:string>>`` with
+doc-level token indices; the root edge has head = -1. All downstream graph
+ops (OpenIE semgrex-style matching) consume this edge list.
+
+Narrow transform: per-doc ``mapInPandas``, zero shuffle.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+DEPS_TYPE = "array<struct<sent_idx:int,head:int,dep:int,rel:string>>"
+
+_NOMINAL = {"NN", "NNS", "NNP", "NNPS", "PRP", "CD", "WP"}
+_CHUNKABLE = {"DT", "PRP$", "JJ", "JJR", "JJS", "CD", "NN", "NNS", "NNP", "NNPS", "POS"}
+_BE = {"be", "is", "are", "was", "were", "am", "been", "being", "'s", "'re", "'m"}
+_VERB = {"VB", "VBD", "VBG", "VBN", "VBP", "VBZ", "MD"}
+
+
+_TEMPORAL_NER = {"DATE", "TIME"}
+
+
+class _Clause:
+    __slots__ = ("edges", "words", "pos", "lemma", "ner", "n")
+
+    def __init__(self, words, pos, lemma, ner=None):
+        self.words, self.pos, self.lemma = words, pos, lemma
+        self.ner = ner or ["O"] * len(words)
+        self.n = len(words)
+        self.edges: dict[int, tuple[int, str]] = {}
+
+    def attach(self, dep: int, head: int, rel: str):
+        if dep not in self.edges and dep != head:
+            self.edges[dep] = (head, rel)
+
+
+def _chunk_nps(c: _Clause) -> list[tuple[int, int, int]]:
+    """Return NP chunks as (start, end_exclusive, head_idx); attach intra-chunk edges."""
+    chunks = []
+    i = 0
+    while i < c.n:
+        p = c.pos[i]
+        if p == "PRP" or p in ("WP", "EX"):
+            chunks.append((i, i + 1, i))
+            i += 1
+            continue
+        if p in _CHUNKABLE and p != "POS":
+            j = i
+            while j < c.n:
+                if c.pos[j] not in _CHUNKABLE:
+                    # "January 20, 2009": comma stays inside a DATE chunk
+                    if (c.words[j] == "," and i < j < c.n - 1
+                            and c.ner[j - 1] in _TEMPORAL_NER and c.ner[j + 1] in _TEMPORAL_NER):
+                        j += 1
+                        continue
+                    break
+                # NER-aware split: a DATE/TIME run never merges with a
+                # following non-temporal token and vice versa (keeps fronted
+                # temporal PPs out of subject NPs, cf. OpenIEITest GeorgeBoyd)
+                k = j - 1
+                while k > i and c.words[k] == ",":
+                    k -= 1
+                if j > i and (c.ner[j] in _TEMPORAL_NER) != (c.ner[k] in _TEMPORAL_NER):
+                    break
+                j += 1
+            # head = last nominal in [i, j)
+            head = None
+            for k in range(j - 1, i - 1, -1):
+                if c.pos[k] in _NOMINAL and c.pos[k] != "PRP":
+                    head = k
+                    break
+            if head is None:
+                i = j
+                continue
+            for k in range(i, j):
+                if k == head:
+                    continue
+                pk = c.pos[k]
+                if pk == "DT":
+                    c.attach(k, head, "det")
+                elif pk in ("JJ", "JJR", "JJS"):
+                    c.attach(k, head, "amod")
+                elif pk == "CD":
+                    c.attach(k, head, "nummod")
+                elif pk == "POS":
+                    # IBM 's research group → case('s→IBM), nmod:poss(IBM→group)
+                    if k > i:
+                        c.attach(k, k - 1, "case")
+                elif pk in _NOMINAL:
+                    if k + 1 < j and c.pos[k + 1] == "POS":
+                        c.attach(k, head, "nmod:poss")
+                    elif k < head:
+                        # compound run: attach to the next nominal (flat-left)
+                        c.attach(k, head, "compound")
+                    else:
+                        c.attach(k, head, "compound")
+            chunks.append((i, j, head))
+            i = j
+        else:
+            i += 1
+    return chunks
+
+
+def _verb_groups(c: _Clause) -> list[tuple[int, int, int, bool, bool]]:
+    """(start, end, head, is_passive, is_copula_candidate) for runs of verbs."""
+    groups = []
+    i = 0
+    while i < c.n:
+        if c.pos[i] in _VERB:
+            j = i
+            toks = []
+            while j < c.n and (c.pos[j] in _VERB or (c.pos[j] == "RB" and j + 1 < c.n and c.pos[j + 1] in _VERB)):
+                if c.pos[j] in _VERB:
+                    toks.append(j)
+                j += 1
+            head = toks[-1]
+            is_pass = (
+                len(toks) > 1
+                and c.pos[head] == "VBN"
+                and any(c.lemma[t] == "be" for t in toks[:-1])
+            )
+            is_cop = all(c.lemma[t] == "be" for t in toks)
+            groups.append((i, j, head, is_pass, is_cop))
+            i = j
+        else:
+            i += 1
+    return groups
+
+
+def parse_clause(c: _Clause, lo: int, hi: int, chunks, vgs) -> int:
+    """Parse token range [lo,hi) → return clause root (local idx). Attaches edges."""
+    my_chunks = [ch for ch in chunks if lo <= ch[0] and ch[1] <= hi]
+    my_vgs = [g for g in vgs if lo <= g[0] and g[1] <= hi]
+
+    # embedded clause: mark 'that'/'because'/'if' + its own verb
+    emb_root = None
+    emb_lo = None
+    for t in range(lo, hi):
+        if c.lemma[t] in ("that", "because", "if", "whether") and c.pos[t] in ("IN", "DT") \
+                and any(g[0] > t for g in my_vgs) and any(ch[0] < t for ch in my_chunks):
+            emb_lo = t
+            break
+    if emb_lo is not None:
+        emb_root = parse_clause(
+            c, emb_lo + 1, hi,
+            [ch for ch in chunks if ch[0] > emb_lo],
+            [g for g in vgs if g[0] > emb_lo],
+        )
+        if emb_root is not None:
+            c.attach(emb_lo, emb_root, "mark")
+        hi = emb_lo
+        my_chunks = [ch for ch in my_chunks if ch[1] <= hi]
+        my_vgs = [g for g in my_vgs if g[1] <= hi]
+
+    # clause coordination: "X worked as A and taught B at C" — each later verb
+    # group opens its own segment (bounded at the CC/comma before it); the
+    # segment roots conjoin to the first clause root (UD conj + cc)
+    if len(my_vgs) > 1:
+        bounds = []
+        for g in my_vgs[1:]:
+            b = g[0]
+            t = g[0] - 1
+            while t > lo and c.pos[t] == "RB":
+                t -= 1
+            if t > lo and (c.pos[t] == "CC" or c.words[t] == ","):
+                b = t
+            bounds.append((b, g))
+        root0 = parse_clause(c, lo, bounds[0][0], chunks, [my_vgs[0]])
+        for i, (b, g) in enumerate(bounds):
+            hi_k = bounds[i + 1][0] if i + 1 < len(bounds) else hi
+            rk = parse_clause(c, b, hi_k, chunks, [g])
+            if root0 is not None and rk is not None and rk != root0:
+                c.attach(rk, root0, "conj")
+                if c.pos[b] == "CC":
+                    c.attach(b, rk, "cc")
+        if emb_root is not None and root0 is not None:
+            c.attach(emb_root, root0, "ccomp")
+        return root0
+
+    root = None
+    if not my_vgs:
+        root = my_chunks[0][2] if my_chunks else None
+        if root is not None:
+            for _, _, h in my_chunks[1:]:
+                pass  # handled by prep/conj pass below
+    else:
+        vstart, vend, vhead, is_pass, is_cop = my_vgs[0]
+        # copula: root = predicate (next chunk head or JJ after VG)
+        pred = None
+        if is_cop:
+            for ch in my_chunks:
+                if ch[0] >= vend and (ch[0] == vend or all(c.pos[t] not in ("IN", "TO") for t in range(vend, ch[0]))):
+                    pred = ch[2]
+                    break
+            if pred is None:
+                for t in range(vend, hi):
+                    if c.pos[t] in ("JJ", "JJR", "JJS"):
+                        pred = t
+                        break
+        if pred is not None:
+            root = pred
+            c.attach(vhead, root, "cop")
+            for t in range(vstart, vend):
+                if t != vhead and c.pos[t] in _VERB:
+                    c.attach(t, root, "aux")
+        else:
+            root = vhead
+            for t in range(vstart, vend):
+                if t == vhead:
+                    continue
+                if c.pos[t] in _VERB:
+                    c.attach(t, root, "aux:pass" if is_pass and c.lemma[t] == "be" else "aux")
+                elif c.pos[t] == "RB":
+                    c.attach(t, root, "advmod")
+        # subject: last chunk before the verb group
+        subj = None
+        for ch in my_chunks:
+            if ch[1] <= vstart:
+                subj = ch
+        if subj is not None:
+            if c.pos[subj[2]] == "EX" or c.words[subj[2]].lower() == "there":
+                c.attach(subj[2], root, "expl")
+                # existential: real subject is the post-verbal chunk
+                for ch in my_chunks:
+                    if ch[0] >= vend:
+                        c.attach(ch[2], root, "nsubj")
+                        break
+            else:
+                c.attach(subj[2], root, "nsubj:pass" if is_pass else "nsubj")
+        # object: first chunk right after VG with no preposition between
+        for ch in my_chunks:
+            if ch[0] >= vend and ch[2] not in c.edges:
+                gap = range(vend, ch[0])
+                if all(c.pos[t] not in ("IN", "TO", "CC", ",") for t in gap):
+                    if root != ch[2]:
+                        c.attach(ch[2], root, "obj")
+                break
+        # conjoined verb groups: conj(v1, v2), shared-subject propagation is
+        # done in OpenIE (cf. enhanced++ conj propagation)
+        for g in my_vgs[1:]:
+            r2 = g[2]
+            if g[4]:  # copula vg: find its predicate
+                for ch in my_chunks:
+                    if ch[0] >= g[1]:
+                        r2 = ch[2]
+                        break
+            c.attach(r2, root, "conj")
+        # embedded complement
+        if emb_root is not None:
+            # governor: object noun if 'doubt that...' style, else the verb
+            gov = root
+            for ch in my_chunks:
+                if ch[1] <= emb_lo and ch[2] != (subj[2] if subj else -1):
+                    gov = ch[2]
+            c.attach(emb_root, gov, "ccomp" if gov == root else "acl")
+    if root is None:
+        return None
+
+    # prepositional attachment (with enhanced++ case collapse → nmod:<case>)
+    covered = {t for ch in my_chunks for t in range(ch[0], ch[1])}
+    for t in range(lo, hi):
+        if c.pos[t] in ("IN", "TO") and c.lemma[t] not in ("that", "because", "if", "whether"):
+            # find NP chunk or verb right after
+            nxt = next((ch for ch in my_chunks if ch[0] == t + 1), None)
+            if nxt is not None:
+                c.attach(t, nxt[2], "case")
+                # attachment point: 'of' and prep-chains attach to the
+                # immediately-preceding noun; preps after the subject or a
+                # direct object attach to the clause root (verb/predicate)
+                attach = root
+                prev_ch = next((ch for ch in my_chunks if ch[1] == t), None)
+                if prev_ch is not None:
+                    prev_rel = c.edges.get(prev_ch[2], (None, ""))[1]
+                    if c.lemma[t] == "of" or prev_rel.startswith("nmod"):
+                        attach = prev_ch[2]
+                if attach != nxt[2]:
+                    c.attach(nxt[2], attach, f"nmod:{c.lemma[t]}")
+            elif c.pos[t] == "TO" and t + 1 < hi and c.pos[t + 1] == "VB":
+                c.attach(t, t + 1, "mark")
+                c.attach(t + 1, root, "xcomp")
+    # NP-NP conjunction + leftovers
+    for t in range(lo, hi):
+        if c.pos[t] == "CC":
+            left = next((ch for ch in reversed(my_chunks) if ch[1] <= t), None)
+            right = next((ch for ch in my_chunks if ch[0] > t), None)
+            if left and right and right[2] not in c.edges:
+                c.attach(right[2], left[2], "conj")
+                c.attach(t, right[2], "cc")
+            elif right:
+                c.attach(t, right[2], "cc")
+        elif c.pos[t] == "RB" and t not in c.edges:
+            c.attach(t, root, "advmod")
+    for ch in my_chunks:
+        if ch[2] != root and ch[2] not in c.edges:
+            c.attach(ch[2], root, "dep")
+    return root
+
+
+def parse_sentence(
+    words: list[str], pos: list[str], lemma: list[str], ner: list[str] | None = None
+) -> list[tuple[int, int, str]]:
+    """Parse one sentence → [(head, dep, rel)] with local indices; root head=-1."""
+    c = _Clause(words, pos, lemma, ner)
+    chunks = _chunk_nps(c)
+    vgs = _verb_groups(c)
+    root = parse_clause(c, 0, c.n, chunks, vgs)
+    edges = []
+    if root is not None:
+        edges.append((-1, root, "root"))
+    for t in range(c.n):
+        if t in c.edges:
+            h, r = c.edges[t]
+            edges.append((h, t, r))
+        elif t != root:
+            if pos[t] in (".", ",", ":", "``", "''", "-LRB-", "-RRB-", "$"):
+                if root is not None:
+                    edges.append((root, t, "punct"))
+            elif root is not None:
+                edges.append((root, t, "dep"))
+    return edges
+
+
+def depparse_docs(df: DataFrame) -> DataFrame:
+    """DataFrame transform: + deps edge-list column (doc-level token indices)."""
+    out_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+    out_schema += f", deps {DEPS_TYPE}"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            deps_col = []
+            for toks, sents in zip(pdf["tokens"], pdf["sentences"]):
+                doc_edges = []
+                for s in sents:
+                    a, b = s["start_tok"], s["end_tok"]
+                    seg = toks[a:b]
+                    edges = parse_sentence(
+                        [t["word"] for t in seg],
+                        [t["pos"] for t in seg],
+                        [t["lemma"] for t in seg],
+                        [t.get("ner", "O") for t in seg],
+                    )
+                    for h, d, r in edges:
+                        doc_edges.append(
+                            {"sent_idx": s["sent_idx"],
+                             "head": (h + a) if h >= 0 else -1,
+                             "dep": d + a, "rel": r}
+                        )
+                deps_col.append(doc_edges)
+            pdf = pdf.copy()
+            pdf["deps"] = deps_col
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)

@@ -103,6 +103,9 @@ def _emissions(words: list[str], pos: list[str], sent_start: int) -> np.ndarray:
         if not w[:1].isalpha():
             em[t, 1:] += NEG  # punct/number never entity (numeric pass handles them)
             continue
+        if w.lower() in MONTHS or w.lower() in _DAY_WORDS:
+            em[t, 1:] += NEG  # calendar words belong to the numeric/temporal pass
+            continue
         if cap and p.startswith("NNP"):
             bonus = 1.2 if t != sent_start else 0.4
             em[t, [L["B-PERSON"], L["B-ORGANIZATION"], L["B-LOCATION"], L["B-MISC"]]] += bonus
@@ -144,6 +147,8 @@ def viterbi(em: np.ndarray, trans: np.ndarray = TRANS) -> list[int]:
 MONTHS = {m.lower(): i + 1 for i, m in enumerate(
     ["January", "February", "March", "April", "May", "June", "July",
      "August", "September", "October", "November", "December"])}
+_DAY_WORDS = {"monday", "tuesday", "wednesday", "thursday", "friday",
+              "saturday", "sunday", "today", "yesterday", "tomorrow"}
 _RE_YEAR = re.compile(r"^(1[6-9]\d\d|20\d\d)$")
 _RE_NUM = re.compile(r"^\d{1,3}(,\d{3})*(\.\d+)?$|^\d+(\.\d+)?$")
 _RE_ORD = re.compile(r"^(\d+)(st|nd|rd|th)$")

@@ -1,0 +1,276 @@
+"""OpenIE: clause selection + natural-logic gating + triple segmentation.
+
+Behavioral reference (re-expressed):
+  - orchestration ``naturalli/OpenIE.java:217-235,324-334,452-510``;
+  - triple segmentation VERB_PATTERNS + noun patterns
+    ``naturalli/RelationTripleSegmenter.java:39-126,150,884`` — the semgrex
+    patterns are hand-compiled here into edge-list match functions over the
+    ``deps`` column (per-sentence graphs are tiny; SURVEY.md §2.3);
+  - forward entailment (licensed deletions, e.g. dropping ``amod`` under
+    upward polarity) ``naturalli/ForwardEntailerSearchProblem.java:119-220``
+    with deletion confidences in the spirit of
+    ``naturalli/NaturalLogicWeights.java:99-220``;
+  - polarity blocking (no extraction under downward-monotone contexts like
+    "doubt that …" unless negated) ``naturalli/NaturalLogicAnnotator.java:300-343,594``.
+
+Output: exploded triples table
+  (doc_id, sent_idx, subj, pred, obj, confidence, subj_head, obj_head)
+with subj/obj glosses determiner-stripped (RelationTriple gloss semantics,
+``ie/util/RelationTriple.java:61-179``).
+
+Narrow transform per doc; the triple table inherits the docs partitioning.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+TRIPLES_SCHEMA = (
+    "doc_id string, sent_idx int, subj string, pred string, obj string, "
+    "confidence double, subj_head int, obj_head int"
+)
+
+# downward-monotone clause governors (NaturalLogicAnnotator operator lexicon)
+_DOWNWARD_GOVERNORS = {"doubt", "deny", "refuse", "fail", "reject", "doubtful"}
+_NEG_DETS = {"no", "not", "never", "n't", "without"}
+
+_NP_MODS = {"amod", "compound", "nummod", "nmod:poss", "flat"}
+_DET_LIKE = {"det", "punct", "case", "mark", "cc"}
+
+
+class _Graph:
+    """Per-sentence dependency graph view over the edge list."""
+
+    def __init__(self, words, lemmas, edges, offset):
+        self.words, self.lemmas, self.off = words, lemmas, offset
+        self.children: dict[int, list[tuple[int, str]]] = {}
+        self.parent: dict[int, tuple[int, str]] = {}
+        self.root = None
+        for h, d, r in edges:
+            if h == -1:
+                self.root = d
+                continue
+            self.children.setdefault(h, []).append((d, r))
+            self.parent[d] = (h, r)
+
+    def kids(self, t, rel_prefix=None):
+        for d, r in self.children.get(t, ()):
+            if rel_prefix is None or r == rel_prefix or r.startswith(rel_prefix + ":"):
+                yield d, r
+
+    def first(self, t, rel):
+        for d, r in self.kids(t, rel):
+            return d
+        return None
+
+    def word(self, t):
+        return self.words[t - self.off]
+
+    def lemma(self, t):
+        return self.lemmas[t - self.off]
+
+    def np_tokens(self, head, drop_amod=False, stop=()):
+        """Collect the noun phrase under ``head`` (dets/punct stripped)."""
+        out = [head]
+        for d, r in self.children.get(head, ()):
+            if d in stop or r in _DET_LIKE or r.startswith("nmod") or r in ("conj", "ccomp", "acl", "cop", "nsubj", "expl", "obj", "aux", "aux:pass", "dep", "advmod"):
+                continue
+            if drop_amod and r == "amod":
+                continue
+            if r in _NP_MODS:
+                out.extend(self.np_tokens(d, drop_amod=drop_amod, stop=stop))
+        return sorted(out)
+
+    def gloss(self, tokens):
+        return " ".join(self.word(t) for t in sorted(tokens))
+
+
+def _polarity_blocked(g: _Graph, verb: int) -> bool:
+    """True if ``verb`` heads a clause under a non-negated downward governor."""
+    t, seen = verb, 0
+    while t in g.parent and seen < 8:
+        h, r = g.parent[t]
+        if r in ("ccomp", "acl", "xcomp", "advcl"):
+            if g.lemma(h) in _DOWNWARD_GOVERNORS:
+                negated = any(
+                    g.word(d).lower() in _NEG_DETS for d, _ in g.children.get(h, ())
+                )
+                if not negated:
+                    return True
+        t, seen = h, seen + 1
+    return False
+
+
+def _pred_words(g: _Graph, verb: int, extra: list[int]) -> str:
+    toks = [verb] + extra
+    for d, r in g.children.get(verb, ()):
+        if r in ("aux", "aux:pass"):
+            toks.append(d)
+    return g.gloss(toks)
+
+
+def _negated(g: _Graph, t: int) -> bool:
+    return any(
+        g.word(d).lower() in ("not", "n't", "never", "no")
+        for d, r in g.children.get(t, ())
+        if r in ("advmod", "det", "dep")
+    )
+
+
+def extract_sentence(g: _Graph) -> list[tuple[str, str, str, float, int, int]]:
+    """All (subj, pred, obj, conf, subj_head, obj_head) triples of one sentence.
+
+    Emission policy (matches OpenIEITest golden sets):
+      object NP variants = {full det-stripped NP, amod-dropped NP,
+      nmod-extended NP ("loan from Peterborough United")}; copula predicates
+      get {full, amod-dropped} variants both bare and case-collapsed
+      ("is 44th President of" / "is President of").
+    """
+    out: list[tuple[str, str, str, float, int, int]] = []
+
+    def obj_variants(head: int) -> list[tuple[list[int], float]]:
+        full = g.np_tokens(head)
+        vs = [(full, 1.0)]
+        drop = g.np_tokens(head, drop_amod=True)
+        if drop != full:
+            vs.append((drop, 1.0))
+        for d, r in g.kids(head):
+            if r.startswith("nmod:") and r != "nmod:poss":
+                case_tok = g.first(d, "case")
+                ext = sorted(set(full) | set(g.np_tokens(d)) | ({case_tok} if case_tok is not None else set()))
+                vs.append((ext, 1.0))
+        return vs
+
+    def emit(s_head: int, pred: str, o_head: int, conf: float, variants=True):
+        s_full = g.np_tokens(s_head)
+        s_drop = g.np_tokens(s_head, drop_amod=True)
+        # subject variants: forward-entailment amod deletion (upward polarity)
+        s_glosses = [(g.gloss(s_full), 1.0)]
+        if s_drop != s_full:
+            s_glosses.append((g.gloss(s_drop), 0.5))
+        if variants:
+            for s_gloss, smul in s_glosses:
+                for toks, cmul in obj_variants(o_head):
+                    out.append((s_gloss, pred, g.gloss(toks), conf * cmul * smul, s_head, o_head))
+        else:
+            out.append((s_glosses[0][0], pred, g.gloss(g.np_tokens(o_head)), conf, s_head, o_head))
+
+    # subject map + enhanced++ conj subject propagation
+    subj_of: dict[int, int] = {}
+    for h in g.children:
+        for d, r in g.children[h]:
+            if r in ("nsubj", "nsubj:pass"):
+                subj_of[h] = d
+    for h in list(g.children):
+        for d, r in g.children[h]:
+            if r == "conj" and h in subj_of and d not in subj_of:
+                subj_of[d] = subj_of[h]
+
+    # existential pattern: root with expl + nmod → (root-NP; is <case>; nmod-NP)
+    for h in list(g.children):
+        if g.first(h, "expl") is not None and not _negated(g, h):
+            for d, r in g.kids(h):
+                if r.startswith("nmod:") and r != "nmod:poss":
+                    case = r.split(":", 1)[1]
+                    emit(h, f"is {case}", d, 1.0)
+
+    for v, s in subj_of.items():
+        if _polarity_blocked(g, v) or _negated(g, v):
+            continue
+        if g.first(v, "expl") is not None:
+            continue  # existential handled above
+        cop = g.first(v, "cop")
+        if cop is not None:
+            cop_w = g.word(cop)
+            pred_full = g.np_tokens(v)
+            pred_drop = g.np_tokens(v, drop_amod=True)
+            pred_vars = [pred_full] + ([pred_drop] if pred_drop != pred_full else [])
+            s_gloss = g.gloss(g.np_tokens(s))
+            for pv in pred_vars:
+                out.append((s_gloss, cop_w if cop_w in ("is", "are") else cop_w,
+                            g.gloss(pv), 1.0, s, v))
+            for d, r in g.kids(v):
+                if r.startswith("nmod:") and r != "nmod:poss":
+                    case = r.split(":", 1)[1]
+                    for pv in pred_vars:
+                        out.append(
+                            (s_gloss, f"{cop_w} {g.gloss(pv)} {case}",
+                             g.gloss(g.np_tokens(d)), 1.0, s, d)
+                        )
+            continue
+        # plain verb patterns
+        o = g.first(v, "obj")
+        pred = _pred_words(g, v, [])
+        if o is not None:
+            emit(s, pred, o, 1.0)
+            for d, r in g.kids(v):
+                if r.startswith("nmod:") and r != "nmod:poss":
+                    case = r.split(":", 1)[1]
+                    emit(s, f"{pred} {g.gloss(g.np_tokens(o))} {case}", d, 1.0)
+        for d, r in g.kids(v):
+            if r.startswith("nmod:") and r != "nmod:poss":
+                case = r.split(":", 1)[1]
+                emit(s, f"{pred} {case}", d, 1.0)
+        if o is None:
+            x = g.first(v, "xcomp")
+            if x is not None:
+                emit(s, pred, x, 0.8)
+
+    # noun pattern (RelationTripleSegmenter): possessive → (possessor; has; rest)
+    for h in list(g.children):
+        for d, r in g.children[h]:
+            if r == "nmod:poss" and g.lemma(d).lower() not in ("his", "her", "its", "their", "my"):
+                rest = sorted(set(g.np_tokens(h)) - set(g.np_tokens(d)) - {
+                    k for k, rr in g.kids(d)
+                })
+                rest = [t for t in rest if g.parent.get(t, (None, ""))[1] != "case"]
+                if rest:
+                    out.append((g.gloss(g.np_tokens(d)), "has", g.gloss(rest), 1.0, d, h))
+    return out
+
+
+def openie_docs(df: DataFrame) -> DataFrame:
+    """docs(+tokens,+deps) → triples table (exploded)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in
+                    ("doc_id", "sent_idx", "subj", "pred", "obj",
+                     "confidence", "subj_head", "obj_head")}
+            for doc_id, toks, sents, deps in zip(
+                pdf["doc_id"], pdf["tokens"], pdf["sentences"], pdf["deps"]
+            ):
+                by_sent: dict[int, list] = {}
+                for e in deps:
+                    by_sent.setdefault(e["sent_idx"], []).append(
+                        (e["head"], e["dep"], e["rel"])
+                    )
+                for s in sents:
+                    edges = by_sent.get(s["sent_idx"], [])
+                    if not edges:
+                        continue
+                    a, b = s["start_tok"], s["end_tok"]
+                    seg = toks[a:b]
+                    g = _Graph(
+                        [t["word"] for t in seg], [t["lemma"] for t in seg], edges, a
+                    )
+                    best: dict[tuple, tuple] = {}
+                    for subj, pred, obj, conf, sh, oh in extract_sentence(g):
+                        key = (subj.lower(), pred.lower(), obj.lower())
+                        if key not in best or best[key][3] < conf:
+                            best[key] = (subj, pred, obj, conf, sh, oh)
+                    for subj, pred, obj, conf, sh, oh in best.values():
+                        rows["doc_id"].append(doc_id)
+                        rows["sent_idx"].append(s["sent_idx"])
+                        rows["subj"].append(subj)
+                        rows["pred"].append(pred)
+                        rows["obj"].append(obj)
+                        rows["confidence"].append(conf)
+                        rows["subj_head"].append(sh)
+                        rows["obj_head"].append(oh)
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(run, schema=TRIPLES_SCHEMA)

@@ -76,9 +76,11 @@ LEXICON: dict[str, str] = {
     "defeated": "VBD", "inaugurated": "VBN", "hold": "VB", "gon": "VBG",
     "na": "TO", "gim": "VB", "me": "PRP", "happy": "JJ",
     "quick": "JJ", "brown": "JJ", "lazy": "JJ", "fast": "JJ", "small": "JJ",
+    "blue": "JJ", "physical": "JJ", "great": "JJ", "smart": "JJ",
+    "beautiful": "JJ", "red": "JJ", "green": "JJ", "sport": "NN",
     "big": "JJ", "slow": "JJ", "current": "JJ", "civil": "JJ",
     "constitutional": "JJ", "general": "JJ", "first": "JJ", "new": "JJ",
-    "pm": "NN", "am": "NN",
+    "pm": "NN",
 }
 
 _PUNCT_TAGS = {".": ".", ",": ",", ":": ":", ";": ":", "?": ".", "!": ".",

@@ -1,0 +1,63 @@
+"""NER + normalization goldens (FIXTURES.md §5; semantics from
+``ie/regexp/NumberSequenceClassifier.java:29-54`` and
+``ie/QuantifiableEntityNormalizer.java:42-75``)."""
+
+from corenlp_spark.operators.ner import tag_sentence_ner
+from corenlp_spark.operators.tag import pos_tag
+from corenlp_spark.operators.tokenize import tokenize_text
+
+
+def ner(sentence):
+    toks = tokenize_text(sentence)
+    words = [t[0] for t in toks]
+    pos = pos_tag(words, {0})
+    tags, norm = tag_sentence_ner(words, pos)
+    return list(zip(words, tags, norm))
+
+
+def spans(sentence):
+    return {(w, t) for w, t, _ in ner(sentence) if t != "O"}
+
+
+def test_person_org_loc():
+    got = spans("Barack Obama visited Paris.")
+    assert ("Barack", "PERSON") in got and ("Obama", "PERSON") in got
+    assert ("Paris", "LOCATION") in got
+    got = spans("Chris Manning works for Stanford University.")
+    assert ("Stanford", "ORGANIZATION") in got and ("University", "ORGANIZATION") in got
+
+
+def test_multiword_org():
+    got = ner("International Business Machines announced earnings.")
+    assert [t for _, t, _ in got[:3]] == ["ORGANIZATION"] * 3
+    assert got[3][1] == "O"
+
+
+def test_date_normalization():
+    got = ner("On 21 February 2013 George Boyd joined.")
+    by_word = {w: (t, n) for w, t, n in got}
+    assert by_word["21"] == ("DATE", "2013-02-21")
+    assert by_word["February"] == ("DATE", "2013-02-21")
+    assert by_word["2013"] == ("DATE", "2013-02-21")
+    assert by_word["George"][0] == "PERSON"
+
+
+def test_time_normalization():
+    got = ner("I said at 4:45pm.")
+    by_word = {w: (t, n) for w, t, n in got}
+    assert by_word["4:45"] == ("TIME", "T16:45")
+    assert by_word["pm"] == ("TIME", "T16:45")
+
+
+def test_money_ordinal_number():
+    by_word = {w: (t, n) for w, t, n in ner("You paid US$170,000?!")}
+    assert by_word["US$"] == ("MONEY", "$170000.0")
+    assert by_word["170,000"] == ("MONEY", "$170000.0")
+    by_word = {w: (t, n) for w, t, n in ner("the 44th of twenty")}
+    assert by_word["44th"] == ("ORDINAL", "44.0")
+    by_word = {w: (t, n) for w, t, n in ner("Marie Curie discovered polonium in 1898.")}
+    assert by_word["1898"] == ("DATE", "1898")
+
+
+def test_pronouns_not_entities():
+    assert spans("He was president.") == set()

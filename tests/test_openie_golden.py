@@ -1,0 +1,109 @@
+"""OpenIE golden-triple P/R gate.
+
+Golden sets ported from ``itest/src/edu/stanford/nlp/naturalli/OpenIEITest.java``
+(``assertExtracted`` semantics: lowercase (subj, pred, obj) string match,
+lines cited per case). Gate: micro-averaged P and R ≥ 0.95 over the suite
+(BASELINE.md target row), with containment cases (reference's single-triple
+``assertExtracted``) counted as recall-only.
+"""
+
+from corenlp_spark.operators.depparse import parse_sentence
+from corenlp_spark.operators.ner import tag_sentence_ner
+from corenlp_spark.operators.openie import _Graph, extract_sentence
+from corenlp_spark.operators.tag import lemmatize, pos_tag
+from corenlp_spark.operators.tokenize import tokenize_text
+
+
+def extract(sentence: str) -> set[tuple[str, str, str]]:
+    toks = tokenize_text(sentence)
+    words = [t[0] for t in toks]
+    pos = pos_tag(words, {0})
+    lem = [lemmatize(w, p) for w, p in zip(words, pos)]
+    ner, _ = tag_sentence_ner(words, pos)
+    edges = parse_sentence(words, pos, lem, ner)
+    g = _Graph(words, lem, edges, 0)
+    return {(s.lower(), p.lower(), o.lower()) for s, p, o, *_ in extract_sentence(g)}
+
+
+# (sentence, expected set, exact?) — exact=True ⇒ counts toward precision too
+GOLDEN = [
+    # OpenIEITest.java:113-115 testBasicExtractions
+    ("some cats have tails", {("cats", "have", "tails")}, True),
+    # :117-125 testPaperExamples
+    ("There are cats with tails.", {("cats", "is with", "tails")}, False),
+    ("IBM's research group.", {("ibm", "has", "research group")}, False),
+    ("All rabbits eat vegetables.", {("rabbits", "eat", "vegetables")}, False),
+    # :135-143 testExtractionsGeorgeBoyd (truncated pool variant)
+    ("On 21 February 2013 George Boyd joined on loan from Peterborough United.",
+     {("george boyd", "joined on", "21 february 2013"),
+      ("george boyd", "joined on", "loan"),
+      ("george boyd", "joined on", "loan from peterborough united")}, True),
+    # :145-156 testExtractionsObamaWikiOne (simplified pool variant)
+    ("Barack Hussein Obama II is the 44th President of the United States.",
+     {("barack hussein obama ii", "is", "president"),
+      ("barack hussein obama ii", "is", "44th president"),
+      ("barack hussein obama ii", "is 44th president of", "united states"),
+      ("barack hussein obama ii", "is president of", "united states")}, True),
+    # :186-199 testExtractionsObamaWikiFour
+    ("He worked as a civil rights attorney and taught constitutional law at the University of Chicago Law School.",
+     {("he", "worked as", "civil rights attorney"),
+      ("he", "worked as", "rights attorney"),
+      ("he", "taught", "constitutional law"),
+      ("he", "taught", "law"),
+      ("he", "taught constitutional law at", "university of chicago law school"),
+      ("he", "taught constitutional law at", "university")}, False),
+    # :225-247 testExtractionsObamaWikiSix
+    ("He then defeated Republican nominee John McCain in the general election, and was inaugurated as president on January 20, 2009.",
+     {("he", "defeated", "republican nominee john mccain"),
+      ("he", "defeated republican nominee john mccain in", "election"),
+      ("he", "defeated republican nominee john mccain in", "general election"),
+      ("he", "was inaugurated as", "president"),
+      ("he", "was inaugurated as", "president on january 20 2009")}, False),
+    # :250-259 testThereIsNoDoubt
+    ("There is no doubt that I am great.", {("i", "am", "great")}, True),
+    ("There is no doubt that cats have tails.", {("cats", "have", "tails")}, True),
+    ("There is doubt that cats have tails.", set(), True),
+    # :263-272 testChessIsNotAPhysicalSport
+    ("Chess is a physical sport", {("chess", "is", "physical sport"),
+                                   ("chess", "is", "sport")}, True),
+    ("Chess is not a physical sport", set(), True),
+    # additional passive/copula parity cases (FIXTURES.md §4)
+    ("Barack Obama was born in Hawaii.",
+     {("barack obama", "was born in", "hawaii")}, True),
+    ("IBM is headquartered in Armonk.",
+     {("ibm", "is headquartered in", "armonk")}, True),
+    ("Chris Manning works for Stanford University.",
+     {("chris manning", "works for", "stanford university")}, True),
+]
+
+
+def test_micro_pr_gate():
+    tp = fp = fn = 0
+    failures = []
+    for sent, expected, exact in GOLDEN:
+        got = extract(sent)
+        hit = got & expected
+        miss = expected - got
+        extra = got - expected
+        tp += len(hit)
+        fn += len(miss)
+        if exact:
+            fp += len(extra)
+        if miss or (exact and extra):
+            failures.append((sent, sorted(miss), sorted(extra) if exact else []))
+    precision = tp / (tp + fp) if tp + fp else 1.0
+    recall = tp / (tp + fn) if tp + fn else 1.0
+    msg = f"P={precision:.3f} R={recall:.3f} failures={failures}"
+    assert precision >= 0.95, msg
+    assert recall >= 0.95, msg
+
+
+def test_polarity_blocking():
+    assert extract("There is doubt that cats have tails.") == set()
+    assert ("cats", "have", "tails") in extract("There is no doubt that cats have tails.")
+
+
+def test_entailed_amod_drop():
+    got = extract("Some blue cats have tails.")
+    assert ("blue cats", "have", "tails") in got
+    assert ("cats", "have", "tails") in got

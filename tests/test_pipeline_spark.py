@@ -1,0 +1,60 @@
+"""End-to-end Spark pipeline tests: span invariant, determinism under
+parallelism, stage outputs (SURVEY.md §5 strategy, BASELINE.md target gates)."""
+
+from pyspark.sql import functions as F
+
+from corenlp_spark.data.synth import reassembled_sequence_expr, synth_docs
+from corenlp_spark.operators.depparse import depparse_docs
+from corenlp_spark.operators.mentions import mention_rows
+from corenlp_spark.operators.ner import ner_docs
+from corenlp_spark.operators.openie import openie_docs
+from corenlp_spark.operators.tag import tag_docs
+from corenlp_spark.operators.tokenize import tokenize_docs
+
+N_DOCS = 60
+
+
+def full(spark):
+    return depparse_docs(ner_docs(tag_docs(tokenize_docs(synth_docs(spark, N_DOCS)))))
+
+
+def test_span_sequence_invariant(spark):
+    docs = synth_docs(spark, N_DOCS)
+    out = full(spark)
+    a = docs.select("doc_id", reassembled_sequence_expr().alias("seq"))
+    b = out.select("doc_id", reassembled_sequence_expr().alias("seq"))
+    bad = a.alias("a").join(b.alias("b"), "doc_id").filter("a.seq <> b.seq").count()
+    assert bad == 0
+    assert a.count() == N_DOCS
+
+
+def test_determinism_across_partitioning(spark):
+    h = lambda df: df.select("doc_id", F.sha2(F.to_json(F.struct("tokens", "deps")), 256).alias("h"))
+    a = h(depparse_docs(ner_docs(tag_docs(tokenize_docs(synth_docs(spark, 40, parts=1))))))
+    b = h(depparse_docs(ner_docs(tag_docs(tokenize_docs(synth_docs(spark, 40, parts=13))))))
+    assert a.alias("a").join(b.alias("b"), "doc_id").filter("a.h <> b.h").count() == 0
+
+
+def test_triples_emitted_and_deduped(spark):
+    t = openie_docs(full(spark))
+    rows = t.collect()
+    assert len(rows) > 0
+    keys = [(r.doc_id, r.sent_idx, r.subj.lower(), r.pred.lower(), r.obj.lower()) for r in rows]
+    assert len(keys) == len(set(keys)), "per-sentence triples must be distinct"
+    assert all(0 < r.confidence <= 1.0 for r in rows)
+
+
+def test_mentions_chunking(spark):
+    m = mention_rows(ner_docs(tag_docs(tokenize_docs(synth_docs(spark, N_DOCS)))))
+    rows = m.collect()
+    assert any(r.text == "International Business Machines" for r in rows)
+    assert all(r.end_tok > r.start_tok for r in rows)
+    assert set(r.ner for r in rows) <= {
+        "PERSON", "ORGANIZATION", "LOCATION", "MISC",
+        "DATE", "TIME", "NUMBER", "ORDINAL", "MONEY",
+    }
+
+
+def test_no_shuffle_in_narrow_stages(spark):
+    plan = full(spark)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, f"narrow per-doc stages must not shuffle:\n{plan}"

@@ -1,0 +1,79 @@
+"""Golden tokenization + sentence-split cases.
+
+Ported behaviors from ``test/src/edu/stanford/nlp/process/PTBTokenizerTest.java:24-60``
+and ``process/WordToSentenceProcessor.java:76-131`` (see FIXTURES.md §2-3).
+"""
+
+from corenlp_spark.operators.tokenize import annotate_doc, tokenize_text
+
+GOLDEN = [
+    ("This is a sentence.", ["This", "is", "a", "sentence", "."]),
+    ("Gimme a phone, I'm gonna call.",
+     ["Gim", "me", "a", "phone", ",", "I", "'m", "gon", "na", "call", "."]),
+    ('"John & Mary\'s dog," Jane thought (to herself).',
+     ["``", "John", "&", "Mary", "'s", "dog", ",", "''", "Jane",
+      "thought", "(", "to", "herself", ")", "."]),
+    ("I said at 4:45pm.", ["I", "said", "at", "4:45", "pm", "."]),
+    ("You paid US$170,000?!", ["You", "paid", "US$", "170,000", "?!"]),
+    ("Here is one: http://google.com.",
+     ["Here", "is", "one", ":", "http://google.com", "."]),
+    ("I'm happy ^_^", ["I", "'m", "happy", "^_^"]),
+    ("I wasn’t really ... well", ["I", "was", "n't", "really", "...", "well"]),
+    ("anti-acquisition front", ["anti-acquisition", "front"]),
+    ("The Sydney-based Creative Pack Pty. Ltd. shipped boxes.",
+     ["The", "Sydney-based", "Creative", "Pack", "Pty.", "Ltd.", "shipped", "boxes", "."]),
+    ("don't", ["do", "n't"]),
+    ("O'Malley", ["O'Malley"]),
+    ("U.S. policy", ["U.S.", "policy"]),
+    ("the 44th President", ["the", "44th", "President"]),
+    ("21 February 2013", ["21", "February", "2013"]),
+    ("cannot", ["can", "not"]),
+]
+
+
+def test_golden_tokens():
+    for text, expected in GOLDEN:
+        got = [t[0] for t in tokenize_text(text)]
+        assert got == expected, f"{text!r}: {got} != {expected}"
+
+
+def test_offsets_reconstruct_original():
+    for text, _ in GOLDEN:
+        for word, original, b, e in tokenize_text(text):
+            assert text[b:e] == original
+
+
+def _sents(text):
+    spans = [{"kind": "text", "text": text, "media_ref": None, "offset": 0}]
+    toks, sents = annotate_doc(spans)
+    return [[toks[i]["word"] for i in range(s["start_tok"], s["end_tok"])] for s in sents]
+
+
+def test_sentence_split_basic():
+    s = _sents("Obama visited Paris. Obama spoke. He was president.")
+    assert len(s) == 3
+    assert s[0] == ["Obama", "visited", "Paris", "."]
+
+
+def test_sentence_split_multipunct_and_followers():
+    s = _sents('He said "stop!" Then he left.')
+    assert len(s) == 2
+    assert s[0][-1] == "''"  # close quote attaches to first sentence
+
+
+def test_abbrev_no_split():
+    s = _sents("Creative Pack Pty. Ltd. shipped boxes. It works.")
+    assert len(s) == 2
+
+
+def test_media_span_is_sentence_barrier():
+    spans = [
+        {"kind": "text", "text": "Obama visited", "media_ref": None, "offset": 0},
+        {"kind": "media", "text": None, "media_ref": "img://x", "offset": 1},
+        {"kind": "text", "text": "Paris is nice.", "media_ref": None, "offset": 2},
+    ]
+    toks, sents = annotate_doc(spans)
+    # the unterminated "Obama visited" must NOT merge with the next span's text
+    assert len(sents) == 2
+    assert [t["word"] for t in toks[sents[0]["start_tok"]:sents[0]["end_tok"]]] == ["Obama", "visited"]
+    assert [t["word"] for t in toks[sents[1]["start_tok"]:sents[1]["end_tok"]]] == ["Paris", "is", "nice", "."]
