@@ -1,0 +1,78 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+The headline metric is end-to-end KG throughput (triples/sec over the full
+tokenize→…→coref→openie→dedup pipeline, doc count scaled to the sf of the
+data dir), plus per-query wall seconds for the operator suite.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.1
+
+    import __spark_entry__ as em
+    from corenlp_spark.data.synth import synth_docs
+    from corenlp_spark.operators.graph import dedup_triples
+    from corenlp_spark.plans.pipeline import annotate, triples_of
+    from corenlp_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="corenlp_spark_bench",
+        master=f"local[{cpus}]",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+
+    queries = {}
+
+    # headline: full KG pipeline, doc count scaled with sf (sf0.1 → 20k docs)
+    n_docs = max(int(200_000 * sf), 500)
+    t0 = time.time()
+    docs = synth_docs(spark, n_docs, parts=cpus * 2)
+    t = dedup_triples(triples_of(annotate(docs, upto="coref")))
+    n_triples = t.count()
+    kg_wall = time.time() - t0
+    queries["kg_pipeline"] = round(kg_wall, 3)
+    triples_per_sec = n_triples / kg_wall if kg_wall else 0.0
+
+    # operator suite (the SQL-checkable queries, run as actions)
+    suite = [
+        "pricing_summary", "top_orders_per_segment", "dedup_exact",
+        "dedup_minhash", "dedup_ngram_jaccard", "doc_fingerprint",
+        "token_count", "quality_score", "lang_id", "ann_cosine_topk",
+        "events_sessions", "events_daily", "mention_chunks",
+        "entity_link_dict",
+    ]
+    qfns = em.queries()
+    for name in suite:
+        t0 = time.time()
+        df = qfns[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        queries[name] = round(time.time() - t0, 3)
+
+    total = round(sum(queries.values()), 3)
+    print(json.dumps({
+        "metric": "e2e_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "n_docs_kg": n_docs,
+        "n_triples": n_triples,
+        "triples_per_sec": round(triples_per_sec, 1),
+        "cpus": cpus,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,169 @@
+"""Document deduplication suite for training-data pipelines.
+
+Four strategies over the ``documents`` table (doc_id, text, …):
+  - exact:        md5 fingerprint group-by (engine-portable hashing)
+  - minhash LSH:  shingle → per-band min(md5(shingle ∥ band)) → band-bucket
+                  join; near-dup pairs verified by exact shingle Jaccard
+  - simhash:      64-bit sign-sum of per-token md5 bits; hamming-ball match
+  - n-gram jaccard: exact Jaccard on word n-gram sets for candidate pairs
+
+All column-level logic is built-in ``pyspark.sql.functions`` (JVM-side,
+codegen'd): no Python UDFs anywhere in this module. Hashes are md5-hex so a
+DuckDB oracle can reproduce every value bit-for-bit.
+
+Scale notes: minhash bands bound the join fan-out (no O(n²) compare); the
+band-bucket join is an equi-join AQE can split on skewed buckets; simhash
+prefix buckets (16-bit) bound the hamming search the same way.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_dup_clusters(docs: DataFrame) -> DataFrame:
+    """Clusters of byte-identical texts: (fingerprint, n_docs, min_doc_id)."""
+    return (
+        docs.withColumn("fingerprint", F.md5("text"))
+        .groupBy("fingerprint")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def _shingles(col, k: int = 3):
+    """Word k-shingles as an array column (distinct, order-free)."""
+    toks = F.split(F.lower(F.regexp_replace(col, r"[^\w\s]", " ")), r"\s+")
+    toks = F.filter(toks, lambda t: t != "")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
+    )
+
+
+def minhash_signatures(docs: DataFrame, n_bands: int = 8, k: int = 3) -> DataFrame:
+    """(doc_id, band, mh): per-band minhash of word k-shingles."""
+    sh = docs.select("doc_id", _shingles(F.col("text"), k).alias("sh"))
+    bands = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.array_min(
+                F.transform("sh", lambda s: F.md5(F.concat(s, F.lit(f"#{b}"))))
+            ).alias("mh"),
+        )
+        for b in range(n_bands)
+    ])
+    return sh.select("doc_id", F.explode(bands).alias("x")).select(
+        "doc_id", F.col("x.band").alias("band"), F.col("x.mh").alias("mh")
+    )
+
+
+def minhash_dup_pairs(
+    docs: DataFrame, n_bands: int = 8, k: int = 3, threshold: float = 0.8
+) -> DataFrame:
+    """Near-duplicate pairs: LSH band-bucket candidates verified by exact
+    shingle Jaccard ≥ threshold. Returns (doc_a, doc_b, jaccard), doc_a<doc_b."""
+    sig = minhash_signatures(docs, n_bands, k)
+    cand = (
+        sig.alias("x")
+        .join(sig.alias("y"), ["band", "mh"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sh = docs.select("doc_id", _shingles(F.col("text"), k).alias("sh"))
+    return (
+        cand.join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
+        .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def simhash(docs: DataFrame, bits: int = 64) -> DataFrame:
+    """(doc_id, simhash): sign-sum simhash from per-token md5 bits.
+
+    bit_j(token) = j-th bit of md5(token); simhash bit j = majority vote.
+    Pure SQL: explode tokens, aggregate per-bit counts via conv(md5) masks.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.regexp_replace("text", r"[^\w\s]", " ")), r"\s+"),
+        lambda t: t != "",
+    )
+    t = docs.select("doc_id", F.explode(F.array_distinct(toks)).alias("tok"))
+    # 64-bit value from first 16 hex chars of md5
+    t = t.withColumn("h", F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long"))
+    per_bit = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(60)
+    ]
+    agg = t.groupBy("doc_id").agg(*per_bit)
+    sim = agg.select(
+        "doc_id",
+        sum(
+            [F.when(F.col(f"b{b}") > 0, F.lit(2 ** b).cast("long")).otherwise(F.lit(0).cast("long"))
+             for b in range(60)],
+            F.lit(0).cast("long"),
+        ).alias("simhash"),
+    )
+    return sim
+
+
+def simhash_dup_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by simhash hamming distance, bucketed by 16-bit prefix
+    so the self-join never goes cartesian."""
+    s = simhash(docs).withColumn("bucket", F.shiftright("simhash", 44))
+    pairs = (
+        s.alias("x").join(s.alias("y"), "bucket")
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("x.simhash").bitwiseXOR(F.col("y.simhash"))),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            "hamming",
+        )
+    )
+    return pairs
+
+
+def ngram_jaccard_pairs(docs: DataFrame, k: int = 3, threshold: float = 0.5) -> DataFrame:
+    """Exact n-gram Jaccard for all candidate pairs sharing ≥1 shingle.
+
+    Inverted-index join (shingle → docs) with a frequency cap on hot shingles
+    (stop-shingle pruning — the classic skew guard for inverted joins).
+    """
+    sh = docs.select("doc_id", F.explode(_shingles(F.col("text"), k)).alias("s"))
+    hot = sh.groupBy("s").count().filter(F.col("count") > 1000)  # stop-shingles
+    sh = sh.join(F.broadcast(hot), "s", "left_anti")
+    cand = (
+        sh.alias("x").join(sh.alias("y"), "s")
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .groupBy(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sizes = docs.select("doc_id", F.size(_shingles(F.col("text"), k)).alias("n"))
+    return (
+        cand.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "n_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "n_b"), "doc_b")
+        .withColumn("jaccard", F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )

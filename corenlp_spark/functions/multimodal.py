@@ -1,0 +1,123 @@
+"""Multimodal columns: opaque binary payloads + typed metadata, with the
+Spark-side plumbing (schema, partitioning, Arrow batch shape) real and the
+codec kernels stubbed (image/audio libraries are not in this container).
+
+Pattern: media rides as ``binary`` columns with a typed metadata struct;
+decode / feature-extract / resize / frame-sample run as ``mapInPandas``
+iterator UDFs so one Arrow batch of payloads is processed per Python call
+(never per-row). Each kernel dispatches to a real codec when the library
+imports, else to a clearly-marked deterministic fake (tests exercise the
+full plumbing either way).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_META_TYPE = (
+    "struct<media_type:string, width:int, height:int, duration_ms:int, codec:string>"
+)
+
+try:  # real codecs when available; the container ships neither
+    import PIL.Image  # noqa: F401
+
+    _HAVE_PIL = True
+except Exception:
+    _HAVE_PIL = False
+
+
+def media_table(docs: DataFrame) -> DataFrame:
+    """Explode media spans into a media table with synthetic binary payloads.
+
+    (At ingest on a real cluster the payload column comes from the object
+    store; here a deterministic fake payload = sha256 stream keyed by the
+    media_ref, so sizes/partitioning behave like real bytes.)
+    """
+    m = (
+        docs.select("doc_id", F.explode("spans").alias("s"))
+        .filter(F.col("s.kind") == "media")
+        .select("doc_id", F.col("s.media_ref").alias("media_ref"),
+                F.col("s.offset").alias("offset"))
+    )
+    payload = F.sha2(F.col("media_ref"), 512).cast("binary")
+    media_type = F.regexp_extract("media_ref", r"^(\w+)://", 1)
+    return m.withColumn("payload", payload).withColumn("media_type", media_type)
+
+
+def _fake_decode(ref: str, payload: bytes) -> tuple[int, int, int, str]:
+    """Deterministic fake decode (STUB): dims derived from the payload hash.
+
+    Replace with PIL/ffmpeg when the codec libs are present (_HAVE_PIL)."""
+    h = hashlib.sha256(payload or ref.encode()).digest()
+    return 64 + h[0] % 1024, 64 + h[1] % 1024, (h[2] << 8 | h[3]) * 10, "fake"
+
+
+def decode_metadata(media: DataFrame) -> DataFrame:
+    """+ meta struct column via Arrow-batched decode."""
+    out_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in media.schema.fields)
+    out_schema += f", meta {MEDIA_META_TYPE}"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = []
+            for ref, mt, payload in zip(pdf["media_ref"], pdf["media_type"], pdf["payload"]):
+                if _HAVE_PIL and mt == "img":
+                    raise NotImplementedError(
+                        "real image decode: wire PIL.Image.open(BytesIO(payload)) here"
+                    )
+                w, h, dur, codec = _fake_decode(ref, bytes(payload) if payload is not None else b"")
+                metas.append({
+                    "media_type": mt, "width": w, "height": h,
+                    "duration_ms": dur if mt in ("audio", "video") else 0,
+                    "codec": codec,
+                })
+            pdf = pdf.copy()
+            pdf["meta"] = metas
+            yield pdf
+
+    return media.mapInPandas(run, schema=out_schema)
+
+
+def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
+    """+ feature vector column (array<float>): deterministic fake embedding
+    (STUB for a real vision/audio encoder) — batch shape + schema are real."""
+    out_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in media.schema.fields)
+    out_schema += ", features array<float>"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for payload in pdf["payload"]:
+                b = bytes(payload) if payload is not None else b""
+                h = hashlib.sha512(b).digest()
+                v = np.frombuffer(h[: dim * 4], dtype=np.uint32).astype(np.float32)
+                v = (v / np.float32(2 ** 32)) * 2.0 - 1.0
+                feats.append([float(x) for x in v])
+            pdf = pdf.copy()
+            pdf["features"] = feats
+            yield pdf
+
+    return media.mapInPandas(run, schema=out_schema)
+
+
+def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Frame-sampling plan for video media: one row per planned frame.
+
+    The decode itself is the stubbed kernel; the plan (explode over
+    timestamps, partition-preserving) is the real Spark work at scale."""
+    vids = media.filter(F.col("media_type") == "video")
+    with_meta = decode_metadata(vids)
+    ts = F.sequence(
+        F.lit(0),
+        F.greatest(F.col("meta.duration_ms") - 1, F.lit(0)),
+        F.lit(every_ms),
+    )
+    return with_meta.select(
+        "doc_id", "media_ref", F.posexplode(ts).alias("frame_idx", "ts_ms")
+    )

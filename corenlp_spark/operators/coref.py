@@ -1,0 +1,219 @@
+"""Within-document coreference: deterministic multi-sieve cluster merging.
+
+Behavioral reference (re-expressed):
+  - sieve order ``dcoref/Constants.java:56`` (subset implemented:
+    ExactStringMatch, RelaxedStringMatch, PreciseConstructs-acronym,
+    StrictHeadMatch, PronounMatch), engine
+    ``dcoref/SieveCoreferenceSystem.java:81-190``, agreement rules
+    ``dcoref/Rules.java:123-316`` (number/gender/animacy subset via a small
+    pronoun-agreement table), mention detection
+    ``dcoref/RuleBasedCorefMentionFinder.java:79-193`` — realized here from
+    NER mention runs + pronoun tokens + NP chunks over the already-parsed
+    token arrays (dependency-based path, ``coref/CorefProperties.java:88-95``).
+
+Coref is doc-local, and in this engine each row *is* a document, so the stage
+is a narrow ``mapInPandas`` — no ``groupBy(doc_id)`` shuffle is needed at any
+scale (the reference needs within-JVM doc locality; we get it by data layout).
+
+Output column:
+  coref: array<struct<cluster_id:int, sent_idx:int, start_tok:int,
+                      end_tok:int, text:string, head:int, kind:string,
+                      representative:boolean>>
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+COREF_TYPE = (
+    "array<struct<cluster_id:int,sent_idx:int,start_tok:int,end_tok:int,"
+    "text:string,head:int,kind:string,representative:boolean>>"
+)
+
+# pronoun agreement table (Dictionaries.java gender/animacy/number subset)
+_PRONOUN_AGREE = {
+    "he": ("PERSON", "sing"), "him": ("PERSON", "sing"), "his": ("PERSON", "sing"),
+    "she": ("PERSON", "sing"), "her": ("PERSON", "sing"),
+    "it": ("ORGANIZATION|LOCATION", "sing"), "its": ("ORGANIZATION|LOCATION", "sing"),
+    "they": ("PERSON|ORGANIZATION", "plur"), "them": ("PERSON|ORGANIZATION", "plur"),
+    "their": ("PERSON|ORGANIZATION", "plur"),
+}
+_STOP_DETS = {"the", "a", "an", "this", "that", "these", "those"}
+
+
+def _acronym_of(short: str, long_words: list[str]) -> bool:
+    caps = [w[0].upper() for w in long_words if w[:1].isalpha() and w[0].isupper()]
+    return len(short) > 1 and short.isupper() and "".join(caps) == short
+
+
+class Mention:
+    __slots__ = ("sent", "start", "end", "text", "head_idx", "head_word",
+                 "kind", "ner", "cluster")
+
+    def __init__(self, sent, start, end, text, head_idx, head_word, kind, ner):
+        self.sent, self.start, self.end = sent, start, end
+        self.text, self.head_idx, self.head_word = text, head_idx, head_word
+        self.kind, self.ner = kind, ner
+        self.cluster = -1
+
+
+def detect_mentions(tokens: list[dict], sentences: list[dict]) -> list[Mention]:
+    mentions: list[Mention] = []
+    for s in sentences:
+        a, b = s["start_tok"], s["end_tok"]
+        i = a
+        while i < b:
+            t = tokens[i]
+            if t["ner"] not in ("O", "") and t["ner"] not in ("NUMBER", "ORDINAL", "MONEY", "TIME", "DATE"):
+                j = i
+                while j < b and tokens[j]["ner"] == t["ner"]:
+                    j += 1
+                text = " ".join(tokens[k]["word"] for k in range(i, j))
+                mentions.append(Mention(s["sent_idx"], i, j, text, j - 1,
+                                        tokens[j - 1]["word"], "entity", t["ner"]))
+                i = j
+                continue
+            if t["pos"] == "PRP" and t["word"].lower() in _PRONOUN_AGREE:
+                mentions.append(Mention(s["sent_idx"], i, i + 1, t["word"], i,
+                                        t["word"], "pronoun", "O"))
+                i += 1
+                continue
+            # nominal NP: DT/JJ/NN run ending in common noun
+            if t["pos"] in ("DT", "JJ", "NN", "NNS") :
+                j = i
+                has_noun = False
+                while j < b and tokens[j]["pos"] in ("DT", "JJ", "NN", "NNS") and tokens[j]["ner"] in ("O", ""):
+                    has_noun = has_noun or tokens[j]["pos"].startswith("NN")
+                    j += 1
+                if has_noun and tokens[j - 1]["pos"].startswith("NN"):
+                    text = " ".join(tokens[k]["word"] for k in range(i, j))
+                    mentions.append(Mention(s["sent_idx"], i, j, text, j - 1,
+                                            tokens[j - 1]["word"], "nominal", "O"))
+                    i = j
+                    continue
+            i += 1
+    return mentions
+
+
+def _strip_det(text: str) -> str:
+    ws = text.lower().split()
+    while ws and ws[0] in _STOP_DETS:
+        ws = ws[1:]
+    return " ".join(ws)
+
+
+def run_sieves(mentions: list[Mention]) -> None:
+    """Assign cluster ids in place — sieve cascade in Constants.java:56 order."""
+    n = len(mentions)
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    def antecedents(i):
+        """Candidate antecedents for mention i: prior mentions, nearest first."""
+        return range(i - 1, -1, -1)
+
+    # Sieve 1-2: exact / relaxed (determiner-stripped) string match, non-pronoun
+    for i in range(n):
+        if mentions[i].kind == "pronoun":
+            continue
+        for j in antecedents(i):
+            if mentions[j].kind == "pronoun":
+                continue
+            if mentions[i].text.lower() == mentions[j].text.lower() or \
+                    _strip_det(mentions[i].text) == _strip_det(mentions[j].text):
+                union(i, j)
+                break
+    # Sieve 3: precise constructs — acronym (KBPAnnotator.java:167-216 analog)
+    for i in range(n):
+        mi = mentions[i]
+        if mi.kind != "entity":
+            continue
+        for j in antecedents(i):
+            mj = mentions[j]
+            if mj.kind != "entity" or mi.ner != mj.ner:
+                continue
+            if _acronym_of(mi.text, mj.text.split()) or _acronym_of(mj.text, mi.text.split()):
+                union(i, j)
+                break
+    # Sieve 4: strict head match (same head word, same kind class)
+    for i in range(n):
+        mi = mentions[i]
+        if mi.kind == "pronoun":
+            continue
+        for j in antecedents(i):
+            mj = mentions[j]
+            if mj.kind == "pronoun":
+                continue
+            if mi.head_word.lower() == mj.head_word.lower() and mi.ner == mj.ner:
+                union(i, j)
+                break
+    # Sieve 5: pronoun match (agreement-gated, nearest compatible antecedent
+    # within 2 sentences)
+    for i in range(n):
+        mi = mentions[i]
+        if mi.kind != "pronoun":
+            continue
+        allowed, _num = _PRONOUN_AGREE[mi.text.lower()]
+        allowed_set = set(allowed.split("|"))
+        for j in antecedents(i):
+            mj = mentions[j]
+            if mj.kind == "pronoun" or mi.sent - mj.sent > 2:
+                if mi.sent - mj.sent > 2:
+                    break
+                continue
+            if mj.ner in allowed_set:
+                union(i, j)
+                break
+
+    clusters: dict[int, int] = {}
+    for i in range(n):
+        r = find(i)
+        clusters.setdefault(r, len(clusters))
+        mentions[i].cluster = clusters[r]
+
+
+def coref_docs(df: DataFrame) -> DataFrame:
+    """DataFrame transform: + coref chains column (doc-local, narrow)."""
+    out_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+    out_schema += f", coref {COREF_TYPE}"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            chains_col = []
+            for toks, sents in zip(pdf["tokens"], pdf["sentences"]):
+                toks = list(toks)
+                ms = detect_mentions(toks, list(sents))
+                run_sieves(ms)
+                # representative mention per cluster: longest entity mention,
+                # earliest on tie (CorefChain representative semantics)
+                best: dict[int, Mention] = {}
+                for m in ms:
+                    cur = best.get(m.cluster)
+                    rank = (m.kind != "pronoun", len(m.text))
+                    if cur is None or rank > (cur.kind != "pronoun", len(cur.text)):
+                        best[m.cluster] = m
+                chains_col.append([
+                    {"cluster_id": m.cluster, "sent_idx": m.sent,
+                     "start_tok": m.start, "end_tok": m.end, "text": m.text,
+                     "head": m.head_idx, "kind": m.kind,
+                     "representative": best[m.cluster] is m}
+                    for m in ms
+                ])
+            pdf = pdf.copy()
+            pdf["coref"] = chains_col
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)

@@ -1,0 +1,78 @@
+"""CoNLL-U reader/writer (test + interchange format).
+
+Behavioral reference: ``pipeline/CoNLLUReader.java`` / ``CoNLLUOutputter.java``
+— 10-column tab format, ``#``-comment sentence headers, blank-line sentence
+separators. Reader: ``spark.read.text`` + one Arrow-batched parser; writer is
+a column expression (no UDF).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+CONLLU_SCHEMA = (
+    "doc_id string, sent_idx int, tok_id int, form string, lemma string, "
+    "upos string, xpos string, head int, deprel string"
+)
+
+
+def read_conllu(spark: SparkSession, path: str) -> DataFrame:
+    """Parse CoNLL-U files into token rows (whole-file grouping keeps sentence
+    state local — files are the parallelism unit, as in the reference)."""
+    raw = spark.read.text(path).select(
+        F.input_file_name().alias("file"), F.col("value")
+    )
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # per-partition state: lines of one file arrive in order within a split
+        for pdf in batches:
+            rows = {k: [] for k in ("doc_id", "sent_idx", "tok_id", "form",
+                                    "lemma", "upos", "xpos", "head", "deprel")}
+            sent = 0
+            for file, line in zip(pdf["file"], pdf["value"]):
+                line = line.strip()
+                if not line:
+                    sent += 1
+                    continue
+                if line.startswith("#"):
+                    continue
+                cols = line.split("\t")
+                if len(cols) < 8 or "-" in cols[0] or "." in cols[0]:
+                    continue
+                rows["doc_id"].append(file)
+                rows["sent_idx"].append(sent)
+                rows["tok_id"].append(int(cols[0]))
+                rows["form"].append(cols[1])
+                rows["lemma"].append(cols[2])
+                rows["upos"].append(cols[3])
+                rows["xpos"].append(cols[4])
+                rows["head"].append(int(cols[6]) if cols[6].isdigit() else 0)
+                rows["deprel"].append(cols[7])
+            yield pd.DataFrame(rows)
+
+    return raw.mapInPandas(parse, schema=CONLLU_SCHEMA)
+
+
+def to_conllu_lines(annotated: DataFrame) -> DataFrame:
+    """Annotated docs → CoNLL-U-formatted lines (token rows as TSV strings)."""
+    tok = annotated.select(
+        "doc_id", F.posexplode("tokens").alias("p", "t")
+    ).select(
+        "doc_id",
+        F.col("t.sent").alias("sent_idx"),
+        F.col("t.idx").alias("idx"),
+        F.col("t.word").alias("form"),
+        F.col("t.lemma").alias("lemma"),
+        F.col("t.pos").alias("xpos"),
+    )
+    line = F.concat_ws(
+        "\t",
+        (F.col("idx") + 1).cast("string"), "form", "lemma",
+        F.lit("_"), "xpos", F.lit("_"), F.lit("0"), F.lit("dep"),
+        F.lit("_"), F.lit("_"),
+    )
+    return tok.select("doc_id", "sent_idx", line.alias("line"))

@@ -1,0 +1,70 @@
+"""Coref sieve goldens (FIXTURES.md §6; sieve semantics from
+``dcoref/Constants.java:56`` + ``dcoref/Rules.java:123-316``)."""
+
+from corenlp_spark.operators.coref import detect_mentions, run_sieves
+from corenlp_spark.operators.ner import ner_docs  # noqa: F401 (spark path tested elsewhere)
+from corenlp_spark.operators.tokenize import annotate_doc
+from corenlp_spark.operators.tag import pos_tag, lemmatize
+from corenlp_spark.operators.ner import tag_sentence_ner
+
+
+def chains(text: str) -> list[set[str]]:
+    spans = [{"kind": "text", "text": text, "media_ref": None, "offset": 0}]
+    toks, sents = annotate_doc(spans)
+    words = [t["word"] for t in toks]
+    starts = {s["start_tok"] for s in sents}
+    tags = pos_tag(words, starts)
+    for t, tag in zip(toks, tags):
+        t["pos"] = tag
+        t["lemma"] = lemmatize(t["word"], tag)
+    for s in sents:
+        seg = toks[s["start_tok"]:s["end_tok"]]
+        ner, nner = tag_sentence_ner([t["word"] for t in seg], [t["pos"] for t in seg])
+        for t, a, b in zip(seg, ner, nner):
+            t["ner"], t["nner"] = a, b
+    ms = detect_mentions(toks, sents)
+    run_sieves(ms)
+    out: dict[int, set[str]] = {}
+    for m in ms:
+        out.setdefault(m.cluster, set()).add(m.text)
+    return [v for v in out.values() if len(v) > 1 or True]
+
+
+def cluster_of(text: str, mention: str) -> set[str]:
+    for c in chains(text):
+        if mention in c:
+            return c
+    return set()
+
+
+def test_exact_string_match():
+    c = cluster_of("Obama visited Paris. Obama spoke.", "Obama")
+    assert c == {"Obama"}
+    cs = chains("Obama visited Paris. Obama spoke.")
+    obama = [c for c in cs if "Obama" in c]
+    assert len(obama) == 1  # both Obamas merged into ONE cluster
+
+
+def test_pronoun_match():
+    c = cluster_of("Barack Obama was born in Hawaii. He was president.", "He")
+    assert "Barack Obama" in c
+
+
+def test_strict_head_match():
+    c = cluster_of("The research group published results. The group grew quickly.", "The group")
+    assert any("research group" in m for m in c)
+
+
+def test_acronym_match():
+    c = cluster_of("International Business Machines announced earnings. IBM acquired the startup.", "IBM")
+    assert "International Business Machines" in c
+
+
+def test_no_person_pronoun_to_org():
+    c = cluster_of("IBM announced earnings. He spoke.", "He")
+    assert "IBM" not in c
+
+
+def test_it_links_to_org():
+    c = cluster_of("IBM announced earnings. It acquired the startup.", "It")
+    assert "IBM" in c
