@@ -35,18 +35,14 @@ def entry(spark: SparkSession) -> DataFrame:
     golden-pool docs (the word-salad documents table alone has almost no
     verbs, so the golden pool guarantees a populated KG)."""
     from corenlp_spark.data.synth import synth_docs
-    from corenlp_spark.operators.graph import (
-        canonicalize_triples, coref_chains_rows, dedup_triples,
-    )
-    from corenlp_spark.plans.pipeline import annotate, triples_of
+    from corenlp_spark.operators.graph import dedup_triples
+    from corenlp_spark.plans.fused import extract_triples_fused
     from corenlp_spark.sources.docs import docs_from_documents
 
     docs = docs_from_documents(spark, "/root/testdata/sf0.001").unionByName(
         synth_docs(spark, 200)
     )
-    ann = annotate(docs, upto="coref")
-    triples = canonicalize_triples(triples_of(ann), coref_chains_rows(ann))
-    return dedup_triples(triples)
+    return dedup_triples(extract_triples_fused(docs))
 
 
 # --------------------------------------------------------------------------
@@ -272,9 +268,9 @@ def _golden_docs(spark, n=300):
 
 def q_kg_triples(spark, sf_dir):
     from corenlp_spark.operators.graph import dedup_triples
-    from corenlp_spark.plans.pipeline import annotate, triples_of
+    from corenlp_spark.plans.fused import extract_triples_fused
 
-    t = triples_of(annotate(_golden_docs(spark), upto="coref"))
+    t = extract_triples_fused(_golden_docs(spark), canonicalize=False)
     return dedup_triples(t).orderBy("subj", "pred", "obj")
 
 
@@ -548,12 +544,12 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, unnest(shingles) AS s FROM sh),
             pruned AS (
               SELECT * FROM inv WHERE s NOT IN (
-                SELECT s FROM inv GROUP BY s HAVING count(*) > 1000)),
+                SELECT s FROM inv GROUP BY s HAVING count(*) > 100)),
             cand AS (
               SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS inter
               FROM pruned x JOIN pruned y ON x.s = y.s AND x.doc_id < y.doc_id
               GROUP BY 1, 2),
-            sizes AS (SELECT doc_id, len(shingles) AS n FROM sh)
+            sizes AS (SELECT doc_id, count(*) AS n FROM pruned GROUP BY doc_id)
             SELECT doc_a, doc_b,
                    round(inter * 1.0 / (a.n + b.n - inter), 6) AS jaccard
             FROM cand JOIN sizes a ON doc_a = a.doc_id

@@ -36,13 +36,20 @@ def exact_dup_clusters(docs: DataFrame) -> DataFrame:
 
 
 def _shingles(col, k: int = 3):
-    """Word k-shingles as an array column (distinct, order-free)."""
+    """Word k-shingles as an array column (distinct, order-free).
+
+    Built from 0-based ``F.get`` (null-safe OOB, skipped by concat_ws) rather
+    than per-element ``slice`` — a flatter expression tree that codegen
+    compiles and evaluates measurably faster."""
     toks = F.split(F.lower(F.regexp_replace(col, r"[^\w\s]", " ")), r"\s+")
     toks = F.filter(toks, lambda t: t != "")
     n = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
     return F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(" ", *[F.get(toks, i + j) for j in range(k)]),
+        )
     )
 
 
@@ -144,14 +151,19 @@ def simhash_dup_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     return pairs
 
 
-def ngram_jaccard_pairs(docs: DataFrame, k: int = 3, threshold: float = 0.5) -> DataFrame:
-    """Exact n-gram Jaccard for all candidate pairs sharing ≥1 shingle.
+def ngram_jaccard_pairs(
+    docs: DataFrame, k: int = 3, threshold: float = 0.5, hot_cap: int = 100
+) -> DataFrame:
+    """n-gram Jaccard for candidate pairs sharing ≥1 (non-hot) shingle.
 
     Inverted-index join (shingle → docs) with a frequency cap on hot shingles
-    (stop-shingle pruning — the classic skew guard for inverted joins).
+    (stop-shingle pruning — the classic skew guard for inverted joins; a
+    shingle in > ``hot_cap`` docs generates O(cap²) pairs and carries no
+    dedup signal). Jaccard is computed over the pruned shingle space on both
+    sides, so near-dup pairs above ``threshold`` still surface.
     """
     sh = docs.select("doc_id", F.explode(_shingles(F.col("text"), k)).alias("s"))
-    hot = sh.groupBy("s").count().filter(F.col("count") > 1000)  # stop-shingles
+    hot = sh.groupBy("s").count().filter(F.col("count") > hot_cap)  # stop-shingles
     sh = sh.join(F.broadcast(hot), "s", "left_anti")
     cand = (
         sh.alias("x").join(sh.alias("y"), "s")
@@ -159,7 +171,8 @@ def ngram_jaccard_pairs(docs: DataFrame, k: int = 3, threshold: float = 0.5) -> 
         .groupBy(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .agg(F.count("*").alias("inter"))
     )
-    sizes = docs.select("doc_id", F.size(_shingles(F.col("text"), k)).alias("n"))
+    # sizes over the same pruned shingle space (consistent jaccard)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     return (
         cand.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "n_a"), "doc_a")
         .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "n_b"), "doc_b")

@@ -240,9 +240,15 @@ def numeric_pass(words: list[str], ner: list[str], nner: list[str]) -> None:
 
 
 def tag_sentence_ner(words: list[str], pos: list[str]) -> tuple[list[str], list[str]]:
-    em = _emissions(words, pos, sent_start=0)
-    path = viterbi(em)
-    ner = [LABELS[i].split("-", 1)[-1] if LABELS[i] != "O" else "O" for i in path]
+    # trigger-index fast path (CoreMapNodePatternTrigger analog): entities
+    # require a capitalized alphabetic token — all-lowercase sentences skip
+    # the Viterbi DP entirely and go straight to the numeric pass
+    if any(w[:1].isupper() for w in words):
+        em = _emissions(words, pos, sent_start=0)
+        path = viterbi(em)
+        ner = [LABELS[i].split("-", 1)[-1] if LABELS[i] != "O" else "O" for i in path]
+    else:
+        ner = ["O"] * len(words)
     nner = [""] * len(words)
     numeric_pass(words, ner, nner)
     return ner, nner

@@ -125,6 +125,9 @@ class CheckpointedPipeline:
                 continue
             _check_contract(df, st)
             df = self._write(st.fn(df), st.name)
-        if self._done("triples"):
-            return self.spark.read.parquet(self._path("triples"))
-        return self._write(triples_of(df), "triples")
+        # stage name is 'triples_raw' so downstream jobs can write their
+        # deduped/canonicalized KG to '<root>/triples' without colliding
+        # with the checkpoint they are lazily reading from
+        if self._done("triples_raw"):
+            return self.spark.read.parquet(self._path("triples_raw"))
+        return self._write(triples_of(df), "triples_raw")

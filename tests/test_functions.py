@@ -1,0 +1,115 @@
+"""Training-data function tests: dedup, similarity, textstats, multimodal."""
+
+from pyspark.sql import functions as F
+
+from corenlp_spark.data.synth import synth_docs
+from corenlp_spark.functions.dedup import (
+    exact_dup_clusters, minhash_dup_pairs, ngram_jaccard_pairs, simhash,
+    simhash_dup_pairs,
+)
+from corenlp_spark.functions.multimodal import (
+    decode_metadata, extract_features, frame_sample_plan, media_table,
+)
+from corenlp_spark.functions.similarity import (
+    brute_force_topk, lsh_ann_pairs, pairwise_topk,
+)
+from corenlp_spark.functions.textstats import (
+    fingerprint, lang_id, quality_score, rolling_fingerprints, token_count,
+)
+
+
+def _docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),          # exact dup
+        (3, "the quick brown fox jumps over the lazy dog today"),    # near dup
+        (4, "der schnelle braune fuchs und die faule katze ist mit"),
+        (5, "completely different words entirely unrelated content here"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark):
+    c = exact_dup_clusters(_docs(spark)).collect()
+    assert len(c) == 1 and c[0].n_docs == 2 and c[0].keep_doc_id == 1
+
+
+def test_minhash_and_jaccard_find_near_dup(spark):
+    pairs = {(r.doc_a, r.doc_b) for r in minhash_dup_pairs(_docs(spark), threshold=0.6).collect()}
+    assert (1, 2) in pairs and (1, 3) in pairs
+    assert not any(5 in p for p in pairs)
+    jp = {(r.doc_a, r.doc_b): r.jaccard for r in
+          ngram_jaccard_pairs(_docs(spark), k=3, threshold=0.5).collect()}
+    assert jp.get((1, 2)) == 1.0
+
+
+def test_simhash_exact_dup_is_zero_hamming(spark):
+    s = {r.doc_id: r.simhash for r in simhash(_docs(spark)).collect()}
+    assert s[1] == s[2]
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in
+             simhash_dup_pairs(_docs(spark), max_hamming=10).collect()}
+    assert pairs.get((1, 2)) == 0
+
+
+def test_brute_force_topk_self_similarity(spark):
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0]), (2, [0.9, 0.1, 0.0]), (3, [0.0, 1.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    top = brute_force_topk(emb, [1.0, 0.0, 0.0], k=2).collect()
+    assert [r.vec_id for r in top] == [1, 2]
+    assert top[0].score == 1.0
+
+
+def test_lsh_ann_agrees_with_exact_on_clear_pairs(spark):
+    emb = spark.createDataFrame(
+        [(i, [1.0 if j == i % 4 else 0.05 for j in range(16)]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    exact = {(r.id_a, r.id_b) for r in
+             pairwise_topk(emb, k=1).filter("score >= 0.9").collect()}
+    ann = {(r.id_a, r.id_b) for r in lsh_ann_pairs(emb, dim=16, threshold=0.9).collect()}
+    # every exact pair (a<b) must be found by LSH (identical direction vectors
+    # always share all hyperplane signs)
+    exact_lt = {(min(a, b), max(a, b)) for a, b in exact}
+    assert exact_lt <= ann
+
+
+def test_textstats(spark):
+    d = _docs(spark).select(
+        "doc_id",
+        token_count(F.col("text")).alias("n"),
+        lang_id(F.col("text")).alias("lang"),
+        quality_score(F.col("text")).alias("q"),
+        fingerprint(F.col("text")).alias("fp"),
+        rolling_fingerprints(F.col("text"), window=4).alias("rfp"),
+    ).collect()
+    by = {r.doc_id: r for r in d}
+    assert by[1].n == 9
+    assert by[1].lang == "en" and by[4].lang == "de"
+    assert by[1].fp == by[2].fp
+    assert 0.0 <= by[1].q <= 1.0
+    assert len(by[1].rfp) >= 2
+
+
+def test_multimodal_plumbing(spark):
+    docs = synth_docs(spark, 120)
+    media = media_table(docs)
+    rows = media.collect()
+    assert rows and all(r.payload is not None for r in rows)
+    meta = decode_metadata(media)
+    m = meta.collect()
+    assert all(r.meta["width"] >= 64 for r in m)
+    assert {r.media_type for r in m} <= {"img", "audio", "video"}
+    feats = extract_features(media, dim=8).collect()
+    assert all(len(r.features) == 8 for r in feats)
+    # determinism: same media_ref → same features
+    by_ref = {}
+    for r in feats:
+        if r.media_ref in by_ref:
+            assert by_ref[r.media_ref] == r.features
+        by_ref[r.media_ref] = r.features
+    plan = frame_sample_plan(media, every_ms=5000)
+    p = plan.collect()
+    if p:
+        assert all(r.ts_ms % 5000 == 0 for r in p)

@@ -131,11 +131,11 @@ def test_checkpoint_resume(spark, tmp_path):
     # simulate kill after ner: delete later checkpoints, resume must rebuild
     import shutil
 
-    for stage in ("depparse", "coref", "triples"):
+    for stage in ("depparse", "coref", "triples_raw"):
         shutil.rmtree(os.path.join(root, stage), ignore_errors=True)
     pipe2 = CheckpointedPipeline(spark, root, partitions=4)
     t2 = pipe2.run(synth_docs(spark, 30))
     assert t2.count() == n1
     # lineage metrics persisted per stage
     assert os.path.exists(os.path.join(root, "_lineage_tokenize.json"))
-    assert os.path.exists(os.path.join(root, "_metrics_triples"))
+    assert os.path.exists(os.path.join(root, "_metrics_triples_raw"))
