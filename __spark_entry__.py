@@ -327,6 +327,107 @@ def q_kg_kbp(spark, sf_dir):
     )
 
 
+def q_events_asof(spark, sf_dir):
+    """As-of join: each click event paired with the user's most recent prior
+    purchase value (window emulation of the range/as-of join — the pattern
+    Spark lacks natively; SURVEY.md §2.4 interval-join row)."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id") \
+        .rowsBetween(Window.unboundedPreceding, -1)
+    out = (
+        ev.withColumn(
+            "last_purchase",
+            F.last(F.when(F.col("event_type") == "purchase",
+                          F.round("value", 4)), ignorenulls=True).over(w),
+        )
+        .filter(F.col("event_type") == "click")
+        .select("event_id", "user_id", "last_purchase")
+        .orderBy("event_id")
+    )
+    return out
+
+
+def q_events_pivot(spark, sf_dir):
+    """Pivot: event counts per day as typed columns (CASE-sum form so the
+    DuckDB oracle is literal-identical)."""
+    ev = _t(spark, sf_dir, "events")
+    day = F.date_format("ts", "yyyy-MM-dd").alias("day")
+    return (
+        ev.groupBy(day)
+        .agg(
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("clicks"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("purchases"),
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias("errors"),
+            F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("views"),
+        )
+        .orderBy("day")
+    )
+
+
+def q_kg_kbp_ensemble(spark, sf_dir):
+    from corenlp_spark.operators.kbp import (
+        kbp_ensemble, kbp_relations, kbp_semgrex_relations, pattern_table,
+    )
+    from corenlp_spark.operators.mentions import mention_rows
+    from corenlp_spark.plans.fused import annotate_fused
+    from corenlp_spark.plans.pipeline import triples_of
+
+    ann = annotate_fused(_golden_docs(spark))
+    arm1 = kbp_relations(triples_of(ann), mention_rows(ann), pattern_table(spark))
+    arm2 = kbp_semgrex_relations(ann)
+    ens = kbp_ensemble(arm1.withColumn("sent_idx", F.col("sent_idx")), arm2)
+    return (
+        ens.groupBy("subj", "relation", "obj")
+        .agg(F.count("*").alias("support"), F.max("n_votes").alias("max_votes"))
+        .orderBy("relation", "subj", "obj")
+    )
+
+
+def q_kg_quotes(spark, sf_dir):
+    import pandas as pd
+
+    from corenlp_spark.data.synth import DOCS_SCHEMA
+    from corenlp_spark.operators.aux_annotators import quote_docs
+    from corenlp_spark.plans.pipeline import annotate
+
+    texts = ['"Stop right there," Jane said.',
+             '"We will win," said John McCain.',
+             'The sign "no entry" hung there.'] * 20
+    docs = spark.createDataFrame(
+        pd.DataFrame({
+            "doc_id": [f"q{i}" for i in range(len(texts))],
+            "spans": [[{"kind": "text", "text": t, "media_ref": None, "offset": 0}]
+                      for t in texts],
+        }),
+        schema=DOCS_SCHEMA,
+    )
+    q = quote_docs(annotate(docs, upto="ner"))
+    return (
+        q.select(F.explode("quotes").alias("q"))
+        .groupBy(F.col("q.text").alias("quote"), F.col("q.speaker").alias("speaker"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("quote")
+    )
+
+
+def q_kg_sutime(spark, sf_dir):
+    from corenlp_spark.operators.mentions import mention_rows
+    from corenlp_spark.operators.sutime import sutime_docs, with_docdate
+    from corenlp_spark.plans.pipeline import annotate
+
+    docs = with_docdate(_golden_docs(spark), fixed="2013-02-21")
+    ann = sutime_docs(annotate(docs, upto="ner"))
+    m = mention_rows(ann)
+    return (
+        m.filter(F.col("ner").isin("DATE", "TIME", "DURATION"))
+        .groupBy("ner", F.col("nner").alias("timex"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("ner", "timex")
+    )
+
+
 def q_media_features(spark, sf_dir):
     from corenlp_spark.functions.multimodal import decode_metadata, media_table
 
@@ -354,6 +455,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_topk,
         "events_sessions": q_events_sessions,
         "events_daily": q_events_daily,
+        "events_asof": q_events_asof,
+        "events_pivot": q_events_pivot,
         "mention_chunks": q_mention_chunks_sql,
         "entity_link_dict": q_entity_link_sql,
         "kg_triples": q_kg_triples,
@@ -361,6 +464,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_coref_chains": q_kg_coref_chains,
         "kg_entity_link": q_kg_entity_link,
         "kg_kbp": q_kg_kbp,
+        "kg_kbp_ensemble": q_kg_kbp_ensemble,
+        "kg_quotes": q_kg_quotes,
+        "kg_sutime": q_kg_sutime,
         "media_features": q_media_features,
     }
 
@@ -473,6 +579,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
                    count(*) AS n, round(sum(value), 4) AS total_value
             FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "events_asof": """
+            WITH w AS (
+              SELECT event_id, user_id, event_type,
+                     last_value(CASE WHEN event_type = 'purchase'
+                                     THEN round(value, 4) END IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS last_purchase
+              FROM events)
+            SELECT event_id, user_id, last_purchase
+            FROM w WHERE event_type = 'click' ORDER BY event_id
+        """,
+        "events_pivot": """
+            SELECT strftime(ts, '%Y-%m-%d') AS day,
+                   sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS clicks,
+                   sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchases,
+                   sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS errors,
+                   sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS views
+            FROM events GROUP BY 1 ORDER BY 1
         """,
         "mention_chunks": f"""
             WITH tok AS (

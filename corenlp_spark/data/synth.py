@@ -64,6 +64,15 @@ GOLDEN_SENTENCES: list[str] = [
     "The quick brown fox jumps over the lazy dog.",
     "Apple hired engineers from Google.",
     "The company opened offices in Berlin.",
+    "He was a community organizer in Chicago.",
+    "He served three terms.",
+    "Obama is a graduate of Columbia University.",
+    "Chess is a physical sport.",
+    "Chess is not a physical sport.",
+    "The startup raised money from investors in 2021.",
+    '"We will win," said John McCain.',
+    "She won the Nobel Prize yesterday.",
+    "He worked as a civil rights attorney and taught constitutional law.",
 ]
 
 MEDIA_REFS: list[str] = [

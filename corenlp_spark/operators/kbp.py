@@ -52,6 +52,103 @@ def pattern_table(spark: SparkSession) -> DataFrame:
     )
 
 
+# semgrex extractor rules: (semgrex, subj capture, obj capture, subj ner,
+# obj ner, relation) — the KBPSemgrexExtractor path of the ensemble
+KBP_SEMGREX: list[tuple[str, str, str, str, str]] = [
+    ("{lemma:bear} >nsubj {ner:PERSON}=s >nmod:in {ner:LOCATION}=o",
+     "PERSON", "LOCATION", "per:city_of_birth", "semgrex"),
+    ("{lemma:bear} >nsubj {ner:PERSON}=s >nmod:in {ner:DATE}=o",
+     "PERSON", "DATE", "per:date_of_birth", "semgrex"),
+    ("{lemma:work} >nsubj {ner:PERSON}=s >nmod:for {ner:ORGANIZATION}=o",
+     "PERSON", "ORGANIZATION", "per:employee_of", "semgrex"),
+    ("{lemma:headquarter} >nsubj {ner:ORGANIZATION}=s >nmod:in {ner:LOCATION}=o",
+     "ORGANIZATION", "LOCATION", "org:city_of_headquarters", "semgrex"),
+    ("{lemma:acquire} >nsubj {ner:ORGANIZATION}=s >obj {ner:ORGANIZATION}=o",
+     "ORGANIZATION", "ORGANIZATION", "org:subsidiaries", "semgrex"),
+    ("{lemma:locate} >nsubj {ner:ORGANIZATION}=s >nmod:in {ner:LOCATION}=o",
+     "ORGANIZATION", "LOCATION", "org:city_of_headquarters", "semgrex"),
+]
+
+
+def kbp_semgrex_relations(annotated: DataFrame) -> DataFrame:
+    """Semgrex-extractor arm of the KBP ensemble: run the broadcast semgrex
+    rule set over each sentence's dependency graph (KBPSemgrexExtractor
+    semantics, ``ie/KBPSemgrexExtractor.java``). Returns the same shape as
+    ``kbp_relations`` with confidence 0.9 (patterns beat the statistical arm,
+    lose to tokensregex — KBPEnsembleExtractor priority)."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from corenlp_spark.operators.semgrex import (
+        SentenceGraph, compile_semgrex, match_semgrex,
+    )
+
+    compiled = [(compile_semgrex(p), rel) for p, _, _, rel, _ in KBP_SEMGREX]
+    schema = ("doc_id string, sent_idx int, subj string, relation string, "
+              "obj string, confidence double")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("doc_id", "sent_idx", "subj", "relation",
+                                    "obj", "confidence")}
+            for doc_id, toks, sents, deps in zip(
+                pdf["doc_id"], pdf["tokens"], pdf["sentences"], pdf["deps"]
+            ):
+                by_sent: dict[int, list] = {}
+                for e in deps:
+                    by_sent.setdefault(e["sent_idx"], []).append(
+                        (e["head"], e["dep"], e["rel"]))
+                for s in sents:
+                    edges = by_sent.get(s["sent_idx"])
+                    if not edges:
+                        continue
+                    a, b = s["start_tok"], s["end_tok"]
+                    g = SentenceGraph([dict(t) for t in toks[a:b]], edges, a)
+
+                    def span_text(head):
+                        # expand over contiguous same-NER run around the head
+                        ner = toks[head]["ner"]
+                        lo = head
+                        while lo - 1 >= a and toks[lo - 1]["ner"] == ner:
+                            lo -= 1
+                        hi = head
+                        while hi + 1 < b and toks[hi + 1]["ner"] == ner:
+                            hi += 1
+                        return " ".join(toks[k]["word"] for k in range(lo, hi + 1))
+
+                    for pat, rel in compiled:
+                        for m in match_semgrex(pat, g):
+                            if "s" in m and "o" in m:
+                                rows["doc_id"].append(doc_id)
+                                rows["sent_idx"].append(s["sent_idx"])
+                                rows["subj"].append(span_text(m["s"]))
+                                rows["relation"].append(rel)
+                                rows["obj"].append(span_text(m["o"]))
+                                rows["confidence"].append(0.9)
+            yield pd.DataFrame(rows)
+
+    return annotated.mapInPandas(run, schema=schema)
+
+
+def kbp_ensemble(triple_arm: DataFrame, semgrex_arm: DataFrame) -> DataFrame:
+    """Ensemble vote: per (doc, sent, subj, obj) keep the highest-confidence
+    relation across arms (KBPEnsembleExtractor coalesce semantics)."""
+    both = triple_arm.select("doc_id", "sent_idx", "subj", "relation", "obj",
+                             "confidence").unionByName(
+        semgrex_arm.select("doc_id", "sent_idx", "subj", "relation", "obj",
+                           "confidence")
+    )
+    return (
+        both.groupBy("doc_id", "sent_idx", "subj", "obj")
+        .agg(F.max(F.struct("confidence", "relation")).alias("best"),
+             F.count("*").alias("n_votes"))
+        .select("doc_id", "sent_idx", "subj",
+                F.col("best.relation").alias("relation"), "obj",
+                F.col("best.confidence").alias("confidence"), "n_votes")
+    )
+
+
 def kbp_relations(triples: DataFrame, mentions: DataFrame, patterns: DataFrame) -> DataFrame:
     """triples + mentions → (doc_id, sent_idx, subj, relation, obj, confidence).
 

@@ -228,6 +228,12 @@ def numeric_pass(words: list[str], ner: list[str], nner: list[str]) -> None:
             ner[t], nner[t] = "DATE", w
             t += 1
             continue
+        if lw in ("today", "yesterday", "tomorrow"):
+            # symbolic offset Timex; sutime_docs resolves it against docdate
+            off = {"today": "P0D", "yesterday": "P-1D", "tomorrow": "P1D"}[lw]
+            ner[t], nner[t] = "DATE", f"OFFSET {off}"
+            t += 1
+            continue
         if _RE_NUM.match(w) and w[0].isdigit():
             ner[t], nner[t] = "NUMBER", f"{float(w.replace(',', '')):.1f}"
             t += 1

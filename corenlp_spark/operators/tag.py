@@ -73,6 +73,11 @@ LEXICON: dict[str, str] = {
     "published": "VBD", "grew": "VBD", "announced": "VBD", "acquired": "VBD",
     "discovered": "VBD", "won": "VBD", "located": "VBN", "jumps": "VBZ",
     "hired": "VBD", "opened": "VBD", "headquartered": "VBN", "taught": "VBD",
+    "win": "VB", "raised": "VBD", "served": "VBD", "serve": "VB",
+    "arrived": "VBD", "leaves": "VBZ", "happened": "VBD",
+    "graduate": "NN", "organizer": "NN", "terms": "NNS", "money": "NN",
+    "investors": "NNS", "sign": "NN", "entry": "NN",
+    "yesterday": "NN", "today": "NN", "tomorrow": "NN",
     "defeated": "VBD", "inaugurated": "VBN", "hold": "VB", "gon": "VBG",
     "na": "TO", "gim": "VB", "me": "PRP", "happy": "JJ",
     "quick": "JJ", "brown": "JJ", "lazy": "JJ", "fast": "JJ", "small": "JJ",

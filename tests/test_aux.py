@@ -1,0 +1,88 @@
+"""SUTime subset + quote/truecase/gender annotator tests."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from corenlp_spark.data.synth import DOCS_SCHEMA
+from corenlp_spark.operators.aux_annotators import (
+    gender_mentions, quote_docs, truecase_docs,
+)
+from corenlp_spark.operators.mentions import mention_rows
+from corenlp_spark.operators.sutime import sutime_docs, with_docdate
+from corenlp_spark.plans.pipeline import annotate
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        pd.DataFrame({
+            "doc_id": [f"d{i}" for i in range(len(texts))],
+            "spans": [[{"kind": "text", "text": t, "media_ref": None, "offset": 0}]
+                      for t in texts],
+        }),
+        schema=DOCS_SCHEMA,
+    )
+
+
+def _tok_map(row):
+    return {t["word"].lower(): (t["ner"], t["nner"]) for t in row["tokens"]}
+
+
+def test_docdate_deterministic(spark):
+    d1 = with_docdate(_docs(spark, ["a", "b"])).collect()
+    d2 = with_docdate(_docs(spark, ["a", "b"])).collect()
+    assert {r.doc_id: r.docdate for r in d1} == {r.doc_id: r.docdate for r in d2}
+    fixed = with_docdate(_docs(spark, ["a"]), fixed="2013-02-21").first()
+    assert fixed.docdate == "2013-02-21"
+
+
+def test_relative_dates_resolve_against_docdate(spark):
+    docs = with_docdate(
+        _docs(spark, ["He arrived yesterday. She leaves tomorrow. It happened last year."]),
+        fixed="2013-02-21",
+    )
+    out = sutime_docs(annotate(docs, upto="ner")).first()
+    m = _tok_map(out)
+    assert m["yesterday"] == ("DATE", "2013-02-20")
+    assert m["tomorrow"] == ("DATE", "2013-02-22")
+    assert m["year"] == ("DATE", "2012")
+
+
+def test_durations_and_refs(spark):
+    docs = with_docdate(_docs(spark, ["He worked there for three years. He is happy now."]),
+                        fixed="2020-06-15")
+    out = sutime_docs(annotate(docs, upto="ner")).first()
+    m = _tok_map(out)
+    assert m["three"] == ("DURATION", "P3Y")
+    assert m["years"] == ("DURATION", "P3Y")
+    assert m["now"] == ("DATE", "PRESENT_REF")
+
+
+def test_quote_attribution(spark):
+    docs = _docs(spark, ['"Stop right there," Jane said loudly.'])
+    out = quote_docs(annotate(docs, upto="ner")).first()
+    assert len(out["quotes"]) == 1
+    q = out["quotes"][0]
+    assert q["text"].startswith("Stop")
+    assert q["speaker"] == "Jane"
+
+
+def test_quote_without_speech_verb_unattributed(spark):
+    docs = _docs(spark, ['The sign "no entry" hung near Jane.'])
+    out = quote_docs(annotate(docs, upto="ner")).first()
+    assert len(out["quotes"]) == 1
+    assert out["quotes"][0]["speaker"] is None
+
+
+def test_truecase(spark):
+    docs = _docs(spark, ["barack obama visited paris and ibm."])
+    out = truecase_docs(annotate(docs, upto="tag")).first()
+    words = [t["word"] for t in out["tokens"]]
+    assert "Barack" in words and "Obama" in words and "Paris" in words and "IBM" in words
+
+
+def test_gender(spark):
+    docs = _docs(spark, ["Marie Curie discovered polonium. John McCain spoke."])
+    m = gender_mentions(mention_rows(annotate(docs, upto="ner")))
+    by = {r.text: r.gender for r in m.collect()}
+    assert by.get("Marie Curie") == "FEMALE"
+    assert by.get("John McCain") == "MALE"

@@ -1,0 +1,95 @@
+"""TokensRegex + Semgrex subset tests (SURVEY.md §2.3 coverage)."""
+
+from corenlp_spark.operators.depparse import parse_sentence
+from corenlp_spark.operators.ner import tag_sentence_ner
+from corenlp_spark.operators.semgrex import (
+    SentenceGraph, compile_semgrex, match_semgrex,
+)
+from corenlp_spark.operators.tag import lemmatize, pos_tag
+from corenlp_spark.operators.tokenize import tokenize_text
+from corenlp_spark.operators.tokensregex import compile_pattern, find_all
+
+
+def toks_of(sentence):
+    toks = tokenize_text(sentence)
+    words = [t[0] for t in toks]
+    pos = pos_tag(words, {0})
+    lem = [lemmatize(w, p) for w, p in zip(words, pos)]
+    ner, nner = tag_sentence_ner(words, pos)
+    return [
+        {"word": w, "pos": p, "lemma": l, "ner": n, "nner": nn}
+        for w, p, l, n, nn in zip(words, pos, lem, ner, nner)
+    ]
+
+
+def test_node_predicates_and_sequence():
+    toks = toks_of("Barack Obama visited Paris.")
+    pat = compile_pattern("[ner:PERSON]+ [pos:/VB./] [ner:LOCATION]")
+    got = find_all(pat, toks)
+    assert len(got) == 1
+    s, e, _ = got[0]
+    assert [t["word"] for t in toks[s:e]] == ["Barack", "Obama", "visited", "Paris"]
+
+
+def test_capture_groups():
+    toks = toks_of("Chris Manning works for Stanford University.")
+    pat = compile_pattern("(?$subj [ner:PERSON]+) [lemma:work] [word:for] (?$org [ner:ORGANIZATION]+)")
+    got = find_all(pat, toks)
+    assert len(got) == 1
+    g = got[0][2]
+    assert [toks[i]["word"] for i in range(*g["subj"])] == ["Chris", "Manning"]
+    assert [toks[i]["word"] for i in range(*g["org"])] == ["Stanford", "University"]
+
+
+def test_negation_and_optional():
+    toks = toks_of("the quick fox")
+    pat = compile_pattern("[pos:DT] !{pos:/NN.*/} [pos:/NN.*/]")
+    assert len(find_all(pat, toks)) == 1
+    pat2 = compile_pattern("[pos:DT] [pos:JJ]? [pos:/NN.*/]")
+    assert len(find_all(pat2, toks_of("the fox"))) == 1
+    assert len(find_all(pat2, toks)) == 1
+
+
+def test_any_token_and_conjunction():
+    toks = toks_of("IBM acquired the startup.")
+    pat = compile_pattern("{ner:ORGANIZATION; pos:NNP} [] [pos:DT]")
+    assert len(find_all(pat, toks)) == 1
+
+
+def _graph(sentence):
+    toks = toks_of(sentence)
+    edges = parse_sentence(
+        [t["word"] for t in toks], [t["pos"] for t in toks],
+        [t["lemma"] for t in toks], [t["ner"] for t in toks],
+    )
+    return SentenceGraph(toks, edges), toks
+
+
+def test_semgrex_svo():
+    g, toks = _graph("Obama visited Paris.")
+    pat = compile_semgrex("{pos:/VB./}=v >nsubj {}=s")
+    ms = match_semgrex(pat, g)
+    assert len(ms) == 1
+    assert toks[ms[0]["v"]]["word"] == "visited"
+    assert toks[ms[0]["s"]]["word"] == "Obama"
+
+
+def test_semgrex_root_and_enhanced_rel_prefix():
+    g, toks = _graph("Barack Obama was born in Hawaii.")
+    pat = compile_semgrex("{$}=r >nmod {ner:LOCATION}=loc")
+    ms = match_semgrex(pat, g)
+    assert len(ms) == 1 and toks[ms[0]["loc"]]["word"] == "Hawaii"
+    assert toks[ms[0]["r"]]["word"] == "born"
+
+
+def test_semgrex_transitive():
+    g, toks = _graph("Barack Hussein Obama II is the 44th President of the United States.")
+    pat = compile_semgrex("{$} >> {word:States}")
+    assert len(match_semgrex(pat, g)) == 1
+
+
+def test_semgrex_governor_direction():
+    g, toks = _graph("Obama visited Paris.")
+    pat = compile_semgrex("{ner:LOCATION}=o <obj {}=v")
+    ms = match_semgrex(pat, g)
+    assert len(ms) == 1 and toks[ms[0]["v"]]["word"] == "visited"
