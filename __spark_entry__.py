@@ -368,7 +368,8 @@ def q_events_pivot(spark, sf_dir):
 
 def q_kg_kbp_ensemble(spark, sf_dir):
     from corenlp_spark.operators.kbp import (
-        kbp_ensemble, kbp_relations, kbp_semgrex_relations, pattern_table,
+        kbp_ensemble, kbp_relations, kbp_semgrex_relations,
+        kbp_statistical_relations, pattern_table,
     )
     from corenlp_spark.operators.mentions import mention_rows
     from corenlp_spark.plans.fused import annotate_fused
@@ -377,7 +378,8 @@ def q_kg_kbp_ensemble(spark, sf_dir):
     ann = annotate_fused(_golden_docs(spark))
     arm1 = kbp_relations(triples_of(ann), mention_rows(ann), pattern_table(spark))
     arm2 = kbp_semgrex_relations(ann)
-    ens = kbp_ensemble(arm1.withColumn("sent_idx", F.col("sent_idx")), arm2)
+    arm3 = kbp_statistical_relations(ann)
+    ens = kbp_ensemble(arm1, arm2, arm3)
     return (
         ens.groupBy("subj", "relation", "obj")
         .agg(F.count("*").alias("support"), F.max("n_votes").alias("max_votes"))

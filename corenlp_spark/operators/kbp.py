@@ -131,14 +131,93 @@ def kbp_semgrex_relations(annotated: DataFrame) -> DataFrame:
     return annotated.mapInPandas(run, schema=schema)
 
 
-def kbp_ensemble(triple_arm: DataFrame, semgrex_arm: DataFrame) -> DataFrame:
+# statistical arm: logistic-regression scorer over bag-of-lemma + type
+# features (KBPStatisticalExtractor shape, ``ie/KBPStatisticalExtractor.java:
+# 190-664``). Weights are a broadcast dict; deterministic hand-set values
+# stand in for trained ones (the stage contract — featurize → dot → sigmoid
+# → threshold — is the real thing; a trained table drops in unchanged).
+LR_WEIGHTS: dict[tuple[str, str], dict[str, float]] = {
+    ("PERSON", "LOCATION"): {
+        "bear": 2.2, "in": 0.4, "bias": -2.5, "_rel": "per:city_of_birth"},
+    ("PERSON", "ORGANIZATION"): {
+        "work": 2.0, "for": 0.6, "employee": 1.5, "bias": -2.4,
+        "_rel": "per:employee_of"},
+    ("ORGANIZATION", "LOCATION"): {
+        "headquarter": 2.5, "locate": 2.0, "in": 0.4, "bias": -2.6,
+        "_rel": "org:city_of_headquarters"},
+    ("ORGANIZATION", "ORGANIZATION"): {
+        "acquire": 2.3, "buy": 2.0, "bias": -2.5, "_rel": "org:subsidiaries"},
+}
+
+
+def kbp_statistical_relations(annotated: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """LR arm: score each within-sentence mention pair by sigmoid(w·f) where
+    f = lemma counts between/around the pair; emit above-threshold relations
+    with the sigmoid as confidence (capped at 0.85 — the ensemble prefers
+    pattern arms, KBPEnsembleExtractor priority)."""
+    import math
+    from typing import Iterator
+
+    import pandas as pd
+
+    schema = ("doc_id string, sent_idx int, subj string, relation string, "
+              "obj string, confidence double")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("doc_id", "sent_idx", "subj", "relation",
+                                    "obj", "confidence")}
+            for doc_id, toks, sents in zip(pdf["doc_id"], pdf["tokens"], pdf["sentences"]):
+                for s in sents:
+                    a, b = s["start_tok"], s["end_tok"]
+                    seg = [dict(t) for t in toks[a:b]]
+                    # mention runs inside the sentence
+                    runs = []
+                    i = 0
+                    while i < len(seg):
+                        ner = seg[i]["ner"]
+                        if ner not in ("O", "", "NUMBER", "ORDINAL", "MONEY",
+                                       "TIME", "DURATION"):
+                            j = i
+                            while j < len(seg) and seg[j]["ner"] == ner:
+                                j += 1
+                            runs.append((i, j, ner))
+                            i = j
+                        else:
+                            i += 1
+                    lemmas = [t["lemma"] for t in seg]
+                    for si, (s0, s1, sner) in enumerate(runs):
+                        for oi, (o0, o1, oner) in enumerate(runs):
+                            if si == oi:
+                                continue
+                            w = LR_WEIGHTS.get((sner, oner))
+                            if not w:
+                                continue
+                            z = w.get("bias", 0.0)
+                            for lem in lemmas:
+                                z += w.get(lem, 0.0)
+                            p = 1.0 / (1.0 + math.exp(-z))
+                            if p >= threshold:
+                                rows["doc_id"].append(doc_id)
+                                rows["sent_idx"].append(s["sent_idx"])
+                                rows["subj"].append(" ".join(t["word"] for t in seg[s0:s1]))
+                                rows["relation"].append(w["_rel"])
+                                rows["obj"].append(" ".join(t["word"] for t in seg[o0:o1]))
+                                rows["confidence"].append(min(round(p, 4), 0.85))
+            yield pd.DataFrame(rows)
+
+    return annotated.mapInPandas(run, schema=schema)
+
+
+def kbp_ensemble(*arms: DataFrame) -> DataFrame:
     """Ensemble vote: per (doc, sent, subj, obj) keep the highest-confidence
-    relation across arms (KBPEnsembleExtractor coalesce semantics)."""
-    both = triple_arm.select("doc_id", "sent_idx", "subj", "relation", "obj",
-                             "confidence").unionByName(
-        semgrex_arm.select("doc_id", "sent_idx", "subj", "relation", "obj",
-                           "confidence")
-    )
+    relation across arms (KBPEnsembleExtractor coalesce semantics; arm
+    priority is encoded in confidence ranges: tokensregex/triple 1.0 >
+    semgrex 0.9 > statistical ≤0.85)."""
+    cols = ["doc_id", "sent_idx", "subj", "relation", "obj", "confidence"]
+    both = arms[0].select(*cols)
+    for arm in arms[1:]:
+        both = both.unionByName(arm.select(*cols))
     return (
         both.groupBy("doc_id", "sent_idx", "subj", "obj")
         .agg(F.max(F.struct("confidence", "relation")).alias("best"),

@@ -136,7 +136,10 @@ def _rel_candidates(g: SentenceGraph, t: int, op: str, rel: str):
 
 
 def match_semgrex(pat: SemgrexPattern, g: SentenceGraph) -> list[dict[str, int]]:
-    """All matches → list of {capture_name: token_idx} (unnamed nodes skipped)."""
+    """All matches → list of {capture_name: token_idx} (unnamed nodes skipped).
+
+    Strung relations all anchor to the FIRST node (SemgrexPattern semantics:
+    "{} >nsubj {} >obj {}" = one node with both an nsubj and an obj child)."""
     out = []
     all_tokens = [g.off + i for i in range(len(g.toks))]
 
@@ -152,7 +155,7 @@ def match_semgrex(pat: SemgrexPattern, g: SentenceGraph) -> list[dict[str, int]]
                 if nxt.name:
                     b2 = dict(binding)
                     b2[nxt.name] = cand
-                bt(ni + 1, cand, b2)
+                bt(ni + 1, anchor, b2)  # anchor stays the first node
 
     first = pat.nodes[0]
     for t in all_tokens:

@@ -153,6 +153,8 @@ LEMMA_EXC: dict[str, str] = {
     "worse": "bad", "worst": "bad", "ate": "eat", "gave": "give",
     "took": "take", "went": "go", "came": "come", "saw": "see",
     "made": "make", "got": "get", "left": "leave", "defeated": "defeat",
+    "born": "bear", "bore": "bear", "grown": "grow", "spoken": "speak",
+    "known": "know", "seen": "see", "found": "find", "ran": "run",
 }
 _DOUBLED = set("bdgklmnprtv")
 

@@ -1,0 +1,47 @@
+"""Physical-plan quality gates: these assertions pin the properties that
+matter at 100 TB — filter pushdown to the parquet scan, column pruning,
+broadcast joins for dimension/dict tables, TakeOrdered for top-k, and
+shuffle-free narrow annotation stages."""
+
+import __spark_entry__ as em
+from corenlp_spark.data.synth import synth_docs
+from corenlp_spark.operators.entitylink import alias_dict, link_mentions
+from corenlp_spark.operators.mentions import mention_rows
+from corenlp_spark.plans.fused import annotate_fused, extract_triples_fused
+
+SF = "/root/testdata/sf0.01"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_and_pruning(spark):
+    p = plan_of(em.queries()["pricing_summary"](spark, SF))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in p
+    # projection pruned at the scan: untouched columns never read
+    read_schema = p.split("ReadSchema")[1][:400]
+    assert "l_orderkey" not in read_schema and "l_partkey" not in read_schema
+
+
+def test_dimension_join_broadcasts(spark):
+    assert "BroadcastHashJoin" in plan_of(
+        em.queries()["top_orders_per_segment"](spark, SF)
+    )
+
+
+def test_alias_dict_join_broadcasts(spark):
+    linked = link_mentions(
+        mention_rows(annotate_fused(synth_docs(spark, 10))), alias_dict(spark)
+    )
+    assert "BroadcastHashJoin" in plan_of(linked)
+
+
+def test_topk_uses_take_ordered(spark):
+    assert "TakeOrderedAndProject" in plan_of(
+        em.queries()["ann_cosine_topk"](spark, SF)
+    )
+
+
+def test_kg_pipeline_is_shuffle_free(spark):
+    assert "Exchange" not in plan_of(extract_triples_fused(synth_docs(spark, 5)))
