@@ -139,6 +139,22 @@ def q_ann_topk(spark, sf_dir):
     return brute_force_topk(e, query, k=10)
 
 
+def q_embedding_dups(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (exact baseline; the LSH-bucketed
+    variant is the scale path — functions/similarity.lsh_ann_pairs)."""
+    from corenlp_spark.functions.similarity import cosine
+
+    e = _t(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("v_a"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("v_b"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(cosine("v_a", "v_b"), 6).alias("score"))
+        .filter(F.col("score") >= 0.5)
+        .orderBy("id_a", "id_b")
+    )
+
+
 def q_events_sessions(spark, sf_dir):
     """Sessionization: gap > 30 min starts a new session; sessions per user."""
     from pyspark.sql import Window
@@ -455,6 +471,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality,
         "lang_id": q_langid,
         "ann_cosine_topk": q_ann_topk,
+        "embedding_dups": q_embedding_dups,
         "events_sessions": q_events_sessions,
         "events_daily": q_events_daily,
         "events_asof": q_events_asof,
@@ -566,6 +583,17 @@ def oracle_sql() -> dict[str, str]:
                         * sqrt(list_dot_product(qv, qv))), 6) AS score
             FROM embeddings, q
             ORDER BY score DESC, vec_id LIMIT 10
+        """,
+        "embedding_dups": """
+            WITH s AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     round(list_dot_product(a.embedding, b.embedding)
+                       / (sqrt(list_dot_product(a.embedding, a.embedding))
+                          * sqrt(list_dot_product(b.embedding, b.embedding))), 6)
+                       AS score
+              FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+            SELECT id_a, id_b, score FROM s WHERE score >= 0.5
+            ORDER BY id_a, id_b
         """,
         "events_sessions": """
             WITH s AS (

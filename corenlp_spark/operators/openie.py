@@ -219,6 +219,21 @@ def extract_sentence(g: _Graph) -> list[tuple[str, str, str, float, int, int]]:
             if x is not None:
                 emit(s, pred, x, 0.8)
 
+    # noun pattern (RelationTripleSegmenter): root noun with a case-marked
+    # modifier → (noun; is <case>; modifier), e.g. "He was a community
+    # organizer in Chicago" ⊢ (community organizer; is in; Chicago).
+    # Root-only keeps strict-mode precision (no spurious NP-internal triples).
+    for h in list(g.children):
+        if h != g.root:
+            continue
+        for d, r in g.kids(h):
+            if r.startswith("nmod:") and r.split(":", 1)[1] not in ("of", "poss"):
+                case = r.split(":", 1)[1]
+                np = g.np_tokens(h)
+                if np and not _negated(g, h) and g.first(h, "cop") is not None:
+                    out.append((g.gloss(np), f"is {case}",
+                                g.gloss(g.np_tokens(d)), 1.0, h, d))
+
     # noun pattern (RelationTripleSegmenter): possessive → (possessor; has; rest)
     for h in list(g.children):
         for d, r in g.children[h]:

@@ -1,0 +1,51 @@
+"""Outputter tests: CoreNLP-shaped JSON, CoNLL-U write + read roundtrip."""
+
+import json
+
+import pandas as pd
+
+from corenlp_spark.data.synth import DOCS_SCHEMA
+from corenlp_spark.plans.fused import annotate_fused
+from corenlp_spark.sources.conllu import read_conllu, to_conllu_lines
+from corenlp_spark.sources.json_out import to_corenlp_json
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        pd.DataFrame({
+            "doc_id": [f"d{i}" for i in range(len(texts))],
+            "spans": [[{"kind": "text", "text": t, "media_ref": None, "offset": 0}]
+                      for t in texts],
+        }),
+        schema=DOCS_SCHEMA,
+    )
+
+
+def test_json_outputter_shape(spark):
+    ann = annotate_fused(_docs(spark, ["Barack Obama visited Paris. He spoke."]))
+    row = to_corenlp_json(ann).first()
+    doc = json.loads(row.json)
+    assert doc["docId"] == "d0"
+    assert len(doc["sentences"]) == 2
+    t0 = doc["sentences"][0]["tokens"][0]
+    assert t0["word"] == "Barack" and t0["ner"] == "PERSON"
+    assert t0["characterOffsetBegin"] == 0 and t0["characterOffsetEnd"] == 6
+    deps = doc["sentences"][0]["basicDependencies"]
+    assert any(d["dep"] == "root" for d in deps)
+    assert any(m["isRepresentativeMention"] for m in doc["corefs"])
+
+
+def test_conllu_roundtrip(spark, tmp_path):
+    ann = annotate_fused(_docs(spark, ["Obama visited Paris."]))
+    lines = to_conllu_lines(ann)
+    rows = lines.orderBy("doc_id", "sent_idx").collect()
+    assert rows[0].line.split("\t")[1] == "Obama"
+    # write a CoNLL-U file and read it back
+    path = str(tmp_path / "sample.conllu")
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(r.line + "\n")
+        f.write("\n")
+    back = read_conllu(spark, path).orderBy("tok_id").collect()
+    assert [r.form for r in back] == ["Obama", "visited", "Paris", "."]
+    assert back[0].lemma == "Obama" and back[1].lemma == "visit"
