@@ -35,27 +35,39 @@ def exact_dup_clusters(docs: DataFrame) -> DataFrame:
     )
 
 
-def _shingles(col, k: int = 3):
-    """Word k-shingles as an array column (distinct, order-free).
-
-    Built from 0-based ``F.get`` (null-safe OOB, skipped by concat_ws) rather
-    than per-element ``slice`` — a flatter expression tree that codegen
-    compiles and evaluates measurably faster."""
+def _tokens(col):
     toks = F.split(F.lower(F.regexp_replace(col, r"[^\w\s]", " ")), r"\s+")
-    toks = F.filter(toks, lambda t: t != "")
-    n = F.size(toks)
+    return F.filter(toks, lambda t: t != "")
+
+
+def _shingles_of(tk_col, k: int):
+    """Shingles from an ALREADY-MATERIALIZED token-array column.
+
+    The tokenization expression must not be inlined here: Catalyst does not
+    CSE subexpressions inside nested higher-order-function lambdas, so an
+    inlined split/filter tree is re-evaluated once per F.get — O(k·n²) per
+    row. Callers materialize tokens with withColumn first."""
+    n = F.size(tk_col)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
     return F.array_distinct(
         F.transform(
             idx,
-            lambda i: F.concat_ws(" ", *[F.get(toks, i + j) for j in range(k)]),
+            lambda i: F.concat_ws(" ", *[F.get(tk_col, i + j) for j in range(k)]),
         )
     )
 
 
+def _shingles(col, k: int = 3):
+    """Word k-shingles straight from a text column (small inputs only — see
+    _shingles_of for the materialized fast path)."""
+    return _shingles_of(_tokens(col), k)
+
+
 def minhash_signatures(docs: DataFrame, n_bands: int = 8, k: int = 3) -> DataFrame:
     """(doc_id, band, mh): per-band minhash of word k-shingles."""
-    sh = docs.select("doc_id", _shingles(F.col("text"), k).alias("sh"))
+    sh = docs.withColumn("_tk", _tokens(F.col("text"))).select(
+        "doc_id", _shingles_of(F.col("_tk"), k).alias("sh")
+    )
     bands = F.array(*[
         F.struct(
             F.lit(b).alias("band"),
@@ -85,7 +97,9 @@ def minhash_dup_pairs(
         )
         .distinct()
     )
-    sh = docs.select("doc_id", _shingles(F.col("text"), k).alias("sh"))
+    sh = docs.withColumn("_tk", _tokens(F.col("text"))).select(
+        "doc_id", _shingles_of(F.col("_tk"), k).alias("sh")
+    )
     return (
         cand.join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
         .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
@@ -162,7 +176,9 @@ def ngram_jaccard_pairs(
     dedup signal). Jaccard is computed over the pruned shingle space on both
     sides, so near-dup pairs above ``threshold`` still surface.
     """
-    sh = docs.select("doc_id", F.explode(_shingles(F.col("text"), k)).alias("s"))
+    sh = docs.withColumn("_tk", _tokens(F.col("text"))).select(
+        "doc_id", F.explode(_shingles_of(F.col("_tk"), k)).alias("s")
+    )
     hot = sh.groupBy("s").count().filter(F.col("count") > hot_cap)  # stop-shingles
     sh = sh.join(F.broadcast(hot), "s", "left_anti")
     cand = (
