@@ -73,6 +73,8 @@ GOLDEN_SENTENCES: list[str] = [
     '"We will win," said John McCain.',
     "She won the Nobel Prize yesterday.",
     "He worked as a civil rights attorney and taught constitutional law.",
+    "Tom and Jerry have tails.",
+    "John did not see Sara.",
 ]
 
 MEDIA_REFS: list[str] = [

@@ -229,10 +229,26 @@ def parse_clause(c: _Clause, lo: int, hi: int, chunks, vgs) -> int:
                     c.attach(t, root, "aux:pass" if is_pass and c.lemma[t] == "be" else "aux")
                 elif c.pos[t] == "RB":
                     c.attach(t, root, "advmod")
-        # subject: last chunk before the verb group
+        # subject: last chunk before the verb group; for a conjoined subject
+        # NP ("Tom and Jerry have...") the FIRST conjunct is the UD head —
+        # attach conj(first→later) and make the first conjunct the nsubj
         subj = None
-        for ch in my_chunks:
-            if ch[1] <= vstart:
+        pre = [ch for ch in my_chunks if ch[1] <= vstart]
+        if len(pre) >= 2:
+            cc_between = all(
+                any(c.pos[t] == "CC" or c.words[t] == ","
+                    for t in range(pre[k][1], pre[k + 1][0]))
+                for k in range(len(pre) - 1)
+            ) and any(c.pos[t] == "CC" for t in range(pre[0][1], vstart))
+            if cc_between:
+                subj = pre[0]
+                for later in pre[1:]:
+                    c.attach(later[2], pre[0][2], "conj")
+                for t in range(pre[0][1], vstart):
+                    if c.pos[t] == "CC":
+                        c.attach(t, pre[-1][2], "cc")
+        if subj is None:
+            for ch in pre:
                 subj = ch
         if subj is not None:
             if c.pos[subj[2]] == "EX" or c.words[subj[2]].lower() == "there":

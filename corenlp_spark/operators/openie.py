@@ -177,7 +177,16 @@ def extract_sentence(g: _Graph) -> list[tuple[str, str, str, float, int, int]]:
                     case = r.split(":", 1)[1]
                     emit(h, f"is {case}", d, 1.0)
 
+    # conjoined-subject distribution: "Tom and Jerry have tails" ⊢ one triple
+    # per conjunct (enhanced++ conj propagation on the subject side)
+    expanded: list[tuple[int, int]] = []
     for v, s in subj_of.items():
+        expanded.append((v, s))
+        for d, r in g.kids(s):
+            if r == "conj":
+                expanded.append((v, d))
+
+    for v, s in expanded:
         if _polarity_blocked(g, v) or _negated(g, v):
             continue
         if g.first(v, "expl") is not None:

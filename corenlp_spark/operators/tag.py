@@ -74,6 +74,7 @@ LEXICON: dict[str, str] = {
     "discovered": "VBD", "won": "VBD", "located": "VBN", "jumps": "VBZ",
     "hired": "VBD", "opened": "VBD", "headquartered": "VBN", "taught": "VBD",
     "win": "VB", "raised": "VBD", "served": "VBD", "serve": "VB",
+    "see": "VB", "saw": "VBD",
     "arrived": "VBD", "leaves": "VBZ", "happened": "VBD",
     "graduate": "NN", "organizer": "NN", "terms": "NNS", "money": "NN",
     "investors": "NNS", "sign": "NN", "entry": "NN",
@@ -123,6 +124,10 @@ def pos_tag(words: list[str], sent_starts: set[int]) -> list[str]:
                 tag = "NNPS" if w.endswith("s") and len(w) > 4 else "NNP"
             else:
                 tag = next((t for s, t in _SUFFIX_RULES if lw.endswith(s)), "NN")
+                # left-context frame: an unknown word right after a modal or
+                # infinitival 'to' is a base verb (left3words decision)
+                if tags and tags[-1] in ("MD", "TO") and tag in ("NN", "NNS"):
+                    tag = "VB"
         # contextual disambiguation (left3words-style decisions)
         if tag.startswith("V") and i > 0:
             prev = tags[-1]

@@ -74,6 +74,14 @@ GOLDEN = [
      {("ibm", "is headquartered in", "armonk")}, True),
     ("Chris Manning works for Stanford University.",
      {("chris manning", "works for", "stanford university")}, True),
+    # :274-280 testSara
+    ("John did see Sara", {("john", "did see", "sara")}, True),
+    ("John did not see Sara", set(), True),
+    # :283-291 testTomJerry (conjoined-subject distribution)
+    ("Tom and Jerry have tails",
+     {("tom", "have", "tails"), ("jerry", "have", "tails")}, True),
+    ("Tom and Jerry are friends",
+     {("tom", "are", "friends"), ("jerry", "are", "friends")}, True),
 ]
 
 
