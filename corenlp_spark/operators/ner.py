@@ -125,11 +125,47 @@ def _emissions(words: list[str], pos: list[str], sent_start: int) -> np.ndarray:
     return em
 
 
+_TRANS_LIST = TRANS.tolist()
+_I_LABELS = [i for i, lab in enumerate(LABELS) if lab.startswith("I-")]
+
+
+def _viterbi_py(em: np.ndarray) -> list[int]:
+    """Pure-Python DP: 2× faster than numpy below ~40 tokens (the common
+    case — per-op numpy dispatch overhead dominates 9×9 matrices)."""
+    k = len(LABELS)
+    rows = em.tolist()
+    dp = list(rows[0])
+    for i in _I_LABELS:
+        dp[i] += NEG
+    back = []
+    for t in range(1, len(rows)):
+        emt = rows[t]
+        row_back = [0] * k
+        ndp = [0.0] * k
+        for j in range(k):
+            best, bi = dp[0] + _TRANS_LIST[0][j], 0
+            for i in range(1, k):
+                v = dp[i] + _TRANS_LIST[i][j]
+                if v > best:
+                    best, bi = v, i
+            ndp[j] = best + emt[j]
+            row_back[j] = bi
+        dp = ndp
+        back.append(row_back)
+    path = [max(range(k), key=dp.__getitem__)]
+    for rb in reversed(back):
+        path.append(rb[path[-1]])
+    return path[::-1]
+
+
 def viterbi(em: np.ndarray, trans: np.ndarray = TRANS) -> list[int]:
-    """Vectorized linear-chain Viterbi (same DP as ExactBestSequenceFinder)."""
+    """Linear-chain Viterbi (same DP as ExactBestSequenceFinder); vectorized
+    numpy for long sentences, tight-python for short ones."""
     n, k = em.shape
+    if n <= 40 and trans is TRANS:
+        return _viterbi_py(em)
     dp = em[0].copy()
-    dp[[i for i, lab in enumerate(LABELS) if lab.startswith("I-")]] += NEG
+    dp[_I_LABELS] += NEG
     back = np.zeros((n, k), dtype=np.int32)
     for t in range(1, n):
         scores = dp[:, None] + trans + em[t][None, :]
