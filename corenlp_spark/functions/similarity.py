@@ -80,6 +80,36 @@ def _planes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     return out
 
 
+def ivf_ann_pairs(
+    emb: DataFrame, dim: int, n_cells: int = 16, threshold: float = 0.7,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN: assign each vector to its nearest deterministic
+    centroid (coarse quantizer), generate candidates within a cell, verify
+    exactly. The centroids are seeded unit vectors (a trained k-means table
+    drops in via the same broadcast literal array). Scale path: the per-cell
+    equi-join replaces the O(n²) cross product; cell skew is AQE-splittable."""
+    cents = _planes(dim, n_cells)  # deterministic unit centroids
+
+    def cell_expr(v):
+        pairs = [
+            F.struct(_dot(v, F.array(*[F.lit(x) for x in c])).alias("s"),
+                     F.lit(i).alias("c"))
+            for i, c in enumerate(cents)
+        ]
+        return F.array_max(F.array(*pairs)).getField("c")
+
+    celed = emb.withColumn("cell", cell_expr(F.col(vec_col)))
+    a = celed.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"), "cell")
+    b = celed.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"), "cell")
+    return (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(cosine("v_a", "v_b"), 6).alias("score"))
+        .filter(F.col("score") >= threshold)
+    )
+
+
 def lsh_ann_pairs(
     emb: DataFrame, dim: int, n_bands: int = 4, band_bits: int = 8,
     threshold: float = 0.7, id_col: str = "vec_id", vec_col: str = "embedding",

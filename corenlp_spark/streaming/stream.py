@@ -43,6 +43,83 @@ def run_stream_to_memory(spark: SparkSession, in_path: str, name: str = "triples
     return q
 
 
+def streaming_entity_counts(docs_stream: DataFrame):
+    """Custom stateful streaming operator: running per-entity mention counts
+    via ``applyInPandasWithState`` (the cross-batch state CoreNLP has no
+    analog for — incremental canonical-entity statistics at ingest time).
+
+    State per entity surface: (total mentions, docs seen). Update mode;
+    emits one row per entity per micro-batch with the running totals.
+    """
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from corenlp_spark.operators.ner import ner_docs
+    from corenlp_spark.operators.tag import tag_docs
+    from corenlp_spark.operators.tokenize import tokenize_docs
+
+    ann = ner_docs(tag_docs(tokenize_docs(docs_stream)))
+
+    # doc-local mention chunking (the SQL-window variant in operators/
+    # mentions.py is batch-only: streaming forbids non-time windows)
+    def chunk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"surface": [], "doc_id": [], "ner": []}
+            for doc_id, toks in zip(pdf["doc_id"], pdf["tokens"]):
+                toks = list(toks)
+                i = 0
+                while i < len(toks):
+                    ner = toks[i]["ner"]
+                    if ner not in ("O", ""):
+                        j = i
+                        while j < len(toks) and toks[j]["ner"] == ner \
+                                and toks[j]["sent"] == toks[i]["sent"]:
+                            j += 1
+                        rows["surface"].append(
+                            " ".join(t["word"] for t in toks[i:j]).lower())
+                        rows["doc_id"].append(doc_id)
+                        rows["ner"].append(ner)
+                        i = j
+                    else:
+                        i += 1
+            yield pd.DataFrame(rows)
+
+    keyed = ann.mapInPandas(chunk, schema="surface string, doc_id string, ner string")
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        n_new = 0
+        docs = set()
+        ner = ""
+        for pdf in pdfs:
+            n_new += len(pdf)
+            docs.update(pdf["doc_id"])
+            if len(pdf):
+                ner = pdf["ner"].iloc[0]
+        if state.exists:
+            total, n_docs, prev_ner = state.get
+        else:
+            total, n_docs, prev_ner = 0, 0, ner
+        total += n_new
+        n_docs += len(docs)
+        state.update((total, n_docs, prev_ner or ner))
+        yield pd.DataFrame({
+            "surface": [key[0]], "ner": [prev_ner or ner],
+            "total_mentions": [total], "n_doc_batches": [n_docs],
+        })
+
+    return keyed.groupBy("surface").applyInPandasWithState(
+        update,
+        outputStructType="surface string, ner string, total_mentions long, n_doc_batches long",
+        stateStructType="total long, n_docs long, ner string",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def windowed_event_counts(spark: SparkSession, events_path: str) -> DataFrame:
     """Watermarked windowed aggregation over the events table (late-data
     handling demo; the pattern used for per-window extraction metrics)."""
