@@ -75,6 +75,8 @@ GOLDEN_SENTENCES: list[str] = [
     "He worked as a civil rights attorney and taught constitutional law.",
     "Tom and Jerry have tails.",
     "John did not see Sara.",
+    "Obama attended Harvard Law School.",
+    "Marie Curie lived in Paris.",
 ]
 
 MEDIA_REFS: list[str] = [

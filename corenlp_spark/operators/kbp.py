@@ -43,6 +43,20 @@ KBP_PATTERNS: list[tuple[str, str, str, str]] = [
     ("married", "PERSON", "PERSON", "per:spouse"),
     ("died in", "PERSON", "LOCATION", "per:city_of_death"),
     ("died in", "PERSON", "DATE", "per:date_of_death"),
+    ("attended", "PERSON", "ORGANIZATION", "per:schools_attended"),
+    ("studied at", "PERSON", "ORGANIZATION", "per:schools_attended"),
+    ("graduate of", "PERSON", "ORGANIZATION", "per:schools_attended"),
+    ("is graduate of", "PERSON", "ORGANIZATION", "per:schools_attended"),
+    ("capital of", "LOCATION", "LOCATION", "org:country_of_headquarters"),
+    ("subsidiary of", "ORGANIZATION", "ORGANIZATION", "org:parents"),
+    ("parent of", "PERSON", "PERSON", "per:children"),
+    ("child of", "PERSON", "PERSON", "per:parents"),
+    ("sister of", "PERSON", "PERSON", "per:siblings"),
+    ("brother of", "PERSON", "PERSON", "per:siblings"),
+    ("citizen of", "PERSON", "LOCATION", "per:origin"),
+    ("moved to", "PERSON", "LOCATION", "per:cities_of_residence"),
+    ("lives in", "PERSON", "LOCATION", "per:cities_of_residence"),
+    ("lived in", "PERSON", "LOCATION", "per:cities_of_residence"),
 ]
 
 

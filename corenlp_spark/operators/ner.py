@@ -60,6 +60,8 @@ GAZETTEER: dict[str, list[tuple[tuple[str, ...], float]]] = {
         (("Peterborough", "United"), 2.0),
         (("Creative", "Pack", "Pty.", "Ltd."), 2.0),
         (("University", "of", "Chicago", "Law", "School"), 2.0),
+        (("Harvard", "Law", "School"), 2.0),
+        (("Columbia", "University"), 2.0),
     ],
     "LOCATION": [
         (("United", "States"), 2.0), (("Hawaii",), 1.5), (("Paris",), 1.5),
