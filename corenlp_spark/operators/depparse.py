@@ -181,6 +181,17 @@ def parse_clause(c: _Clause, lo: int, hi: int, chunks, vgs) -> int:
                 t -= 1
             if t > lo and (c.pos[t] == "CC" or c.words[t] == ","):
                 b = t
+            else:
+                # the later verb's own subject NP belongs to ITS segment:
+                # "Born in Honolulu, [Obama is a graduate…]" — walk back over
+                # the chunk ending at t, then require the CC/comma boundary
+                ch = next((x for x in my_chunks if x[1] - 1 == t), None)
+                if ch is not None:
+                    t2 = ch[0] - 1
+                    while t2 > lo and c.pos[t2] == "RB":
+                        t2 -= 1
+                    if t2 > lo and (c.pos[t2] == "CC" or c.words[t2] == ","):
+                        b = ch[0]
             bounds.append((b, g))
         root0 = parse_clause(c, lo, bounds[0][0], chunks, [my_vgs[0]])
         for i, (b, g) in enumerate(bounds):
@@ -323,6 +334,16 @@ def parse_clause(c: _Clause, lo: int, hi: int, chunks, vgs) -> int:
                 c.attach(t, right[2], "cc")
         elif c.pos[t] == "RB" and t not in c.edges:
             c.attach(t, root, "advmod")
+    # apposition: "<NP> , <NP>" with matching NER and the second unattached
+    # ("Honolulu, Hawaii") → appos(first → second)
+    for i in range(1, len(my_chunks)):
+        prev, cur = my_chunks[i - 1], my_chunks[i]
+        if cur[2] in c.edges or prev[2] not in c.edges:
+            continue
+        between = range(prev[1], cur[0])
+        if len(between) == 1 and c.words[between[0]] == "," \
+                and c.ner[prev[2]] != "O" and c.ner[prev[2]] == c.ner[cur[2]]:
+            c.attach(cur[2], prev[2], "appos")
     for ch in my_chunks:
         if ch[2] != root and ch[2] not in c.edges:
             c.attach(ch[2], root, "dep")

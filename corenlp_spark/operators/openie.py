@@ -44,8 +44,9 @@ _DET_LIKE = {"det", "punct", "case", "mark", "cc"}
 class _Graph:
     """Per-sentence dependency graph view over the edge list."""
 
-    def __init__(self, words, lemmas, edges, offset):
+    def __init__(self, words, lemmas, edges, offset, pos=None):
         self.words, self.lemmas, self.off = words, lemmas, offset
+        self.pos = pos or [""] * len(words)
         self.children: dict[int, list[tuple[int, str]]] = {}
         self.parent: dict[int, tuple[int, str]] = {}
         self.root = None
@@ -142,6 +143,9 @@ def extract_sentence(g: _Graph) -> list[tuple[str, str, str, float, int, int]]:
                 case_tok = g.first(d, "case")
                 ext = sorted(set(full) | set(g.np_tokens(d)) | ({case_tok} if case_tok is not None else set()))
                 vs.append((ext, 1.0))
+            elif r == "appos":
+                # "Honolulu, Hawaii" → the appositive is an alternate object
+                vs.append((g.np_tokens(d), 1.0))
         return vs
 
     def emit(s_head: int, pred: str, o_head: int, conf: float, variants=True):
@@ -168,6 +172,15 @@ def extract_sentence(g: _Graph) -> list[tuple[str, str, str, float, int, int]]:
         for d, r in g.children[h]:
             if r == "conj" and h in subj_of and d not in subj_of:
                 subj_of[d] = subj_of[h]
+    # backward propagation: a fronted PARTICIPLE clause has no subject of its
+    # own ("Born in Honolulu, Obama is a graduate…") — borrow it from the
+    # conjoined clause that does (OpenIE clause-splitter clone_nsubj action).
+    # Gated on VBN/VBG so imperatives never steal a subject.
+    for h in list(g.children):
+        for d, r in g.children[h]:
+            if r == "conj" and d in subj_of and h not in subj_of \
+                    and g.pos[h - g.off] in ("VBN", "VBG"):
+                subj_of[h] = subj_of[d]
 
     # existential pattern: root with expl + nmod → (root-NP; is <case>; nmod-NP)
     for h in list(g.children):
@@ -279,7 +292,8 @@ def openie_docs(df: DataFrame) -> DataFrame:
                     a, b = s["start_tok"], s["end_tok"]
                     seg = toks[a:b]
                     g = _Graph(
-                        [t["word"] for t in seg], [t["lemma"] for t in seg], edges, a
+                        [t["word"] for t in seg], [t["lemma"] for t in seg],
+                        edges, a, [t["pos"] for t in seg],
                     )
                     best: dict[tuple, tuple] = {}
                     for subj, pred, obj, conf, sh, oh in extract_sentence(g):

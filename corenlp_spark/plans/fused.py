@@ -126,7 +126,8 @@ def extract_triples_fused(df: DataFrame, canonicalize: bool = True) -> DataFrame
                     a, b = s["start_tok"], s["end_tok"]
                     seg = tokens[a:b]
                     g = _Graph([t["word"] for t in seg],
-                               [t["lemma"] for t in seg], edges, a)
+                               [t["lemma"] for t in seg], edges, a,
+                               [t["pos"] for t in seg])
                     best: dict[tuple, tuple] = {}
                     for subj, pred, obj, conf, sh, oh in extract_sentence(g):
                         subj = rep_of.get(sh, subj)

@@ -21,7 +21,7 @@ def extract(sentence: str) -> set[tuple[str, str, str]]:
     lem = [lemmatize(w, p) for w, p in zip(words, pos)]
     ner, _ = tag_sentence_ner(words, pos)
     edges = parse_sentence(words, pos, lem, ner)
-    g = _Graph(words, lem, edges, 0)
+    g = _Graph(words, lem, edges, 0, pos)
     return {(s.lower(), p.lower(), o.lower()) for s, p, o, *_ in extract_sentence(g)}
 
 
@@ -74,6 +74,13 @@ GOLDEN = [
      {("ibm", "is headquartered in", "armonk")}, True),
     ("Chris Manning works for Stanford University.",
      {("chris manning", "works for", "stanford university")}, True),
+    # :159-171 testExtractionsObamaWikiTwo (subset; fronted participle +
+    # apposition + copula-of)
+    ("Born in Honolulu, Hawaii, Obama is a graduate of Columbia University.",
+     {("obama", "born in", "honolulu"),
+      ("obama", "born in", "hawaii"),
+      ("obama", "is", "graduate"),
+      ("obama", "is graduate of", "columbia university")}, True),
     # :274-280 testSara
     ("John did see Sara", {("john", "did see", "sara")}, True),
     ("John did not see Sara", set(), True),
