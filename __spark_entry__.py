@@ -578,8 +578,8 @@ def oracle_sql() -> dict[str, str]:
             WITH q AS (SELECT list_transform(range(0, 64),
                          i -> CASE WHEN i % 7 = 0 THEN 1.0 ELSE 0.1 END) AS qv)
             SELECT vec_id,
-                   round(list_dot_product(embedding, qv)
-                     / (sqrt(list_dot_product(embedding, embedding))
+                   round(list_dot_product(embedding::DOUBLE[], qv)
+                     / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
                         * sqrt(list_dot_product(qv, qv))), 6) AS score
             FROM embeddings, q
             ORDER BY score DESC, vec_id LIMIT 10
@@ -587,9 +587,9 @@ def oracle_sql() -> dict[str, str]:
         "embedding_dups": """
             WITH s AS (
               SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                     round(list_dot_product(a.embedding, b.embedding)
-                       / (sqrt(list_dot_product(a.embedding, a.embedding))
-                          * sqrt(list_dot_product(b.embedding, b.embedding))), 6)
+                     round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                       / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                          * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6)
                        AS score
               FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
             SELECT id_a, id_b, score FROM s WHERE score >= 0.5

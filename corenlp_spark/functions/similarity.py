@@ -21,8 +21,10 @@ from pyspark.sql import Window
 
 
 def _dot(a, b):
+    # multiply in float64: float32 products drift past the 1e-6 rounding used
+    # for engine-portable comparison (DuckDB accumulates in double)
     return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y),
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
