@@ -121,9 +121,12 @@ def run_sieves(mentions: list[Mention]) -> None:
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
 
-    def antecedents(i):
-        """Candidate antecedents for mention i: prior mentions, nearest first."""
-        return range(i - 1, -1, -1)
+    def antecedents(i, window: int = 200):
+        """Candidate antecedents for mention i: prior mentions, nearest
+        first, capped at ``window`` (bounds the per-doc sieve cost to
+        O(n·window) — pathological mega-docs at 100 TB stay linear; 200
+        mentions ≫ any realistic coreference distance)."""
+        return range(i - 1, max(i - 1 - window, -1), -1)
 
     # Sieve 1-2: exact / relaxed (determiner-stripped) string match, non-pronoun
     for i in range(n):
