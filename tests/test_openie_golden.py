@@ -81,6 +81,11 @@ GOLDEN = [
       ("obama", "born in", "hawaii"),
       ("obama", "is", "graduate"),
       ("obama", "is graduate of", "columbia university")}, True),
+    # :174-183 testExtractionsObamaWikiThree (subset, containment)
+    ("He was a community organizer in Chicago before earning his law degree.",
+     {("he", "was", "community organizer"),
+      ("community organizer", "is in", "chicago"),
+      ("he", "earning", "law degree")}, False),
     # :274-280 testSara
     ("John did see Sara", {("john", "did see", "sara")}, True),
     ("John did not see Sara", set(), True),
