@@ -30,7 +30,14 @@ from corenlp_spark.operators.tokenize import SENTENCES_TYPE, annotate_doc
 
 
 def _annotate_one(spans) -> tuple[list[dict], list[dict], list[dict], list[dict]]:
-    """spans → (tokens, sentences, deps, coref) — the whole per-doc pipeline."""
+    """spans → (tokens, sentences, deps, coref) — the whole per-doc pipeline.
+
+    Null-safe: a malformed row (null spans / null span structs) yields empty
+    annotations instead of failing the task — one bad record in a 100 TB
+    scan must never kill the job."""
+    if spans is None:
+        return [], [], [], []
+    spans = [s for s in spans if s is not None]
     tokens, sentences = annotate_doc(spans)
     words = [t["word"] for t in tokens]
     starts = {s["start_tok"] for s in sentences}
