@@ -46,6 +46,8 @@ ABBREVS = {
     "jan.", "feb.", "mar.", "apr.", "jun.", "jul.", "aug.", "sep.", "sept.",
     "oct.", "nov.", "dec.", "mon.", "tue.", "wed.", "thu.", "fri.", "sat.",
     "sun.", "approx.", "appt.", "est.", "min.", "max.", "misc.",
+    "art.", "fig.", "sec.", "op.", "ch.", "p.m.", "a.m.", "ore.",
+    "calif.", "ave.", "blvd.", "rd.",
 }
 
 # multi-word split table: PTBLexer splits these informal contractions
@@ -63,13 +65,18 @@ SPLIT_WORDS = {
 CLITICS = ("'s", "'m", "'re", "'ve", "'ll", "'d", "n't", "'S", "'M", "'RE", "'VE", "'LL", "'D", "N'T")
 
 _RULES = [
-    ("URL", r"(?:https?://|www\.)[\w.\-]+(?:/[\w.\-/%&?=+#~:]*)?"),
+    ("URL", r"(?:(?:https?|ftp|svn(?:\+ssh)?)://|www\.|mailto:)[\w.\-@]+(?:/[\w.\-/%&?=+#~:@]*)?"),
     ("EMAIL", r"[\w.+\-]+@[\w\-]+(?:\.[\w\-]+)+"),
     ("EMOTICON", r"\^_\^|<3|[<>]?[:;=8][\-o*']?[)\](\[dDpP/\\|@3]"),
     ("ELLIPSIS", r"\.\.\.|…"),
     ("TIME", r"\d{1,2}:\d{2}(?::\d{2})?"),
     ("ORDINAL", r"\d+(?:st|nd|rd|th)\b"),
+    # hyphenated ranges / number-word compounds stay whole: 2010-2015,
+    # 20-30%, 80,000-man (PTBLexer hyphenated-token behavior)
+    ("NUMRANGE", r"\d[\d,.]*(?:[-–][\w.%]+)+"),
     ("NUMBER", r"\d{1,3}(?:,\d{3})+(?:\.\d+)?|\d+\.\d+|\d+"),
+    ("PROGLANG", r"[A-Za-z]#"),
+    ("CENSORED", r"[A-Za-z]+\*+[A-Za-z*]*"),
     ("CURRENCY", r"(?:US|HK|A|C|NZ)?\$|£|€|¥"),
     ("ACRONYM", r"(?:[A-Za-z]\.){2,}"),
     # word with optional internal hyphens/slashes/apostrophes (O'Malley,

@@ -28,6 +28,17 @@ GOLDEN = [
     ("the 44th President", ["the", "44th", "President"]),
     ("21 February 2013", ["21", "February", "2013"]),
     ("cannot", ["can", "not"]),
+    ("2010-2015 and 1986-87", ["2010-2015", "and", "1986-87"]),
+    ("80,000-man march", ["80,000-man", "march"]),
+    ("I like F# more than C#.", ["I", "like", "F#", "more", "than", "C#", "."]),
+    ("a f**k word", ["a", "f**k", "word"]),
+    ("Download from ftp://myname@host.dom/%2Fetc/motd",
+     ["Download", "from", "ftp://myname@host.dom/%2Fetc/motd"]),
+    ("I dispute Art. 53 now.", ["I", "dispute", "Art.", "53", "now", "."]),
+    ("at 3 p.m., eastern", ["at", "3", "p.m.", ",", "eastern"]),
+    ("I can't believe they wanna keep 40% of that.",
+     ["I", "ca", "n't", "believe", "they", "wan", "na", "keep", "40", "%",
+      "of", "that", "."]),
 ]
 
 
