@@ -104,9 +104,9 @@ def q_token_count(spark, sf_dir):
     return (
         d.select(F.col("lang"), token_count(F.col("text")).alias("n_tok"))
         .groupBy("lang")
-        .agg(F.sum("n_tok").alias("total_tokens"),
+        .agg(F.sum("n_tok").cast("long").alias("total_tokens"),
              F.count("*").alias("n_docs"),
-             F.max("n_tok").alias("max_tokens"))
+             F.max("n_tok").cast("long").alias("max_tokens"))
         .orderBy("lang")
     )
 
@@ -140,18 +140,19 @@ def q_ann_topk(spark, sf_dir):
 
 
 def q_embedding_dups(spark, sf_dir):
-    """Embedding-cosine near-duplicate pairs (exact baseline; the LSH-bucketed
-    variant is the scale path — functions/similarity.lsh_ann_pairs)."""
-    from corenlp_spark.functions.similarity import cosine
+    """Embedding-cosine near-duplicate pairs via the SCALE path: deterministic
+    random-hyperplane LSH buckets candidates in an equi-join on (band, sig),
+    then exact cosine verifies. No O(n²) nested-loop join — the plan is
+    asserted BroadcastNestedLoopJoin-free in tests/test_plans.py. The DuckDB
+    oracle inlines the identical LCG planes as literal arrays, so both engines
+    compute the same candidate set and the same verified pairs."""
+    from corenlp_spark.functions.similarity import lsh_ann_pairs
 
     e = _t(spark, sf_dir, "embeddings")
-    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("v_a"))
-    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("v_b"))
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", F.round(cosine("v_a", "v_b"), 6).alias("score"))
-        .filter(F.col("score") >= 0.5)
-        .orderBy("id_a", "id_b")
+        lsh_ann_pairs(e, dim=64, n_bands=8, band_bits=8, threshold=0.2)
+        .orderBy(F.desc("score"), "id_a", "id_b")
+        .limit(20)
     )
 
 
@@ -171,7 +172,8 @@ def q_events_sessions(spark, sf_dir):
     )
     return (
         s.groupBy("user_id")
-        .agg(F.sum("new_s").alias("n_sessions"), F.count("*").alias("n_events"))
+        .agg(F.sum("new_s").cast("long").alias("n_sessions"),
+             F.count("*").alias("n_events"))
         .orderBy("user_id")
     )
 
@@ -217,8 +219,8 @@ def q_mention_chunks_sql(spark, sf_dir):
         .drop("run_id")
         .groupBy("tag")
         .agg(F.count("*").alias("n_mentions"),
-             F.sum("n_tokens").alias("n_tokens"),
-             F.max(F.col("end_pos") - F.col("start_pos")).alias("max_len"))
+             F.sum("n_tokens").cast("long").alias("n_tokens"),
+             F.max(F.col("end_pos") - F.col("start_pos")).cast("long").alias("max_len"))
         .orderBy("tag")
     )
 
@@ -256,7 +258,8 @@ def q_dedup_minhash(spark, sf_dir):
         sig.groupBy("band", "mh").agg(F.count("*").alias("bucket_size"))
         .filter(F.col("bucket_size") > 1)
         .groupBy("band")
-        .agg(F.count("*").alias("n_buckets"), F.sum("bucket_size").alias("n_docs"))
+        .agg(F.count("*").alias("n_buckets"),
+             F.sum("bucket_size").cast("long").alias("n_docs"))
         .orderBy("band")
     )
 
@@ -373,10 +376,10 @@ def q_events_pivot(spark, sf_dir):
     return (
         ev.groupBy(day)
         .agg(
-            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("clicks"),
-            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("purchases"),
-            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias("errors"),
-            F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("views"),
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).cast("long").alias("clicks"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).cast("long").alias("purchases"),
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).cast("long").alias("errors"),
+            F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).cast("long").alias("views"),
         )
         .orderBy("day")
     )
@@ -494,7 +497,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # DuckDB oracles
 # --------------------------------------------------------------------------
 
-_TOKENS = "list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9_\\s]', ' ', 'g'), ' '), t -> t <> '')"
+# whitespace-class split (\s+) so tabs/newlines tokenize identically to the
+# Spark side's F.split(..., r"\s+") — ADVICE.md round 1
+_TOKENS = "list_filter(regexp_split_to_array(regexp_replace(lower(text), '[^a-z0-9_\\s]', ' ', 'g'), '\\s+'), t -> t <> '')"
+
+
+def _lsh_dups_oracle(dim=64, n_bands=8, band_bits=8, threshold=0.2) -> str:
+    """DuckDB twin of functions/similarity.lsh_ann_pairs: the deterministic
+    LCG hyperplanes are pure arithmetic, so they are computed here in Python
+    and inlined as literal DOUBLE[] arrays — both engines then derive the
+    identical (band, sig) buckets and verify the identical candidate pairs."""
+    from corenlp_spark.functions.similarity import _planes
+
+    planes = _planes(dim, n_bands * band_bits)
+
+    def lit(p):
+        return "[" + ", ".join(repr(x) for x in p) + "]"
+
+    sig_cols = []
+    for band in range(n_bands):
+        bits = [
+            f"(CASE WHEN list_dot_product(e, {lit(planes[band * band_bits + j])})"
+            f" >= 0 THEN {2 ** j} ELSE 0 END)"
+            for j in range(band_bits)
+        ]
+        sig_cols.append("(" + " + ".join(bits) + f") AS sig{band}")
+    collide = " OR ".join(f"a.sig{b} = b.sig{b}" for b in range(n_bands))
+    return f"""
+        WITH g AS (
+          SELECT vec_id, embedding::DOUBLE[] AS e,
+                 {', '.join(sig_cols)}
+          FROM embeddings),
+        cand AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 round(list_dot_product(a.e, b.e)
+                   / (sqrt(list_dot_product(a.e, a.e))
+                      * sqrt(list_dot_product(b.e, b.e))), 6) AS score
+          FROM g a JOIN g b ON a.vec_id < b.vec_id AND ({collide}))
+        SELECT id_a, id_b, score FROM cand
+        WHERE score >= {threshold}
+        ORDER BY score DESC, id_a, id_b LIMIT 20
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -527,8 +570,9 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "token_count": f"""
-            SELECT lang, sum(len({_TOKENS})) AS total_tokens,
-                   count(*) AS n_docs, max(len({_TOKENS})) AS max_tokens
+            SELECT lang, CAST(sum(len({_TOKENS})) AS BIGINT) AS total_tokens,
+                   count(*) AS n_docs,
+                   CAST(max(len({_TOKENS})) AS BIGINT) AS max_tokens
             FROM documents GROUP BY lang ORDER BY lang
         """,
         "quality_score": f"""
@@ -584,17 +628,7 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings, q
             ORDER BY score DESC, vec_id LIMIT 10
         """,
-        "embedding_dups": """
-            WITH s AS (
-              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                     round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
-                       / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
-                          * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6)
-                       AS score
-              FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
-            SELECT id_a, id_b, score FROM s WHERE score >= 0.5
-            ORDER BY id_a, id_b
-        """,
+        "embedding_dups": _lsh_dups_oracle(),
         "events_sessions": """
             WITH s AS (
               SELECT user_id,
@@ -602,7 +636,8 @@ def oracle_sql() -> dict[str, str]:
                           OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
                      THEN 1 ELSE 0 END AS new_s
               FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
-            SELECT user_id, sum(new_s) AS n_sessions, count(*) AS n_events
+            SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions,
+                   count(*) AS n_events
             FROM s GROUP BY user_id ORDER BY user_id
         """,
         "events_daily": """
@@ -624,10 +659,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_pivot": """
             SELECT strftime(ts, '%Y-%m-%d') AS day,
-                   sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS clicks,
-                   sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchases,
-                   sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS errors,
-                   sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS views
+                   CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS clicks,
+                   CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases,
+                   CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS errors,
+                   CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS views
             FROM events GROUP BY 1 ORDER BY 1
         """,
         "mention_chunks": f"""
@@ -654,8 +689,9 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, run_id, tag, min(pos) AS start_pos,
                      max(pos) + 1 AS end_pos, count(*) AS n_tokens
               FROM rid WHERE tag <> 'O' GROUP BY doc_id, run_id, tag)
-            SELECT tag, count(*) AS n_mentions, sum(n_tokens) AS n_tokens,
-                   max(end_pos - start_pos) AS max_len
+            SELECT tag, count(*) AS n_mentions,
+                   CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+                   CAST(max(end_pos - start_pos) AS BIGINT) AS max_len
             FROM chunks GROUP BY tag ORDER BY tag
         """,
         "entity_link_dict": f"""
@@ -685,7 +721,8 @@ def oracle_sql() -> dict[str, str]:
             buckets AS (
               SELECT band, mh, count(*) AS bucket_size
               FROM sig GROUP BY band, mh HAVING count(*) > 1)
-            SELECT band, count(*) AS n_buckets, sum(bucket_size) AS n_docs
+            SELECT band, count(*) AS n_buckets,
+                   CAST(sum(bucket_size) AS BIGINT) AS n_docs
             FROM buckets GROUP BY band ORDER BY band
         """,
         "dedup_ngram_jaccard": f"""

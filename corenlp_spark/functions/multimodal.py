@@ -58,8 +58,26 @@ def _fake_decode(ref: str, payload: bytes) -> tuple[int, int, int, str]:
     return 64 + h[0] % 1024, 64 + h[1] % 1024, (h[2] << 8 | h[3]) * 10, "fake"
 
 
+def _pil_decode(payload: bytes):
+    """Real image decode via PIL when available; None if the payload is not a
+    decodable image (synthetic hash payloads fall back to _fake_decode)."""
+    try:
+        from io import BytesIO
+
+        import PIL.Image
+
+        with PIL.Image.open(BytesIO(payload)) as im:
+            return im.width, im.height, 0, (im.format or "img").lower()
+    except Exception:
+        return None
+
+
 def decode_metadata(media: DataFrame) -> DataFrame:
-    """+ meta struct column via Arrow-batched decode."""
+    """+ meta struct column via Arrow-batched decode.
+
+    Dispatch: real PIL decode when the library imports AND the payload is a
+    decodable image; deterministic fake otherwise (ADVICE.md round 1 — never
+    raise based on library presence)."""
     out_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in media.schema.fields)
     out_schema += f", meta {MEDIA_META_TYPE}"
 
@@ -67,11 +85,12 @@ def decode_metadata(media: DataFrame) -> DataFrame:
         for pdf in batches:
             metas = []
             for ref, mt, payload in zip(pdf["media_ref"], pdf["media_type"], pdf["payload"]):
-                if _HAVE_PIL and mt == "img":
-                    raise NotImplementedError(
-                        "real image decode: wire PIL.Image.open(BytesIO(payload)) here"
-                    )
-                w, h, dur, codec = _fake_decode(ref, bytes(payload) if payload is not None else b"")
+                raw = bytes(payload) if payload is not None else b""
+                decoded = _pil_decode(raw) if (_HAVE_PIL and mt == "img") else None
+                if decoded is not None:
+                    w, h, dur, codec = decoded
+                else:
+                    w, h, dur, codec = _fake_decode(ref, raw)
                 metas.append({
                     "media_type": mt, "width": w, "height": h,
                     "duration_ms": dur if mt in ("audio", "video") else 0,

@@ -31,7 +31,11 @@ def _dot(a, b):
 
 
 def _norm(a):
-    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+    # square in float64 like _dot: float32 squares round before the sum and
+    # can flip a 1e-6-rounded score vs the DuckDB DOUBLE[] oracle
+    return F.sqrt(F.aggregate(
+        a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+    ))
 
 
 def cosine(a, b):

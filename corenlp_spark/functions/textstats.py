@@ -50,15 +50,22 @@ def lang_scores(col) -> list[Column]:
     ]
 
 
+# explicit tie-break priority, highest wins ties; mirrors the DuckDB oracle's
+# CASE order (es > fr > en > de) exactly — ADVICE.md round 1 ('la' is in both
+# the fr and es marker lists, so score ties are reachable)
+_LANG_PRIORITY = {"es": 3, "fr": 2, "en": 1, "de": 0}
+
+
 def lang_id(col) -> Column:
-    """argmax language with deterministic tie-break (alphabetical)."""
+    """argmax language with an explicit deterministic tie-break priority."""
     toks = tokens(col)
     pairs = [
         F.struct(
             (_hits(toks, ws) / F.greatest(F.size(toks), F.lit(1))).alias("s"),
+            F.lit(_LANG_PRIORITY[lang]).alias("p"),
             F.lit(lang).alias("l"),
         )
-        for lang, ws in sorted(LANG_MARKERS.items(), reverse=True)
+        for lang, ws in LANG_MARKERS.items()
     ]
     best = F.array_max(F.array(*pairs))
     return F.when(best.getField("s") > 0, best.getField("l")).otherwise(F.lit("und"))

@@ -113,3 +113,40 @@ def test_multimodal_plumbing(spark):
     p = plan.collect()
     if p:
         assert all(r.ts_ms % 5000 == 0 for r in p)
+
+
+def test_decode_falls_back_when_pil_present_but_payload_opaque(spark, monkeypatch):
+    """Regression for the inverted guard (ADVICE r1): with the codec library
+    importable but payloads non-decodable, decode must fall back to the
+    deterministic fake — never raise."""
+    import corenlp_spark.functions.multimodal as mm
+
+    monkeypatch.setattr(mm, "_HAVE_PIL", True)
+    docs = synth_docs(spark, 60)
+    m = mm.decode_metadata(mm.media_table(docs)).collect()
+    assert m and all(r.meta["width"] >= 64 for r in m)
+    assert all(r.meta["codec"] == "fake" for r in m if r.media_type == "img")
+
+
+def test_decode_uses_real_pil_when_available(spark):
+    """Real-decode path (skipped where Pillow is absent, e.g. this container):
+    a genuine PNG payload must yield its true dimensions via PIL."""
+    PIL_Image = __import__("pytest").importorskip("PIL.Image")
+    import io
+
+    import pandas as pd
+
+    import corenlp_spark.functions.multimodal as mm
+
+    buf = io.BytesIO()
+    PIL_Image.new("RGB", (320, 200)).save(buf, format="PNG")
+    media = spark.createDataFrame(
+        pd.DataFrame({
+            "doc_id": ["d0"], "media_ref": ["img://real.png"], "offset": [0],
+            "payload": [buf.getvalue()], "media_type": ["img"],
+        }),
+        "doc_id string, media_ref string, offset int, payload binary, media_type string",
+    )
+    row = mm.decode_metadata(media).collect()[0]
+    assert (row.meta["width"], row.meta["height"]) == (320, 200)
+    assert row.meta["codec"] == "png"

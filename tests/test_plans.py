@@ -45,3 +45,12 @@ def test_topk_uses_take_ordered(spark):
 
 def test_kg_pipeline_is_shuffle_free(spark):
     assert "Exchange" not in plan_of(extract_triples_fused(synth_docs(spark, 5)))
+
+
+def test_embedding_dups_has_no_nested_loop_join(spark):
+    """The near-dup driver query must take the bucketed LSH path: candidates
+    meet in an equi-join on (band, sig), never an O(n²) nested loop
+    (VERDICT r1 'What's wrong' #3)."""
+    p = plan_of(em.queries()["embedding_dups"](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+    assert "Join" in p  # the band/sig equi-join is present
