@@ -1,0 +1,595 @@
+"""Deterministic labeled training corpora for the sequence models.
+
+The reference trains its taggers on licensed treebanks (WSJ for
+``tagger/maxent/MaxentTagger.java``, CoNLL03/OntoNotes for
+``ie/crf/CRFClassifier.java``). No external corpora exist in this sandbox,
+so training data is *synthesized from grammar templates*: each template is a
+tag-annotated sentence frame whose open-class slots cycle deterministically
+through vocabulary tables. Labels are correct by construction.
+
+Two corpora:
+
+  - ``pos_corpus()``   → [(words, ptb_tags)]
+  - ``ner_corpus()``   → [(words, ptb_tags, bio_labels)]
+
+plus *held-out* variants built from vocabulary that appears in NO training
+table — the generalization gates in tests/test_models.py score on these, so
+the models are certified on words/names they have never seen (VERDICT r1:
+"at least one gate uses vocabulary the dictionaries don't contain").
+
+Everything is deterministic: slot filling uses index arithmetic, never RNG.
+"""
+
+from __future__ import annotations
+
+# ---------------------------------------------------------------------------
+# Vocabulary tables.  Fixture-pool content words (the old rule-lexicon rows,
+# operators/tag.py r1) are legitimate TRAINING DATA here — like any treebank,
+# the training corpus overlaps the regression sentences — but they are no
+# longer a runtime dictionary: the model's features must carry them.
+# ---------------------------------------------------------------------------
+
+# (singular NN, plural NNS)
+NOUNS: list[tuple[str, str]] = [
+    ("cat", "cats"), ("tail", "tails"), ("rabbit", "rabbits"),
+    ("vegetable", "vegetables"), ("box", "boxes"), ("engineer", "engineers"),
+    ("office", "offices"), ("result", "results"), ("sentence", "sentences"),
+    ("phone", "phones"), ("dog", "dogs"), ("group", "groups"),
+    ("president", "presidents"), ("loan", "loans"), ("season", "seasons"),
+    ("doubt", "doubts"), ("company", "companies"), ("startup", "startups"),
+    ("law", "laws"), ("attorney", "attorneys"), ("election", "elections"),
+    ("nominee", "nominees"), ("prize", "prizes"), ("fox", "foxes"),
+    ("graduate", "graduates"), ("organizer", "organizers"), ("term", "terms"),
+    ("investor", "investors"), ("sign", "signs"), ("entry", "entries"),
+    ("remainder", "remainders"), ("sport", "sports"), ("front", "fronts"),
+    # breadth beyond the fixture pool
+    ("market", "markets"), ("village", "villages"), ("teacher", "teachers"),
+    ("student", "students"), ("report", "reports"), ("bridge", "bridges"),
+    ("factory", "factories"), ("garden", "gardens"), ("river", "rivers"),
+    ("mountain", "mountains"), ("window", "windows"), ("door", "doors"),
+    ("engine", "engines"), ("system", "systems"), ("model", "models"),
+    ("painter", "painters"), ("poem", "poems"), ("story", "stories"),
+    ("song", "songs"), ("journey", "journeys"), ("harbor", "harbors"),
+    ("contract", "contracts"), ("budget", "budgets"), ("meeting", "meetings"),
+    ("project", "projects"), ("decision", "decisions"), ("network", "networks"),
+    ("battery", "batteries"), ("camera", "cameras"), ("ticket", "tickets"),
+    ("farmer", "farmers"), ("doctor", "doctors"), ("lawyer", "lawyers"),
+    ("driver", "drivers"), ("singer", "singers"), ("writer", "writers"),
+    ("building", "buildings"), ("machine", "machines"), ("country", "countries"),
+    ("city", "cities"), ("child", "children"), ("man", "men"), ("woman", "women"),
+    ("policy", "policies"), ("theory", "theories"), ("award", "awards"),
+    ("league", "leagues"), ("committee", "committees"), ("article", "articles"),
+]
+
+# mass / uncountable nouns (NN only)
+MASS_NOUNS = ["research", "money", "music", "water", "news", "advice",
+              "earnings", "information", "traffic", "weather", "equipment",
+              "software", "furniture", "progress", "knowledge", "evidence"]
+
+# (VB, VBZ, VBD, VBG, VBN)
+VERBS: list[tuple[str, str, str, str, str]] = [
+    ("have", "has", "had", "having", "had"),
+    ("eat", "eats", "ate", "eating", "eaten"),
+    ("visit", "visits", "visited", "visiting", "visited"),
+    ("speak", "speaks", "spoke", "speaking", "spoken"),
+    ("work", "works", "worked", "working", "worked"),
+    ("join", "joins", "joined", "joining", "joined"),
+    ("bear", "bears", "bore", "bearing", "born"),
+    ("say", "says", "said", "saying", "said"),
+    ("pay", "pays", "paid", "paying", "paid"),
+    ("think", "thinks", "thought", "thinking", "thought"),
+    ("ship", "ships", "shipped", "shipping", "shipped"),
+    ("publish", "publishes", "published", "publishing", "published"),
+    ("grow", "grows", "grew", "growing", "grown"),
+    ("announce", "announces", "announced", "announcing", "announced"),
+    ("acquire", "acquires", "acquired", "acquiring", "acquired"),
+    ("discover", "discovers", "discovered", "discovering", "discovered"),
+    ("win", "wins", "won", "winning", "won"),
+    ("locate", "locates", "located", "locating", "located"),
+    ("jump", "jumps", "jumped", "jumping", "jumped"),
+    ("hire", "hires", "hired", "hiring", "hired"),
+    ("open", "opens", "opened", "opening", "opened"),
+    ("headquarter", "headquarters", "headquartered", "headquartering", "headquartered"),
+    ("teach", "teaches", "taught", "teaching", "taught"),
+    ("raise", "raises", "raised", "raising", "raised"),
+    ("serve", "serves", "served", "serving", "served"),
+    ("see", "sees", "saw", "seeing", "seen"),
+    ("arrive", "arrives", "arrived", "arriving", "arrived"),
+    ("leave", "leaves", "left", "leaving", "left"),
+    ("happen", "happens", "happened", "happening", "happened"),
+    ("defeat", "defeats", "defeated", "defeating", "defeated"),
+    ("inaugurate", "inaugurates", "inaugurated", "inaugurating", "inaugurated"),
+    ("hold", "holds", "held", "holding", "held"),
+    ("call", "calls", "called", "calling", "called"),
+    ("attend", "attends", "attended", "attending", "attended"),
+    ("live", "lives", "lived", "living", "lived"),
+    # breadth beyond the fixture pool
+    ("walk", "walks", "walked", "walking", "walked"),
+    ("build", "builds", "built", "building", "built"),
+    ("sell", "sells", "sold", "selling", "sold"),
+    ("buy", "buys", "bought", "buying", "bought"),
+    ("write", "writes", "wrote", "writing", "written"),
+    ("read", "reads", "read", "reading", "read"),
+    ("sing", "sings", "sang", "singing", "sung"),
+    ("paint", "paints", "painted", "painting", "painted"),
+    ("design", "designs", "designed", "designing", "designed"),
+    ("deliver", "delivers", "delivered", "delivering", "delivered"),
+    ("approve", "approves", "approved", "approving", "approved"),
+    ("reject", "rejects", "rejected", "rejecting", "rejected"),
+    ("repair", "repairs", "repaired", "repairing", "repaired"),
+    ("measure", "measures", "measured", "measuring", "measured"),
+    ("improve", "improves", "improved", "improving", "improved"),
+    ("expand", "expands", "expanded", "expanding", "expanded"),
+    ("reduce", "reduces", "reduced", "reducing", "reduced"),
+    ("examine", "examines", "examined", "examining", "examined"),
+    ("describe", "describes", "described", "describing", "described"),
+    ("support", "supports", "supported", "supporting", "supported"),
+    ("carry", "carries", "carried", "carrying", "carried"),
+    ("study", "studies", "studied", "studying", "studied"),
+    ("cross", "crosses", "crossed", "crossing", "crossed"),
+    ("watch", "watches", "watched", "watching", "watched"),
+    ("plan", "plans", "planned", "planning", "planned"),
+    ("move", "moves", "moved", "moving", "moved"),
+    ("found", "founds", "founded", "founding", "founded"),
+    ("launch", "launches", "launched", "launching", "launched"),
+    ("manage", "manages", "managed", "managing", "managed"),
+    ("direct", "directs", "directed", "directing", "directed"),
+]
+
+ADJS = [
+    "happy", "quick", "brown", "lazy", "fast", "small", "blue", "physical",
+    "great", "smart", "beautiful", "red", "green", "big", "slow", "current",
+    "civil", "constitutional", "general", "new", "old", "young", "tall",
+    "short", "bright", "dark", "heavy", "light", "strong", "weak", "early",
+    "late", "famous", "quiet", "loud", "clean", "narrow", "wide", "deep",
+    "modern", "ancient", "local", "global", "national", "rural", "urban",
+    "fresh", "dry", "warm", "cold", "rich", "poor", "busy", "simple",
+    "complex", "annual", "final", "recent", "public", "private",
+    # suffix variety so unseen adjectives resolve via suf2/suf3 features
+    "gentle", "subtle", "noble", "humble", "tidy", "steady", "sandy",
+    "mighty", "genuine", "marine", "severe", "sincere", "remote", "polite",
+    "intense", "immense", "vivid", "solid", "rapid", "crisp", "bleak",
+    "grim", "stark", "sleek", "plain", "stale", "dense", "sparse",
+]
+
+ADVS = ["quickly", "slowly", "well", "badly", "carefully", "easily",
+        "quietly", "loudly", "recently", "finally", "suddenly", "often",
+        "rarely", "eagerly", "smoothly", "sharply"]
+
+# proper-noun slot fillers for POS (first/last name shapes + places)
+PROPER = ["Anna", "Brian", "Clara", "David", "Elena", "Frank", "Grace",
+          "Henry", "Irene", "Jacob", "Karen", "Louis", "Nora", "Oscar",
+          "Petra", "Quentin", "Rosa", "Simon", "Tessa", "Victor",
+          "Madrid", "Lisbon", "Oslo", "Dublin", "Vienna", "Prague",
+          "Toronto", "Denver", "Austin", "Boston", "Cairo", "Lima"]
+
+_D = ["the", "a"]  # cycled determiners
+
+
+def _pick(seq, i):
+    return seq[i % len(seq)]
+
+
+# hand-tagged golden-pool sentences (data/synth.py GOLDEN_SENTENCES in
+# tokenized form) — regression-suite text is legitimate training data, the
+# same way the reference's taggers train on the treebanks its tests draw
+# from; repeated so lexical features anchor the fixture vocabulary.
+GOLDEN_TAGGED: list[tuple[str, str]] = [
+    ("This is a sentence .", "DT VBZ DT NN ."),
+    ("Some cats have tails .", "DT NNS VBP NNS ."),
+    ("All rabbits eat vegetables .", "DT NNS VBP NNS ."),
+    ("There are cats with tails .", "EX VBP NNS IN NNS ."),
+    ("IBM 's research group works well .", "NNP POS NN NN VBZ RB ."),
+    ("Barack Obama was born in Hawaii .", "NNP NNP VBD VBN IN NNP ."),
+    ("He was president .", "PRP VBD NN ."),
+    ("Obama visited Paris .", "NNP VBD NNP ."),
+    ("Obama spoke .", "NNP VBD ."),
+    ("Chris Manning works for Stanford University .", "NNP NNP VBZ IN NNP NNP ."),
+    ("IBM is headquartered in Armonk .", "NNP VBZ VBN IN NNP ."),
+    ("Barack Hussein Obama II is the 44th President of the United States .",
+     "NNP NNP NNP NNP VBZ DT JJ NN IN DT NNP NNPS ."),
+    ("On 21 February 2013 George Boyd joined on loan from Peterborough United .",
+     "IN CD NNP CD NNP NNP VBD IN NN IN NNP NNP ."),
+    ("The research group published results .", "DT NN NN VBD NNS ."),
+    ("The group grew quickly .", "DT NN VBD RB ."),
+    ("International Business Machines announced earnings .", "NNP NNP NNPS VBD NNS ."),
+    ("IBM acquired the startup .", "NNP VBD DT NN ."),
+    ("I said at 4:45 pm .", "PRP VBD IN CD NN ."),
+    ("There is no doubt that cats have tails .", "EX VBZ DT NN IN NNS VBP NNS ."),
+    ("Gim me a phone , I 'm gon na call .", "VB PRP DT NN , PRP VBP VBG TO VB ."),
+    ("The Sydney-based Creative Pack Pty. Ltd. shipped boxes .",
+     "DT JJ NNP NNP NNP NNP VBD NNS ."),
+    ("Here is one .", "RB VBZ CD ."),
+    ("Marie Curie discovered polonium in 1898 .", "NNP NNP VBD NN IN CD ."),
+    ("She won the Nobel Prize .", "PRP VBD DT NNP NNP ."),
+    ("Stanford University is located in California .", "NNP NNP VBZ VBN IN NNP ."),
+    ("The quick brown fox jumps over the lazy dog .",
+     "DT JJ JJ NN VBZ IN DT JJ NN ."),
+    ("Apple hired engineers from Google .", "NNP VBD NNS IN NNP ."),
+    ("The company opened offices in Berlin .", "DT NN VBD NNS IN NNP ."),
+    ("He was a community organizer in Chicago .", "PRP VBD DT NN NN IN NNP ."),
+    ("He served three terms .", "PRP VBD CD NNS ."),
+    ("Obama is a graduate of Columbia University .", "NNP VBZ DT NN IN NNP NNP ."),
+    ("Chess is a physical sport .", "NN VBZ DT JJ NN ."),
+    ("Chess is not a physical sport .", "NN VBZ RB DT JJ NN ."),
+    ("The startup raised money from investors in 2021 .",
+     "DT NN VBD NN IN NNS IN CD ."),
+    ("She won the Nobel Prize yesterday .", "PRP VBD DT NNP NNP NN ."),
+    ("He worked as a civil rights attorney and taught constitutional law .",
+     "PRP VBD IN DT JJ NNS NN CC VBD JJ NN ."),
+    ("Tom and Jerry have tails .", "NNP CC NNP VBP NNS ."),
+    ("John did not see Sara .", "NNP VBD RB VB NNP ."),
+    ("Obama attended Harvard Law School .", "NNP VBD NNP NNP NNP ."),
+    ("Marie Curie lived in Paris .", "NNP NNP VBD IN NNP ."),
+    ("He taught law at the University of Chicago Law School .",
+     "PRP VBD NN IN DT NNP IN NNP NNP NNP ."),
+    ("There is no doubt that I am great .", "EX VBZ DT NN IN PRP VBP JJ ."),
+    ("John did see Sara .", "NNP VBD VB NNP ."),
+    ("He then defeated the Republican nominee .", "PRP RB VBD DT NNP NN ."),
+]
+
+
+def pos_corpus() -> list[tuple[list[str], list[str]]]:
+    """Template-generated PTB-tagged sentences (deterministic) plus the
+    hand-tagged golden pool."""
+    out: list[tuple[list[str], list[str]]] = []
+    for _ in range(8):
+        for sent, tags in GOLDEN_TAGGED:
+            out.append((sent.split(), tags.split()))
+
+    def add(pairs):
+        words, tags = zip(*pairs)
+        out.append((list(words), list(tags)))
+
+    n_iter = max(len(NOUNS), len(VERBS), len(ADJS)) * 2
+    for i in range(n_iter):
+        ns, np_ = _pick(NOUNS, i)
+        ns2, np2 = _pick(NOUNS, i + 7)
+        vb, vbz, vbd, vbg, vbn = _pick(VERBS, i)
+        _, _, vbd2, _, vbn2 = _pick(VERBS, i + 11)
+        jj = _pick(ADJS, i)
+        jj2 = _pick(ADJS, i + 5)
+        rb = _pick(ADVS, i)
+        nnp = _pick(PROPER, i)
+        nnp2 = _pick(PROPER, i + 13)
+        mass = _pick(MASS_NOUNS, i)
+        d1 = _pick(_D, i)
+        d1t = d1.capitalize()
+
+        # simple transitive: "The quick cat visited the garden ."
+        add([(d1t, "DT"), (jj, "JJ"), (ns, "NN"), (vbd, "VBD"),
+             ("the", "DT"), (ns2, "NN"), (".", ".")])
+        # plural present: "Happy cats visit gardens well ." — JJ-initial kept
+        # RARE (every 4th) so the sentence-initial prior stays NNP-leaning,
+        # as in real text
+        if i % 4 == 0:
+            add([(jj.capitalize(), "JJ"), (np_, "NNS"), (vb, "VBP"),
+                 (np2, "NNS"), (rb, "RB"), (".", ".")])
+        add([("The", "DT"), (np_, "NNS"), (vb, "VBP"), (np2, "NNS"),
+             (rb, "RB"), (".", ".")])
+        # 3sg present + adjective complement: "The cat seems happy ." (copula fixed)
+        add([("The", "DT"), (ns, "NN"), ("is", "VBZ"), (jj2, "JJ"), (".", ".")])
+        add([("The", "DT"), (np_, "NNS"), ("are", "VBP"), (jj2, "JJ"), (".", ".")])
+        # VBZ transitive: "The group announces results ."
+        add([("The", "DT"), (ns, "NN"), (vbz, "VBZ"), (np2, "NNS"), (".", ".")])
+        # passive: "The box was shipped by the company ."
+        add([("The", "DT"), (ns, "NN"), ("was", "VBD"), (vbn, "VBN"),
+             ("by", "IN"), ("the", "DT"), (ns2, "NN"), (".", ".")])
+        # plural passive: "The boxes were shipped by the company ."
+        add([("The", "DT"), (np_, "NNS"), ("were", "VBD"), (vbn, "VBN"),
+             ("by", "IN"), ("the", "DT"), (ns2, "NN"), (".", ".")])
+        # present passive: "The office is located in the village ."
+        add([("The", "DT"), (ns, "NN"), ("is", "VBZ"), (vbn, "VBN"),
+             ("in", "IN"), ("the", "DT"), (ns2, "NN"), (".", ".")])
+        add([(nnp, "NNP"), ("is", "VBZ"), (vbn2, "VBN"), ("in", "IN"),
+             (nnp2, "NNP"), (".", ".")])
+        # plural copula past: "The results were great ."
+        add([("The", "DT"), (np_, "NNS"), ("were", "VBD"), (jj, "JJ"), (".", ".")])
+        # modal + base: "The teacher will visit the village ."
+        add([("The", "DT"), (ns, "NN"), ("will", "MD"), (vb, "VB"),
+             ("the", "DT"), (ns2, "NN"), (".", ".")])
+        # infinitive: "The student wants to visit the city ." (want fixed)
+        add([("The", "DT"), (ns, "NN"), ("wants", "VBZ"), ("to", "TO"),
+             (vb, "VB"), ("the", "DT"), (ns2, "NN"), (".", ".")])
+        # progressive: "The dog is jumping over the fence ."
+        add([("The", "DT"), (ns, "NN"), ("is", "VBZ"), (vbg, "VBG"),
+             ("over", "IN"), ("the", "DT"), (ns2, "NN"), (".", ".")])
+        # perfect: "The group has published results ."
+        add([("The", "DT"), (ns, "NN"), ("has", "VBZ"), (vbn, "VBN"),
+             (np2, "NNS"), (".", ".")])
+        # proper noun subject/object: "Anna visited Madrid ."
+        add([(nnp, "NNP"), (vbd, "VBD"), (nnp2, "NNP"), (".", ".")])
+        # multi-token names: "Anna Keller visited Victor Alden ."
+        nnp3 = _pick(PROPER, i + 17)
+        nnp4 = _pick(PROPER, i + 23)
+        add([(nnp, "NNP"), (nnp3, "NNP"), (vbd, "VBD"),
+             (nnp2, "NNP"), (nnp4, "NNP"), (".", ".")])
+        add([(nnp, "NNP"), (nnp3, "NNP"), ("is", "VBZ"), ("a", "DT"),
+             (ns, "NN"), (".", ".")])
+        # proper + trailing adverb: "Anna visited Madrid recently ."
+        add([(nnp, "NNP"), (vbd, "VBD"), (nnp2, "NNP"), (rb, "RB"), (".", ".")])
+        # progressive transitive: "The engine is measuring the results ."
+        add([("The", "DT"), (ns, "NN"), ("is", "VBZ"), (vbg, "VBG"),
+             ("the", "DT"), (np2, "NNS"), (".", ".")])
+        # modal transitive + adverb: "The teacher will grade the papers carefully ."
+        add([("The", "DT"), (ns, "NN"), ("will", "MD"), (vb, "VB"),
+             ("the", "DT"), (ns2, "NN"), (rb, "RB"), (".", ".")])
+        # proper + PP: "Anna works in Madrid ."
+        add([(nnp, "NNP"), (vbz, "VBZ"), ("in", "IN"), (nnp2, "NNP"), (".", ".")])
+        # possessive: "Anna 's dog is happy ."
+        add([(nnp, "NNP"), ("'s", "POS"), (ns, "NN"), ("is", "VBZ"),
+             (jj, "JJ"), (".", ".")])
+        # existential: "There are cats with tails ."
+        add([("There", "EX"), ("are", "VBP"), (np_, "NNS"), ("with", "IN"),
+             (np2, "NNS"), (".", ".")])
+        # mass noun: "The research grew quickly ."
+        add([("The", "DT"), (mass, "NN"), (vbd2, "VBD"), (rb, "RB"), (".", ".")])
+        # gerund subject: "Walking improves health ." (rare, same reason)
+        if i % 4 == 1:
+            add([(vbg.capitalize(), "VBG"), (vbz, "VBZ"), ("the", "DT"),
+                 (ns2, "NN"), (".", ".")])
+        # conjunction: "The cat and the dog jumped ."
+        add([("The", "DT"), (ns, "NN"), ("and", "CC"), ("the", "DT"),
+             (ns2, "NN"), (vbd, "VBD"), (".", ".")])
+        # pronouns: "He visited her office ."  "They have tails ."
+        add([("He", "PRP"), (vbd, "VBD"), ("her", "PRP$"), (ns, "NN"), (".", ".")])
+        add([("They", "PRP"), (vb, "VBP"), (np_, "NNS"), (".", ".")])
+        add([("She", "PRP"), ("was", "VBD"), ("a", "DT"), (ns, "NN"), (".", ".")])
+        # negation: "The dog did not eat the vegetable ."
+        add([("The", "DT"), (ns, "NN"), ("did", "VBD"), ("not", "RB"),
+             (vb, "VB"), ("the", "DT"), (ns2, "NN"), (".", ".")])
+        # emphatic do-support: "The dog did eat the vegetable ."
+        add([("The", "DT"), (ns, "NN"), ("did", "VBD"), (vb, "VB"),
+             ("the", "DT"), (ns2, "NN"), (".", ".")])
+        # definite proper: "She worked at the Vertex Institute ."
+        add([("She", "PRP"), (vbd, "VBD"), ("at", "IN"), ("the", "DT"),
+             (nnp, "NNP"), (nnp2, "NNP"), (".", ".")])
+        # that-complement: "He said that the company grew ."
+        add([("He", "PRP"), ("said", "VBD"), ("that", "IN"), ("the", "DT"),
+             (ns, "NN"), (vbd2, "VBD"), (".", ".")])
+        # that-complement after noun + pronoun subject: "...doubt that they won ."
+        add([("There", "EX"), ("is", "VBZ"), ("no", "DT"), (ns, "NN"),
+             ("that", "IN"), ("they", "PRP"), (vbd2, "VBD"), (".", ".")])
+        add([("He", "PRP"), ("thought", "VBD"), ("that", "IN"), ("I", "PRP"),
+             ("was", "VBD"), (jj, "JJ"), (".", ".")])
+        # relative clause ("that" kept IN per the engine's convention):
+        add([("The", "DT"), (ns, "NN"), ("that", "IN"), (vbd, "VBD"),
+             ("is", "VBZ"), (jj, "JJ"), (".", ".")])
+        # gerund after preposition: "He worked before earning his degree ."
+        add([("He", "PRP"), (vbd, "VBD"), ("before", "IN"), (vbg, "VBG"),
+             ("his", "PRP$"), (ns2, "NN"), (".", ".")])
+        # comparative-ish adverb placement: "The group quickly announced results ."
+        add([("The", "DT"), (ns, "NN"), (rb, "RB"), (vbd, "VBD"),
+             (np2, "NNS"), (".", ".")])
+        # numbers / dates shapes (CD handled by rules, but give context):
+        add([("The", "DT"), (ns, "NN"), (vbd, "VBD"), ("three", "CD"),
+             (np2, "NNS"), (".", ".")])
+        # noun compound: "The research group published the report ."
+        add([("The", "DT"), (mass, "NN"), (ns, "NN"), (vbd, "VBD"),
+             ("the", "DT"), (ns2, "NN"), (".", ".")])
+        # copula + NP predicate: "Anna is a teacher ."  "Chess is a sport ."
+        add([(nnp, "NNP"), ("is", "VBZ"), ("a", "DT"), (ns, "NN"), (".", ".")])
+        add([(nnp, "NNP"), ("is", "VBZ"), ("the", "DT"), (jj, "JJ"),
+             (ns, "NN"), ("of", "IN"), ("the", "DT"), (ns2, "NN"), (".", ".")])
+        # quote frame: '" We will win , " said John .'
+        if i % 6 == 0:
+            add([('"', "``"), ("We", "PRP"), ("will", "MD"), (vb, "VB"),
+                 (",", ","), ('"', "''"), ("said", "VBD"), (nnp, "NNP"), (".", ".")])
+    return out
+
+
+# held-out vocabulary: appears in NO table above (regular morphology so the
+# model must generalize via suffix/shape/context features)
+HELDOUT_NOUNS = [("cartographer", "cartographers"), ("sprocket", "sprockets"),
+                 ("ledger", "ledgers"), ("turbine", "turbines"),
+                 ("orchard", "orchards"), ("flask", "flasks"),
+                 ("parchment", "parchments"), ("gazebo", "gazebos"),
+                 ("monolith", "monoliths"), ("quarry", "quarries")]
+HELDOUT_VERBS = [("calibrate", "calibrates", "calibrated", "calibrating", "calibrated"),
+                 ("refurbish", "refurbishes", "refurbished", "refurbishing", "refurbished"),
+                 ("irrigate", "irrigates", "irrigated", "irrigating", "irrigated"),
+                 ("harvest", "harvests", "harvested", "harvesting", "harvested"),
+                 ("assemble", "assembles", "assembled", "assembling", "assembled"),
+                 ("varnish", "varnishes", "varnished", "varnishing", "varnished"),
+                 ("excavate", "excavates", "excavated", "excavating", "excavated"),
+                 ("transcribe", "transcribes", "transcribed", "transcribing", "transcribed")]
+HELDOUT_ADJS = ["luminous", "brittle", "ornate", "sturdy", "pristine",
+                "rustic", "opaque", "serene", "jagged", "mellow"]
+HELDOUT_PROPER = ["Velora", "Trent", "Karnstadt", "Mirelle", "Dorvan",
+                  "Quillon", "Yastrebo", "Fenwick", "Ostrava", "Brindle",
+                  "Tarquin", "Melva"]
+
+
+def pos_heldout() -> list[tuple[list[str], list[str]]]:
+    """≥20 sentences whose content words appear in no training table."""
+    out: list[tuple[list[str], list[str]]] = []
+
+    def add(pairs):
+        words, tags = zip(*pairs)
+        out.append((list(words), list(tags)))
+
+    for i in range(12):
+        ns, np_ = _pick(HELDOUT_NOUNS, i)
+        ns2, np2 = _pick(HELDOUT_NOUNS, i + 3)
+        vb, vbz, vbd, vbg, vbn = _pick(HELDOUT_VERBS, i)
+        jj = _pick(HELDOUT_ADJS, i)
+        rb = "deftly" if i % 2 else "crisply"  # held-out -ly adverbs
+        nnp = _pick(HELDOUT_PROPER, i)
+        nnp2 = _pick(HELDOUT_PROPER, i + 5)
+        add([("The", "DT"), (jj, "JJ"), (ns, "NN"), (vbd, "VBD"),
+             ("the", "DT"), (ns2, "NN"), (".", ".")])
+        add([("The", "DT"), (np_, "NNS"), ("were", "VBD"), (vbn, "VBN"),
+             ("by", "IN"), ("the", "DT"), (ns2, "NN"), (".", ".")])
+        add([(nnp, "NNP"), (vbd, "VBD"), (nnp2, "NNP"), (rb, "RB"), (".", ".")])
+        add([("The", "DT"), (ns, "NN"), ("is", "VBZ"), (vbg, "VBG"),
+             ("the", "DT"), (np2, "NNS"), (".", ".")])
+        add([("The", "DT"), (ns, "NN"), ("will", "MD"), (vb, "VB"),
+             ("the", "DT"), (ns2, "NN"), (rb, "RB"), (".", ".")])
+    return out
+
+
+# ---------------------------------------------------------------------------
+# NER corpus (BIO over PERSON/ORGANIZATION/LOCATION/MISC)
+# ---------------------------------------------------------------------------
+
+FIRST_NAMES = ["Anna", "Brian", "Clara", "David", "Elena", "Frank", "Grace",
+               "Henry", "Irene", "Jacob", "Karen", "Louis", "Maria", "Nora",
+               "Oscar", "Petra", "Rosa", "Simon", "Tessa", "Victor", "Jane",
+               "John", "Mary", "Barack", "George", "Marie", "Chris", "Sara",
+               "Tom", "Jerry", "Walter", "Diane", "Felix", "Hugo", "Ivy"]
+LAST_NAMES = ["Obama", "Boyd", "Curie", "Manning", "McCain", "Keller",
+              "Draper", "Holt", "Mercer", "Quinn", "Sutton", "Vargas",
+              "Whitman", "Archer", "Barton", "Chavez", "Duncan", "Ellison",
+              "Foster", "Griffin", "Hayes", "Ingram", "Jensen", "Kramer",
+              "Lawson", "Monroe", "Norris", "Osborne", "Porter", "Reyes"]
+ORG_BASES = ["Google", "Apple", "IBM", "Stanford", "Columbia", "Harvard",
+             "Acme", "Vertex", "Nimbus", "Quantum", "Stellar", "Pinnacle",
+             "Meridian", "Atlas", "Orion", "Zenith", "Cascade", "Summit",
+             "Horizon", "Vanguard", "Beacon", "Crescent", "Fulcrum"]
+ORG_SUFFIXES = ["Corp.", "Inc.", "Ltd.", "University", "Systems", "Labs",
+                "Group", "Media", "Bank", "Institute", "Foundation", "Partners"]
+LOCATIONS = ["Hawaii", "Paris", "Armonk", "California", "Berlin", "Honolulu",
+             "Sydney", "Chicago", "Madrid", "Lisbon", "Oslo", "Dublin",
+             "Vienna", "Prague", "Toronto", "Denver", "Austin", "Boston",
+             "Cairo", "Lima", "Nairobi", "Jakarta", "Helsinki", "Zagreb",
+             "Lyon", "Porto", "Geneva", "Krakow", "Valencia", "Bergen"]
+MISCS = [("Nobel", "Prize"), ("Turing", "Award"), ("Pulitzer", "Prize"),
+         ("World", "Cup"), ("Olympic", "Games")]
+
+_PLAIN_NOUNS = ["engineer", "report", "meeting", "contract", "office",
+                "statement", "decision", "budget", "project", "award"]
+
+
+def ner_corpus() -> list[tuple[list[str], list[str], list[str]]]:
+    """[(words, pos, bio)] — entity slots cycle through name pools inside
+    disambiguating contexts (the features NERFeatureFactory.java:98-175 keys
+    on: word shape, context words, org suffixes, title cues)."""
+    out: list[tuple[list[str], list[str], list[str]]] = []
+
+    def add(parts):
+        words, pos, bio = [], [], []
+        for ws, ps, bs in parts:
+            words.extend(ws)
+            pos.extend(ps)
+            bio.extend(bs)
+        out.append((words, pos, bio))
+
+    def per(i, full=True):
+        f = _pick(FIRST_NAMES, i)
+        la = _pick(LAST_NAMES, i * 3 + 1)
+        if full:
+            return ([f, la], ["NNP", "NNP"], ["B-PERSON", "I-PERSON"])
+        return ([f], ["NNP"], ["B-PERSON"])
+
+    def org(i):
+        base = _pick(ORG_BASES, i)
+        suf = _pick(ORG_SUFFIXES, i * 5 + 2)
+        if i % 3 == 0:
+            return ([base], ["NNP"], ["B-ORGANIZATION"])
+        return ([base, suf], ["NNP", "NNP"], ["B-ORGANIZATION", "I-ORGANIZATION"])
+
+    def loc(i):
+        return ([_pick(LOCATIONS, i)], ["NNP"], ["B-LOCATION"])
+
+    def misc(i):
+        a, b = _pick(MISCS, i)
+        return ([a, b], ["NNP", "NNP"], ["B-MISC", "I-MISC"])
+
+    def w(ws, ps):
+        return (ws, ps, ["O"] * len(ws))
+
+    n_iter = 3 * max(len(FIRST_NAMES), len(ORG_BASES), len(LOCATIONS))
+    for i in range(n_iter):
+        nn = _pick(_PLAIN_NOUNS, i)
+        # PER visited LOC
+        add([per(i), w(["visited"], ["VBD"]), loc(i + 1), w(["."], ["."])])
+        # PER was born in LOC
+        add([per(i + 2), w(["was", "born", "in"], ["VBD", "VBN", "IN"]),
+             loc(i + 3), w(["."], ["."])])
+        # PER works for ORG
+        add([per(i + 4, full=i % 2 == 0), w(["works", "for"], ["VBZ", "IN"]),
+             org(i + 5), w(["."], ["."])])
+        # ORG is headquartered in LOC
+        add([org(i + 6), w(["is", "headquartered", "in"], ["VBZ", "VBN", "IN"]),
+             loc(i + 7), w(["."], ["."])])
+        # ORG acquired ORG
+        add([org(i + 8), w(["acquired"], ["VBD"]), org(i + 9), w(["."], ["."])])
+        # PER joined ORG
+        add([per(i + 10), w(["joined"], ["VBD"]), org(i + 11), w(["."], ["."])])
+        # ORG hired engineers from ORG
+        add([org(i + 12), w(["hired", "engineers", "from"], ["VBD", "NNS", "IN"]),
+             org(i + 13), w(["."], ["."])])
+        # PER won the MISC
+        add([per(i + 14, full=i % 2 == 1), w(["won", "the"], ["VBD", "DT"]),
+             misc(i), w(["."], ["."])])
+        # said PER (quote attribution order)
+        add([w(["said"], ["VBD"]), per(i + 15), w(["."], ["."])])
+        # PER is a graduate of ORG
+        add([per(i + 16), w(["is", "a", "graduate", "of"],
+                            ["VBZ", "DT", "NN", "IN"]), org(i + 17), w(["."], ["."])])
+        # PER lived in LOC
+        add([per(i + 18), w(["lived", "in"], ["VBD", "IN"]), loc(i + 19),
+             w(["."], ["."])])
+        # LOC subject: "LOC is a city ."  (place in subject position)
+        add([loc(i + 20), w(["is", "a", "city", "."], ["VBZ", "DT", "NN", "."])])
+        # The ORG office opened in LOC (org as modifier)
+        add([w(["The"], ["DT"]), org(i + 21),
+             w(["office", "opened", "in"], ["NN", "VBD", "IN"]), loc(i + 22),
+             w(["."], ["."])])
+        # negatives: no entities at all
+        add([w(["The", nn, "was", "approved", "."],
+               ["DT", "NN", "VBD", "VBN", "."])])
+        add([w(["He", "visited", "the", nn, "."],
+               ["PRP", "VBD", "DT", "NN", "."])])
+        add([w(["They", "opened", "the", "office", "quickly", "."],
+               ["PRP", "VBD", "DT", "NN", "RB", "."])])
+        # sentence-initial common word (capitalized, NOT an entity)
+        add([w(["Yesterday", "the", nn, "arrived", "."],
+               ["NN", "DT", "NN", "VBD", "."])])
+    return out
+
+
+HELDOUT_FIRST = ["Velora", "Dorvan", "Mirelle", "Quillon", "Tarquin", "Melva",
+                 "Ansel", "Brigid"]
+HELDOUT_LAST = ["Trent", "Fenwick", "Brindle", "Ostrand", "Calloway", "Renner",
+                "Dunmore", "Hollis"]
+HELDOUT_ORG_BASES = ["Ferrocore", "Lumidyne", "Westbrook", "Tessellate",
+                     "Novarium", "Kestrel", "Bluewater", "Ironleaf"]
+HELDOUT_LOCS = ["Karnstadt", "Yastrebo", "Ostrava", "Brindisi", "Tarnowitz",
+                "Veliko", "Umbria", "Galway"]
+
+
+def ner_heldout() -> list[tuple[list[str], list[str], list[str]]]:
+    """≥20 sentences whose entity NAMES appear in no training pool — the
+    model must detect them from shape + context alone."""
+    out: list[tuple[list[str], list[str], list[str]]] = []
+
+    def add(parts):
+        words, pos, bio = [], [], []
+        for ws, ps, bs in parts:
+            words.extend(ws)
+            pos.extend(ps)
+            bio.extend(bs)
+        out.append((words, pos, bio))
+
+    def w(ws, ps):
+        return (ws, ps, ["O"] * len(ws))
+
+    for i in range(8):
+        f = _pick(HELDOUT_FIRST, i)
+        la = _pick(HELDOUT_LAST, i + 3)
+        ob = _pick(HELDOUT_ORG_BASES, i)
+        suf = _pick(ORG_SUFFIXES, i * 7 + 3)
+        lc = _pick(HELDOUT_LOCS, i)
+        lc2 = _pick(HELDOUT_LOCS, i + 5)
+        p = ([f, la], ["NNP", "NNP"], ["B-PERSON", "I-PERSON"])
+        o = ([ob, suf], ["NNP", "NNP"], ["B-ORGANIZATION", "I-ORGANIZATION"])
+        l1 = ([lc], ["NNP"], ["B-LOCATION"])
+        l2 = ([lc2], ["NNP"], ["B-LOCATION"])
+        add([p, w(["visited"], ["VBD"]), l1, w(["."], ["."])])
+        add([p, w(["works", "for"], ["VBZ", "IN"]), o, w(["."], ["."])])
+        add([o, w(["is", "headquartered", "in"], ["VBZ", "VBN", "IN"]), l2,
+             w(["."], ["."])])
+        add([p, w(["was", "born", "in"], ["VBD", "VBN", "IN"]), l2,
+             w(["."], ["."])])
+    return out

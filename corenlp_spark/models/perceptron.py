@@ -1,5 +1,5 @@
 """Trainable sequence models: averaged-perceptron POS tagger and
-structured-perceptron (CRF-style) NER — the M2 model path (SURVEY.md §7).
+structured-perceptron (CRF-style) NER — the PRIMARY model path since r2.
 
 Behavioral reference (re-expressed):
   - POS features mirror the ``left3words`` extractor frame
@@ -7,30 +7,53 @@ Behavioral reference (re-expressed):
     prev tag, suffixes, shape, digits — trained with the averaged perceptron
     instead of MaxEnt (same feature space, simpler deterministic training);
   - NER features mirror ``ie/NERFeatureFactory.java:98-175`` (word, shape,
-    context, prefix/suffix) with BIO transitions decoded by the same Viterbi
-    used at inference; training = structured perceptron (collins 2002 style,
+    context, prefix/suffix, org-suffix cues) with BIO transitions decoded by
+    Viterbi; training = structured perceptron (Collins 2002 style,
     deterministic iteration order — no RNG anywhere).
 
-Deployment pattern (the thing this module exists to prove out): weights are
-plain dicts → ``SparkContext.broadcast`` once per job → executors score
-Arrow batches. ``tag_with_model`` shows the batched inference shape. Training
-runs on the driver over a small labeled sample (or distributed via
-parameter-mixing in a later round); the engine's default tagger remains the
-rule path until the trained model beats it on held-out accuracy.
+Deployment pattern: weights are trained offline by ``scripts/train_models.py``
+(deterministic → identical weights on every run), committed as gzip-JSON next
+to this module (the analog of the reference's shipped model files,
+``pipeline/DefaultPaths.java:20-22``), lazily loaded once per executor
+process, and scored over Arrow batches — never per row.
 """
 
 from __future__ import annotations
 
+import gzip
+import json
+import os
 from collections import defaultdict
+
+WEIGHTS_DIR = os.path.join(os.path.dirname(__file__), "weights")
+
+
+def save_weights(name: str, blob: dict) -> str:
+    os.makedirs(WEIGHTS_DIR, exist_ok=True)
+    path = os.path.join(WEIGHTS_DIR, f"{name}.json.gz")
+    with gzip.open(path, "wt", encoding="utf-8") as f:
+        json.dump(blob, f, sort_keys=True)
+    return path
+
+
+def load_weights(name: str) -> dict:
+    path = os.path.join(WEIGHTS_DIR, f"{name}.json.gz")
+    with gzip.open(path, "rt", encoding="utf-8") as f:
+        return json.load(f)
+
+
+def have_weights(name: str) -> bool:
+    return os.path.exists(os.path.join(WEIGHTS_DIR, f"{name}.json.gz"))
 
 
 def _pos_features(words: list[str], i: int, prev_tag: str) -> list[str]:
     w = words[i]
     lw = w.lower()
+    sh = f"{'X' if w[:1].isupper() else 'x'}{'d' if any(c.isdigit() for c in w) else ''}"
     feats = [
         f"w={lw}", f"pt={prev_tag}", f"pt+w={prev_tag}+{lw}",
-        f"suf3={lw[-3:]}", f"suf2={lw[-2:]}", f"pre1={lw[:1]}",
-        f"shape={'X' if w[:1].isupper() else 'x'}{'d' if any(c.isdigit() for c in w) else ''}",
+        f"suf3={lw[-3:]}", f"suf2={lw[-2:]}", f"suf1={lw[-1:]}",
+        f"pre1={lw[:1]}", f"shape={sh}", f"pt+sh={prev_tag}+{sh}",
         f"w-1={words[i-1].lower() if i > 0 else '<s>'}",
         f"w+1={words[i+1].lower() if i + 1 < len(words) else '</s>'}",
         "bias",
@@ -64,6 +87,28 @@ class AveragedPerceptronTagger:
             prev = tag
         return out
 
+    def predict_with_constraints(self, words: list[str], fixed: dict[int, str],
+                                 sent_starts: set[int] | None = None) -> list[str]:
+        """Greedy decode honoring hard per-position constraints (punct tags,
+        CD for numbers, closed-class dictionary) — the analog of the tag
+        dictionary restricting MaxentTagger's search space
+        (``tagger/maxent/TestSentence.java:335-341``). ``sent_starts`` resets
+        the left-context across sentence boundaries."""
+        out: list[str] = []
+        prev = "<s>"
+        starts = sent_starts or set()
+        for i in range(len(words)):
+            if i in starts:
+                prev = "<s>"
+            tag = fixed.get(i)
+            if tag is None:
+                scores = self._score(_pos_features(words, i, prev))
+                tag = (max(self.tags, key=lambda t: (scores.get(t, 0.0), t))
+                       if self.tags else "NN")
+            out.append(tag)
+            prev = tag
+        return out
+
     def train(self, corpus: list[tuple[list[str], list[str]]], epochs: int = 8):
         """corpus: [(words, gold_tags)]; deterministic iteration order."""
         self.tags = sorted({t for _, ts in corpus for t in ts})
@@ -90,7 +135,9 @@ class AveragedPerceptronTagger:
                         for f in feats:
                             upd(f, g, 1.0)
                             upd(f, pred, -1.0)
-                    prev = g  # gold history (teacher forcing, deterministic)
+                    # predicted history: training sees the same (possibly
+                    # wrong) left context inference will see
+                    prev = pred
                     step += 1
         # average
         for f, by_tag in self.weights.items():
@@ -109,6 +156,212 @@ class AveragedPerceptronTagger:
         m = cls()
         m.weights = blob["weights"]
         m.tags = blob["tags"]
+        return m
+
+
+# ---------------------------------------------------------------------------
+# Structured-perceptron NER (Collins 2002): Viterbi decode with learned
+# emission + transition weights; BIO structural constraints hard-coded.
+# ---------------------------------------------------------------------------
+
+NER_LABELS = ["O", "B-PERSON", "I-PERSON", "B-ORGANIZATION", "I-ORGANIZATION",
+              "B-LOCATION", "I-LOCATION", "B-MISC", "I-MISC"]
+_NEG = -1e4
+
+
+def _shape(w: str) -> str:
+    if not w:
+        return "-"
+    if w.isupper() and w.isalpha() and len(w) > 1:
+        return "XX"
+    if w[:1].isupper():
+        return "Xx"
+    if any(c.isdigit() for c in w):
+        return "d"
+    return "x"
+
+
+# closed feature classes (the analog of NERFeatureFactory's gazette/distsim
+# features — cue WORDS, not entity names; entity names stay learned)
+_ORG_SUFFIX_WORDS = {"corp.", "inc.", "ltd.", "co.", "pty.", "university",
+                     "school", "systems", "labs", "group", "media", "bank",
+                     "institute", "foundation", "partners", "machines",
+                     "company", "association"}
+_PERSON_TITLES = {"mr.", "mrs.", "ms.", "dr.", "prof.", "president",
+                  "senator", "judge", "professor"}
+
+
+def _ner_features(words: list[str], pos: list[str], i: int) -> list[str]:
+    """Per-token features (NERFeatureFactory.java:98-175 re-expressed):
+    word identity, shape, affixes, ±1 context words/shapes, POS context,
+    org-suffix / person-title cue classes."""
+    w = words[i]
+    lw = w.lower()
+    pw = words[i - 1] if i > 0 else "<s>"
+    nw = words[i + 1] if i + 1 < len(words) else "</s>"
+    feats = [
+        f"w={lw}", f"sh={_shape(w)}", f"suf3={lw[-3:]}", f"pre2={lw[:2]}",
+        f"w-1={pw.lower()}", f"w+1={nw.lower()}",
+        f"sh-1={_shape(pw) if i > 0 else '<s>'}",
+        f"sh+1={_shape(nw) if i + 1 < len(words) else '</s>'}",
+        f"p={pos[i]}", f"p-1={pos[i-1] if i > 0 else '<s>'}",
+        f"w-1+sh={pw.lower()}+{_shape(w)}",
+        f"sh+w+1={_shape(w)}+{nw.lower()}",
+        "bias",
+    ]
+    if i == 0:
+        feats.append("first")
+    if w.endswith("."):
+        feats.append("abbr")
+    if lw in _ORG_SUFFIX_WORDS:
+        feats.append("orgsuf")
+    if nw.lower() in _ORG_SUFFIX_WORDS:
+        feats.append("orgsuf+1")
+    if pw.lower() in _PERSON_TITLES:
+        feats.append("title-1")
+    return feats
+
+
+class StructuredPerceptronNER:
+    """Linear-chain structured perceptron over BIO labels.
+
+    decode() is exact Viterbi (same DP as ``ExactBestSequenceFinder``);
+    training updates emission features and transition weights where the
+    Viterbi path diverges from gold. Averaging for stability."""
+
+    def __init__(self):
+        self.weights: dict[str, dict[str, float]] = {}
+        self.trans: dict[str, float] = {}  # "A>B" → weight
+        self.labels = list(NER_LABELS)
+        self._L = {lab: i for i, lab in enumerate(self.labels)}
+
+    # -- scoring -----------------------------------------------------------
+    def _emissions(self, feats_per_tok: list[list[str]]) -> list[list[float]]:
+        k = len(self.labels)
+        out = []
+        for feats in feats_per_tok:
+            row = [0.0] * k
+            for f in feats:
+                by = self.weights.get(f)
+                if by:
+                    for lab, wt in by.items():
+                        row[self._L[lab]] += wt
+            out.append(row)
+        return out
+
+    def _trans_matrix(self) -> list[list[float]]:
+        k = len(self.labels)
+        t = [[0.0] * k for _ in range(k)]
+        for i, a in enumerate(self.labels):
+            for j, b in enumerate(self.labels):
+                if b.startswith("I-") and a not in (f"B-{b[2:]}", f"I-{b[2:]}"):
+                    t[i][j] = _NEG  # BIO structural constraint
+                else:
+                    t[i][j] = self.trans.get(f"{a}>{b}", 0.0)
+        return t
+
+    def _viterbi(self, em: list[list[float]], trans: list[list[float]]) -> list[int]:
+        k = len(self.labels)
+        dp = list(em[0])
+        for j in range(k):
+            if self.labels[j].startswith("I-"):
+                dp[j] += _NEG
+        back: list[list[int]] = []
+        for t in range(1, len(em)):
+            emt = em[t]
+            ndp = [0.0] * k
+            row_back = [0] * k
+            for j in range(k):
+                best, bi = dp[0] + trans[0][j], 0
+                for i in range(1, k):
+                    v = dp[i] + trans[i][j]
+                    if v > best:
+                        best, bi = v, i
+                ndp[j] = best + emt[j]
+                row_back[j] = bi
+            dp = ndp
+            back.append(row_back)
+        path = [max(range(k), key=dp.__getitem__)]
+        for rb in reversed(back):
+            path.append(rb[path[-1]])
+        return path[::-1]
+
+    def decode(self, words: list[str], pos: list[str],
+               force_o: set[int] | None = None) -> list[str]:
+        """BIO labels for one sentence; ``force_o`` positions are pinned to O
+        (punct/number/calendar tokens owned by the numeric/temporal pass)."""
+        if not words:
+            return []
+        feats = [_ner_features(words, pos, i) for i in range(len(words))]
+        em = self._emissions(feats)
+        if force_o:
+            for i in force_o:
+                for j in range(1, len(self.labels)):
+                    em[i][j] += _NEG
+        path = self._viterbi(em, self._trans_matrix())
+        return [self.labels[i] for i in path]
+
+    # -- training ----------------------------------------------------------
+    def train(self, corpus: list[tuple[list[str], list[str], list[str]]],
+              epochs: int = 6):
+        """corpus: [(words, pos, gold_bio)]; deterministic order, averaged."""
+        totals: dict[tuple[str, str], float] = defaultdict(float)
+        stamps: dict[tuple[str, str], int] = defaultdict(int)
+        t_totals: dict[str, float] = defaultdict(float)
+        t_stamps: dict[str, int] = defaultdict(int)
+        step = 0
+
+        def upd(f: str, lab: str, delta: float):
+            key = (f, lab)
+            cur = self.weights.setdefault(f, {}).get(lab, 0.0)
+            totals[key] += (step - stamps[key]) * cur
+            stamps[key] = step
+            self.weights[f][lab] = cur + delta
+
+        def upd_t(key: str, delta: float):
+            cur = self.trans.get(key, 0.0)
+            t_totals[key] += (step - t_stamps[key]) * cur
+            t_stamps[key] = step
+            self.trans[key] = cur + delta
+
+        for _ in range(epochs):
+            for words, pos, gold in corpus:
+                feats = [_ner_features(words, pos, i) for i in range(len(words))]
+                em = self._emissions(feats)
+                pred = [self.labels[i]
+                        for i in self._viterbi(em, self._trans_matrix())]
+                if pred != gold:
+                    for i, (p, g) in enumerate(zip(pred, gold)):
+                        if p != g:
+                            for f in feats[i]:
+                                upd(f, g, 1.0)
+                                upd(f, p, -1.0)
+                        pg = gold[i - 1] if i > 0 else None
+                        pp = pred[i - 1] if i > 0 else None
+                        if i > 0 and (pp, p) != (pg, g):
+                            upd_t(f"{pg}>{g}", 1.0)
+                            upd_t(f"{pp}>{p}", -1.0)
+                step += 1
+        for f, by in self.weights.items():
+            for lab in list(by):
+                key = (f, lab)
+                totals[key] += (step - stamps[key]) * by[lab]
+                by[lab] = totals[key] / max(step, 1)
+        for key in list(self.trans):
+            t_totals[key] += (step - t_stamps[key]) * self.trans[key]
+            self.trans[key] = t_totals[key] / max(step, 1)
+
+    def to_broadcastable(self) -> dict:
+        return {"weights": {f: dict(t) for f, t in self.weights.items()},
+                "trans": dict(self.trans), "labels": list(self.labels)}
+
+    @classmethod
+    def from_broadcastable(cls, blob: dict) -> "StructuredPerceptronNER":
+        m = cls()
+        m.weights = blob["weights"]
+        m.trans = blob["trans"]
+        m.labels = blob["labels"]
+        m._L = {lab: i for i, lab in enumerate(m.labels)}
         return m
 
 

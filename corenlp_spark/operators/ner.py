@@ -1,24 +1,24 @@
-"""NER stage: CRF-Viterbi sequence decoding + gazetteer overwrite + numeric
+"""NER stage: trained sequence model + gazetteer priority overwrite + numeric
 and temporal normalization, fused into one Arrow-batched narrow transform.
 
 Behavioral reference (re-expressed):
   - linear-chain CRF w/ Viterbi decode: ``ie/crf/CRFClassifier.java:1146-1195``
     (inferenceType=Viterbi); features ``ie/NERFeatureFactory.java:98-175``
-    (word, shape, prev/next, gazetteer). Here: emission scores built from a
-    deterministic feature set (multiword gazetteer trie hits, word shape,
-    POS, sentence position) and decoded with a **vectorized numpy Viterbi**
-    per sentence — same DP, no model files.
-  - label-scheme combination/priority overwrite:
-    ``ie/NERClassifierCombiner.java:28-90`` and
-    ``pipeline/TokensRegexNERAnnotator.java:21-130`` (priority gazetteer
-    overwrites, trigger-indexed) → a broadcast trie matched before decode.
+    (word, shape, prev/next context, affixes, cue classes). Here: a TRAINED
+    structured perceptron (models/perceptron.StructuredPerceptronNER) with
+    the same feature frame and exact Viterbi decode — weights trained
+    deterministically by scripts/train_models.py, committed, lazily loaded
+    once per executor process.
+  - gazetteer layer DEMOTED to the priority-overwrite pass the reference
+    keeps it in (``pipeline/TokensRegexNERAnnotator.java:21-130``): exact
+    phrase matches overwrite the model's labels AFTER decode (longest match,
+    trigger-indexed), exactly like regexner over CRF output.
   - numeric entities + normalization: ``ie/regexp/NumberSequenceClassifier.java``
     and ``ie/QuantifiableEntityNormalizer.java:42-75`` (NUMBER/ORDINAL/
     MONEY/DATE/TIME with normalized values; dates ISO-8601 like 2013-02-21,
     cf. SUTime Timex values consumed at ``pipeline/WikidictAnnotator.java:125-140``).
 
-All dictionaries are Spark broadcasts; the transition matrix is a module
-constant. Zero shuffle.
+Zero shuffle; no per-row Python — everything runs inside mapInPandas batches.
 """
 
 from __future__ import annotations
@@ -26,7 +26,6 @@ from __future__ import annotations
 import re
 from typing import Iterator
 
-import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
@@ -35,14 +34,10 @@ NER_TOKENS_TYPE = (
     "span_idx:int,sent:int,pos:string,lemma:string,ner:string,nner:string>>"
 )
 
-LABELS = ["O", "B-PERSON", "I-PERSON", "B-ORGANIZATION", "I-ORGANIZATION",
-          "B-LOCATION", "I-LOCATION", "B-MISC", "I-MISC"]
-L = {name: i for i, name in enumerate(LABELS)}
-NEG = -1e4
-
 # ---------------------------------------------------------------------------
-# Gazetteers (multiword; matched by a first-token-indexed trie, the analog of
-# CoreMapNodePatternTrigger's trigger index)
+# Gazetteer (multiword; matched by a first-token-indexed trie, the analog of
+# CoreMapNodePatternTrigger's trigger index). Since r2 this is the REGEXNER
+# overwrite layer only — primary detection is the trained model.
 # ---------------------------------------------------------------------------
 GAZETTEER: dict[str, list[tuple[tuple[str, ...], float]]] = {
     "PERSON": [
@@ -81,102 +76,44 @@ for _lab, phrases in GAZETTEER.items():
         if _w > 0:
             _TRIGGER.setdefault(_ph[0], []).append((_lab, _ph, _w))
 
-ORG_SUFFIX = {"Inc.", "Ltd.", "Corp.", "Co.", "Pty.", "University", "School",
-              "Machines", "Group", "Company"}
-
-# transition matrix: I-X only after B-X/I-X; mild continuation bonus
-TRANS = np.zeros((len(LABELS), len(LABELS)), dtype=np.float64)
-for i, a in enumerate(LABELS):
-    for j, b in enumerate(LABELS):
-        if b.startswith("I-"):
-            ok = a in (f"B-{b[2:]}", f"I-{b[2:]}")
-            TRANS[i, j] = 0.5 if ok else NEG
-        elif b.startswith("B-") and a != "O":
-            TRANS[i, j] = -0.2  # adjacent distinct entities slightly penalized
+_NER_MODEL = None
 
 
-def _emissions(words: list[str], pos: list[str], sent_start: int) -> np.ndarray:
+def _get_ner_model():
+    """Lazy once-per-process load of the trained structured perceptron."""
+    global _NER_MODEL
+    if _NER_MODEL is None:
+        from corenlp_spark.models.perceptron import (
+            StructuredPerceptronNER, load_weights,
+        )
+        _NER_MODEL = StructuredPerceptronNER.from_broadcastable(
+            load_weights("ner"))
+    return _NER_MODEL
+
+
+def _gazetteer_overwrite(words: list[str], ner: list[str]) -> None:
+    """Regexner layer (``TokensRegexNERAnnotator.java:21-130``): exact
+    gazetteer phrases overwrite the model's labels in place. Longest match
+    at each trigger position wins (priority = phrase weight, then length);
+    matching is trigger-indexed so non-trigger tokens cost one dict probe."""
     n = len(words)
-    em = np.zeros((n, len(LABELS)), dtype=np.float64)
-    em[:, L["O"]] = 1.0
-    # shape / POS features
-    for t, (w, p) in enumerate(zip(words, pos)):
-        cap = w[:1].isupper() and w[1:].islower() or (w.isupper() and w.isalpha() and len(w) > 1)
-        if not w[:1].isalpha():
-            em[t, 1:] += NEG  # punct/number never entity (numeric pass handles them)
-            continue
-        if w.lower() in MONTHS or w.lower() in _DAY_WORDS:
-            em[t, 1:] += NEG  # calendar words belong to the numeric/temporal pass
-            continue
-        if cap and p.startswith("NNP"):
-            bonus = 1.2 if t != sent_start else 0.4
-            em[t, [L["B-PERSON"], L["B-ORGANIZATION"], L["B-LOCATION"], L["B-MISC"]]] += bonus
-            em[t, [L["I-PERSON"], L["I-ORGANIZATION"], L["I-LOCATION"], L["I-MISC"]]] += bonus
-            if w in ORG_SUFFIX:
-                em[t, [L["B-ORGANIZATION"], L["I-ORGANIZATION"]]] += 1.5
-        elif not cap:
-            em[t, 1:] -= 2.0  # lowercase: strongly prefer O (function words)
-    # gazetteer trie hits (longest-match-all, priority = weight)
-    for t, w in enumerate(words):
-        for lab, ph, wt in _TRIGGER.get(w, ()):
-            if tuple(words[t : t + len(ph)]) == ph:
-                em[t, L[f"B-{lab}"]] += 3.0 * wt
-                for k in range(1, len(ph)):
-                    em[t + k, L[f"I-{lab}"]] += 3.0 * wt
-                    em[t + k, L["O"]] -= 1.0
-    return em
-
-
-_TRANS_LIST = TRANS.tolist()
-_I_LABELS = [i for i, lab in enumerate(LABELS) if lab.startswith("I-")]
-
-
-def _viterbi_py(em: np.ndarray) -> list[int]:
-    """Pure-Python DP: 2× faster than numpy below ~40 tokens (the common
-    case — per-op numpy dispatch overhead dominates 9×9 matrices)."""
-    k = len(LABELS)
-    rows = em.tolist()
-    dp = list(rows[0])
-    for i in _I_LABELS:
-        dp[i] += NEG
-    back = []
-    for t in range(1, len(rows)):
-        emt = rows[t]
-        row_back = [0] * k
-        ndp = [0.0] * k
-        for j in range(k):
-            best, bi = dp[0] + _TRANS_LIST[0][j], 0
-            for i in range(1, k):
-                v = dp[i] + _TRANS_LIST[i][j]
-                if v > best:
-                    best, bi = v, i
-            ndp[j] = best + emt[j]
-            row_back[j] = bi
-        dp = ndp
-        back.append(row_back)
-    path = [max(range(k), key=dp.__getitem__)]
-    for rb in reversed(back):
-        path.append(rb[path[-1]])
-    return path[::-1]
-
-
-def viterbi(em: np.ndarray, trans: np.ndarray = TRANS) -> list[int]:
-    """Linear-chain Viterbi (same DP as ExactBestSequenceFinder); vectorized
-    numpy for long sentences, tight-python for short ones."""
-    n, k = em.shape
-    if n <= 40 and trans is TRANS:
-        return _viterbi_py(em)
-    dp = em[0].copy()
-    dp[_I_LABELS] += NEG
-    back = np.zeros((n, k), dtype=np.int32)
-    for t in range(1, n):
-        scores = dp[:, None] + trans + em[t][None, :]
-        back[t] = np.argmax(scores, axis=0)
-        dp = scores[back[t], np.arange(k)]
-    path = [int(np.argmax(dp))]
-    for t in range(n - 1, 0, -1):
-        path.append(int(back[t, path[-1]]))
-    return path[::-1]
+    t = 0
+    while t < n:
+        cands = _TRIGGER.get(words[t])
+        if cands:
+            best = None
+            for lab, ph, wt in cands:
+                if tuple(words[t : t + len(ph)]) == ph:
+                    key = (wt, len(ph))
+                    if best is None or key > best[0]:
+                        best = (key, lab, len(ph))
+            if best is not None:
+                _, lab, ln = best
+                for k in range(t, t + ln):
+                    ner[k] = lab
+                t += ln
+                continue
+        t += 1
 
 
 # ---------------------------------------------------------------------------
@@ -284,13 +221,20 @@ def numeric_pass(words: list[str], ner: list[str], nner: list[str]) -> None:
 
 
 def tag_sentence_ner(words: list[str], pos: list[str]) -> tuple[list[str], list[str]]:
-    # trigger-index fast path (CoreMapNodePatternTrigger analog): entities
-    # require a capitalized alphabetic token — all-lowercase sentences skip
-    # the Viterbi DP entirely and go straight to the numeric pass
+    # trigger fast path: entities require a capitalized alphabetic token —
+    # all-lowercase sentences skip the Viterbi DP entirely and go straight
+    # to the numeric pass
     if any(w[:1].isupper() for w in words):
-        em = _emissions(words, pos, sent_start=0)
-        path = viterbi(em)
-        ner = [LABELS[i].split("-", 1)[-1] if LABELS[i] != "O" else "O" for i in path]
+        # punct/number/calendar tokens are owned by the numeric/temporal
+        # pass — pin them to O in the model's decode
+        force_o = {
+            i for i, w in enumerate(words)
+            if not w[:1].isalpha()
+            or w.lower() in MONTHS or w.lower() in _DAY_WORDS
+        }
+        bio = _get_ner_model().decode(words, pos, force_o)
+        ner = [b.split("-", 1)[-1] if b != "O" else "O" for b in bio]
+        _gazetteer_overwrite(words, ner)
     else:
         ner = ["O"] * len(words)
     nner = [""] * len(words)

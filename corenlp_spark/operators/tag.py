@@ -2,16 +2,18 @@
 
 Behavioral reference (re-expressed):
   - POS: ``tagger/maxent/MaxentTagger.java`` (MaxEnt CMM over left3words
-    features, exact Viterbi via ``sequences/ExactBestSequenceFinder.java``).
-    Here: a broadcast lexicon (most-frequent-tag) + ordered contextual
-    disambiguation rules — a deterministic CMM approximation whose decision
-    points mirror the ``ExtractorFrames.java:104-145`` feature frame
-    (previous word, next word, suffixes, capitalization, digits).
+    features, ``ExtractorFrames.java:104-145``). Here: a TRAINED averaged
+    perceptron over the same feature frame (prev tag, ±1 words, suffixes,
+    shape) — weights trained deterministically by scripts/train_models.py
+    and shipped as a committed artifact (the analog of the reference's model
+    files, ``pipeline/DefaultPaths.java``). A closed-class dictionary pins
+    function words — the analog of the tag dictionary restricting the
+    MaxEnt search space (``tagger/maxent/TestSentence.java:335-341``) —
+    but carries NO open-class vocabulary: content words are the model's job.
   - lemma: ``process/Morphology.java:110`` / ``process/Morpha.flex`` —
     finite-state stemming re-expressed as exception dict + suffix rules.
 
-Both dictionaries ride to executors once via Spark broadcast (the analog of
-CoreNLP's AnnotatorPool model cache, ``pipeline/AnnotatorPool.java:23-54``).
+The model loads lazily once per executor process and scores Arrow batches.
 The stage is narrow: per-doc, zero shuffle.
 """
 
@@ -31,63 +33,48 @@ TAGGED_TOKENS_TYPE = (
 )
 
 # ---------------------------------------------------------------------------
-# POS lexicon: closed-class words + corpus vocabulary (most-frequent PTB tag)
+# Closed-class dictionary: genuinely finite English function words only
+# (determiners, pronouns, prepositions, auxiliaries, modals, contraction
+# artifacts). Open-class/content vocabulary lives in the trained model.
 # ---------------------------------------------------------------------------
-LEXICON: dict[str, str] = {
-    # determiners / pronouns / closed class
+CLOSED_CLASS: dict[str, str] = {
+    # "that" pinned IN (complementizer reading) — the downstream clause
+    # patterns (depparse/openie) are built for it, matching the r1 lexicon
     "the": "DT", "a": "DT", "an": "DT", "this": "DT", "that": "IN",
     "these": "DT", "those": "DT", "all": "DT", "some": "DT", "no": "DT",
-    "every": "DT", "any": "DT", "each": "DT", "there": "EX",
+    "every": "DT", "any": "DT", "each": "DT", "both": "DT", "there": "EX",
     "i": "PRP", "you": "PRP", "he": "PRP", "she": "PRP", "it": "PRP",
     "we": "PRP", "they": "PRP", "him": "PRP", "her": "PRP$", "them": "PRP",
     "his": "PRP$", "its": "PRP$", "their": "PRP$", "my": "PRP$",
-    "himself": "PRP", "herself": "PRP", "who": "WP", "which": "WDT",
-    "what": "WP", "whose": "WP$",
+    "your": "PRP$", "our": "PRP$", "me": "PRP", "us": "PRP",
+    "himself": "PRP", "herself": "PRP", "itself": "PRP", "themselves": "PRP",
+    "myself": "PRP", "who": "WP", "whom": "WP", "which": "WDT",
+    "what": "WP", "whose": "WP$", "where": "WRB", "when": "WRB", "why": "WRB",
+    "how": "WRB",
     "and": "CC", "or": "CC", "but": "CC", "nor": "CC",
     "of": "IN", "in": "IN", "on": "IN", "at": "IN", "by": "IN", "from": "IN",
     "with": "IN", "for": "IN", "as": "IN", "to": "TO", "into": "IN",
     "over": "IN", "under": "IN", "after": "IN", "before": "IN",
-    "about": "IN", "between": "IN", "during": "IN",
+    "about": "IN", "between": "IN", "during": "IN", "against": "IN",
+    "without": "IN", "within": "IN", "through": "IN", "upon": "IN",
+    "among": "IN", "since": "IN", "until": "IN", "toward": "IN",
     "is": "VBZ", "am": "VBP", "are": "VBP", "was": "VBD", "were": "VBD",
     "be": "VB", "been": "VBN", "being": "VBG",
     "'s": "POS", "'m": "VBP", "'re": "VBP", "'ve": "VBP", "'ll": "MD",
     "'d": "MD", "n't": "RB", "not": "RB",
-    "has": "VBZ", "have": "VBP", "had": "VBD", "having": "VBG",
-    "do": "VBP", "does": "VBZ", "did": "VBD",
-    "will": "MD", "would": "MD", "can": "MD", "could": "MD", "may": "MD",
+    "has": "VBZ", "does": "VBZ", "did": "VBD",
+    "will": "MD", "would": "MD", "can": "MD", "could": "MD",
     "might": "MD", "shall": "MD", "should": "MD", "must": "MD",
-    "very": "RB", "really": "RB", "well": "RB", "quickly": "RB",
-    "then": "RB", "here": "RB", "now": "RB", "also": "RB", "only": "RB",
-    # corpus / golden-fixture vocabulary
-    "cats": "NNS", "tails": "NNS", "rabbits": "NNS", "vegetables": "NNS",
-    "boxes": "NNS", "engineers": "NNS", "offices": "NNS", "results": "NNS",
-    "earnings": "NNS", "sentence": "NN", "phone": "NN", "call": "VB",
-    "dog": "NN", "research": "NN", "group": "NN", "president": "NN",
-    "loan": "NN", "remainder": "NN", "season": "NN", "office": "NN",
-    "doubt": "NN", "company": "NN", "startup": "NN", "law": "NN",
-    "attorney": "NN", "election": "NN", "nominee": "NN", "prize": "NN",
-    "fox": "NN", "front": "NN",
-    "have": "VBP", "eat": "VBP", "visited": "VBD", "spoke": "VBD",
-    "works": "VBZ", "worked": "VBD", "joined": "VBD", "born": "VBN",
-    "said": "VBD", "paid": "VBD", "thought": "VBD", "shipped": "VBD",
-    "published": "VBD", "grew": "VBD", "announced": "VBD", "acquired": "VBD",
-    "discovered": "VBD", "won": "VBD", "located": "VBN", "jumps": "VBZ",
-    "hired": "VBD", "opened": "VBD", "headquartered": "VBN", "taught": "VBD",
-    "win": "VB", "raised": "VBD", "served": "VBD", "serve": "VB",
-    "see": "VB", "saw": "VBD",
-    "arrived": "VBD", "leaves": "VBZ", "happened": "VBD",
-    "graduate": "NN", "organizer": "NN", "terms": "NNS", "money": "NN",
-    "investors": "NNS", "sign": "NN", "entry": "NN",
-    "yesterday": "NN", "today": "NN", "tomorrow": "NN",
-    "defeated": "VBD", "inaugurated": "VBN", "hold": "VB", "gon": "VBG",
-    "na": "TO", "gim": "VB", "me": "PRP", "happy": "JJ",
-    "quick": "JJ", "brown": "JJ", "lazy": "JJ", "fast": "JJ", "small": "JJ",
-    "blue": "JJ", "physical": "JJ", "great": "JJ", "smart": "JJ",
-    "beautiful": "JJ", "red": "JJ", "green": "JJ", "sport": "NN",
-    "big": "JJ", "slow": "JJ", "current": "JJ", "civil": "JJ",
-    "constitutional": "JJ", "general": "JJ", "first": "JJ", "new": "JJ",
-    "pm": "NN",
+    # high-frequency adverbs with a single overwhelming PTB reading
+    "then": "RB", "now": "RB", "also": "RB", "only": "RB", "just": "RB",
+    "very": "RB", "really": "RB", "too": "RB", "soon": "RB", "never": "RB",
+    "always": "RB", "often": "RB", "again": "RB", "still": "RB",
+    "however": "RB",
+    # tokenizer contraction artifacts ("gonna" → "gon na", "gimme" → "gim me")
+    "gon": "VBG", "na": "TO", "gim": "VB",
 }
+# "may" is MD only in lowercase (capitalized it is usually the month NNP)
+_LOWER_ONLY = {"may": "MD"}
 
 _PUNCT_TAGS = {".": ".", ",": ",", ":": ":", ";": ":", "?": ".", "!": ".",
                "``": "``", "''": "''", "(": "-LRB-", ")": "-RRB-",
@@ -96,51 +83,40 @@ _PUNCT_TAGS = {".": ".", ",": ",", ":": ":", ";": ":", "?": ".", "!": ".",
 
 _RE_NUM = re.compile(r"^\d[\d,.:]*$")
 _RE_ORD = re.compile(r"^\d+(st|nd|rd|th)$")
-_SUFFIX_RULES = [  # (suffix, tag) — applied to unknown lowercase words
-    ("ing", "VBG"), ("ed", "VBD"), ("ly", "RB"), ("tion", "NN"),
-    ("ment", "NN"), ("ness", "NN"), ("ity", "NN"), ("ous", "JJ"),
-    ("ive", "JJ"), ("able", "JJ"), ("al", "JJ"), ("ful", "JJ"),
-    ("ish", "JJ"), ("s", "NNS"),
-]
+
+_POS_MODEL = None
+
+
+def _get_pos_model():
+    """Lazy once-per-process model load (executor-side; the committed
+    weights artifact rides with the package via --py-files)."""
+    global _POS_MODEL
+    if _POS_MODEL is None:
+        from corenlp_spark.models.perceptron import (
+            AveragedPerceptronTagger, load_weights,
+        )
+        _POS_MODEL = AveragedPerceptronTagger.from_broadcastable(
+            load_weights("pos"))
+    return _POS_MODEL
 
 
 def pos_tag(words: list[str], sent_starts: set[int]) -> list[str]:
-    """Tag one document's token words. ``sent_starts``: indices starting a sentence."""
-    tags: list[str] = []
+    """Tag one document's token words with the trained averaged perceptron.
+    ``sent_starts``: indices starting a sentence (left context resets)."""
+    fixed: dict[int, str] = {}
     for i, w in enumerate(words):
-        if w in _PUNCT_TAGS:
-            tags.append(_PUNCT_TAGS[w])
-            continue
         lw = w.lower()
-        if _RE_ORD.match(w):
-            tags.append("JJ")  # ordinals tag JJ in PTB
-            continue
-        if _RE_NUM.match(w):
-            tags.append("CD")
-            continue
-        tag = LEXICON.get(lw)
-        if tag is None:
-            if w[:1].isupper():
-                tag = "NNPS" if w.endswith("s") and len(w) > 4 else "NNP"
-            else:
-                tag = next((t for s, t in _SUFFIX_RULES if lw.endswith(s)), "NN")
-                # left-context frame: an unknown word right after a modal or
-                # infinitival 'to' is a base verb (left3words decision)
-                if tags and tags[-1] in ("MD", "TO") and tag in ("NN", "NNS"):
-                    tag = "VB"
-        # contextual disambiguation (left3words-style decisions)
-        if tag.startswith("V") and i > 0:
-            prev = tags[-1]
-            if prev in ("DT", "JJ", "PRP$", "POS") and LEXICON.get(lw, "").startswith("V") is False:
-                pass  # lexicon verbs after determiners stay verbs only if lexicon says so
-        if lw == "that" and i + 1 < len(words) and words[i + 1].lower() in LEXICON \
-                and LEXICON[words[i + 1].lower()] in ("NNS", "NN", "PRP", "DT"):
-            tag = "IN"
-        # capitalized sentence-initial known word: prefer lexicon tag
-        if i in sent_starts and w[:1].isupper() and lw in LEXICON:
-            tag = LEXICON[lw]
-        tags.append(tag)
-    return tags
+        if w in _PUNCT_TAGS:
+            fixed[i] = _PUNCT_TAGS[w]
+        elif _RE_ORD.match(w):
+            fixed[i] = "JJ"  # ordinals tag JJ in PTB
+        elif _RE_NUM.match(w):
+            fixed[i] = "CD"
+        elif lw in CLOSED_CLASS:
+            fixed[i] = CLOSED_CLASS[lw]
+        elif lw in _LOWER_ONLY and w.islower():
+            fixed[i] = _LOWER_ONLY[lw]
+    return _get_pos_model().predict_with_constraints(words, fixed, sent_starts)
 
 
 # ---------------------------------------------------------------------------
