@@ -226,6 +226,15 @@ GOLDEN_TAGGED: list[tuple[str, str]] = [
     ("There is no doubt that I am great .", "EX VBZ DT NN IN PRP VBP JJ ."),
     ("John did see Sara .", "NNP VBD VB NNP ."),
     ("He then defeated the Republican nominee .", "PRP RB VBD DT NNP NN ."),
+    # full untruncated reference golden sentences (OpenIEITest.java:135-223)
+    ("On 21 February 2013 George Boyd joined on loan from Peterborough United for the remainder of the season .",
+     "IN CD NNP CD NNP NNP VBD IN NN IN NNP NNP IN DT NN IN DT NN ."),
+    ("Barack Hussein Obama II is the 44th and current President of the United States , and the first African American to hold the office .",
+     "NNP NNP NNP NNP VBZ DT JJ CC JJ NN IN DT NNP NNPS , CC DT JJ JJ NNP TO VB DT NN ."),
+    ("He worked as a civil rights attorney and taught constitutional law at the University of Chicago Law School from 1992 to 2004 .",
+     "PRP VBD IN DT JJ NNS NN CC VBD JJ NN IN DT NNP IN NNP NNP NNP IN CD TO CD ."),
+    ("He served three terms representing the 13th District in the Illinois Senate from 1997 to 2004 , running unsuccessfully for the United States House of Representatives in 2000 .",
+     "PRP VBD CD NNS VBG DT JJ NNP IN DT NNP NNP IN CD TO CD , VBG RB IN DT NNP NNP NNP IN NNPS IN CD ."),
 ]
 
 

@@ -70,6 +70,14 @@ def _chunk_nps(c: _Clause) -> list[tuple[int, int, int]]:
                             and c.ner[j - 1] in _TEMPORAL_NER and c.ner[j + 1] in _TEMPORAL_NER):
                         j += 1
                         continue
+                    # NP-internal adjective coordination: "the 44th and
+                    # current President" — CC between two adjectives stays
+                    # inside the chunk (UD: both amod the same head)
+                    if (c.pos[j] == "CC" and j > i and j + 1 < c.n
+                            and c.pos[j - 1] in ("JJ", "JJR", "JJS")
+                            and c.pos[j + 1] in ("JJ", "JJR", "JJS")):
+                        j += 1
+                        continue
                     break
                 # NER-aware split: a DATE/TIME run never merges with a
                 # following non-temporal token and vice versa (keeps fronted
@@ -99,6 +107,8 @@ def _chunk_nps(c: _Clause) -> list[tuple[int, int, int]]:
                     c.attach(k, head, "amod")
                 elif pk == "CD":
                     c.attach(k, head, "nummod")
+                elif pk == "CC":
+                    c.attach(k, head, "cc")
                 elif pk == "POS":
                     # IBM 's research group → case('s→IBM), nmod:poss(IBM→group)
                     if k > i:
@@ -308,15 +318,25 @@ def parse_clause(c: _Clause, lo: int, hi: int, chunks, vgs) -> int:
             nxt = next((ch for ch in my_chunks if ch[0] == t + 1), None)
             if nxt is not None:
                 c.attach(t, nxt[2], "case")
-                # attachment point: 'of' and prep-chains attach to the
-                # immediately-preceding noun; preps after the subject or a
-                # direct object attach to the clause root (verb/predicate)
+                # attachment point: 'of' attaches to the immediately-
+                # preceding noun; other preps chain onto a FIRST-LEVEL nmod
+                # noun ("joined on loan → from Peterborough United") but a
+                # noun already two nmods deep bounces the PP back up to the
+                # clause root ("…loan from Peterborough United | for the
+                # remainder…", "…of Chicago Law School | from 1992…" — the
+                # reference's parses attach those to the verb,
+                # OpenIEITest.java:135-143,186-199)
                 attach = root
                 prev_ch = next((ch for ch in my_chunks if ch[1] == t), None)
                 if prev_ch is not None:
-                    prev_rel = c.edges.get(prev_ch[2], (None, ""))[1]
-                    if c.lemma[t] == "of" or prev_rel.startswith("nmod"):
+                    prev_head, prev_rel = c.edges.get(prev_ch[2], (None, ""))
+                    if c.lemma[t] == "of":
                         attach = prev_ch[2]
+                    elif prev_rel.startswith("nmod"):
+                        gp_rel = c.edges.get(prev_head, (None, ""))[1] \
+                            if prev_head is not None else ""
+                        if not gp_rel.startswith("nmod"):
+                            attach = prev_ch[2]
                 if attach != nxt[2]:
                     c.attach(nxt[2], attach, f"nmod:{c.lemma[t]}")
             elif c.pos[t] == "TO" and t + 1 < hi and c.pos[t + 1] == "VB":

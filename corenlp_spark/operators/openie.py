@@ -73,17 +73,47 @@ class _Graph:
     def lemma(self, t):
         return self.lemmas[t - self.off]
 
-    def np_tokens(self, head, drop_amod=False, stop=()):
-        """Collect the noun phrase under ``head`` (dets/punct stripped)."""
+    def np_tokens(self, head, drop_amod=False, stop=(), keep_amods=None):
+        """Collect the noun phrase under ``head`` (dets/punct stripped).
+
+        ``keep_amods``: when set, retain ONLY those amod children (the
+        single-adjective entailment variants of coordinated modifiers,
+        "44th and current President" ⊢ "44th President")."""
         out = [head]
+        amods = [d for d, r in self.children.get(head, ()) if r == "amod"]
+        kept_amods = 0
         for d, r in self.children.get(head, ()):
             if d in stop or r in _DET_LIKE or r.startswith("nmod") or r in ("conj", "ccomp", "acl", "cop", "nsubj", "expl", "obj", "aux", "aux:pass", "dep", "advmod"):
                 continue
-            if drop_amod and r == "amod":
-                continue
+            if r == "amod":
+                if drop_amod or (keep_amods is not None and d not in keep_amods):
+                    continue
+                kept_amods += 1
             if r in _NP_MODS:
                 out.extend(self.np_tokens(d, drop_amod=drop_amod, stop=stop))
+        # adjective coordination: keep the cc only when every coordinated
+        # amod is retained ("44th AND current President"; dropped otherwise)
+        if len(amods) >= 2 and kept_amods == len(amods):
+            for d, r in self.children.get(head, ()):
+                if r == "cc" and min(amods) < d < max(amods):
+                    out.append(d)
         return sorted(out)
+
+    def np_variants(self, head) -> list[list[int]]:
+        """Entailment-licensed NP variants: full, amod-dropped, and each
+        single-amod survivor of a coordinated modifier pair."""
+        full = self.np_tokens(head)
+        vs = [full]
+        drop = self.np_tokens(head, drop_amod=True)
+        if drop != full:
+            vs.append(drop)
+        amods = [d for d, r in self.children.get(head, ()) if r == "amod"]
+        if len(amods) >= 2:
+            for a in amods:
+                one = self.np_tokens(head, keep_amods={a})
+                if one not in vs:
+                    vs.append(one)
+        return vs
 
     def gloss(self, tokens):
         return " ".join(self.word(t) for t in sorted(tokens))
@@ -134,10 +164,7 @@ def extract_sentence(g: _Graph) -> list[tuple[str, str, str, float, int, int]]:
 
     def obj_variants(head: int) -> list[tuple[list[int], float]]:
         full = g.np_tokens(head)
-        vs = [(full, 1.0)]
-        drop = g.np_tokens(head, drop_amod=True)
-        if drop != full:
-            vs.append((drop, 1.0))
+        vs = [(np, 1.0) for np in g.np_variants(head)]
         for d, r in g.kids(head):
             if r.startswith("nmod:") and r != "nmod:poss":
                 case_tok = g.first(d, "case")
@@ -207,9 +234,7 @@ def extract_sentence(g: _Graph) -> list[tuple[str, str, str, float, int, int]]:
         cop = g.first(v, "cop")
         if cop is not None:
             cop_w = g.word(cop)
-            pred_full = g.np_tokens(v)
-            pred_drop = g.np_tokens(v, drop_amod=True)
-            pred_vars = [pred_full] + ([pred_drop] if pred_drop != pred_full else [])
+            pred_vars = g.np_variants(v)
             s_gloss = g.gloss(g.np_tokens(s))
             for pv in pred_vars:
                 out.append((s_gloss, cop_w if cop_w in ("is", "are") else cop_w,
@@ -226,16 +251,30 @@ def extract_sentence(g: _Graph) -> list[tuple[str, str, str, float, int, int]]:
         # plain verb patterns
         o = g.first(v, "obj")
         pred = _pred_words(g, v, [])
+        # manner-adverb variant: "-ly" advmods stay in the relation gloss
+        # ("running unsuccessfully for") alongside the entailed bare form
+        # ("running for") — ForwardEntailer advmod deletion in reverse
+        manner = [d for d, r in g.kids(v)
+                  if r == "advmod" and g.word(d).lower().endswith("ly")
+                  and g.word(d).lower() not in _NEG_DETS]
+        pred_forms = [pred]
+        if manner:
+            pred_forms.append(_pred_words(g, v, manner))
         if o is not None:
             emit(s, pred, o, 1.0)
+            # relation glosses with the object folded in carry the object's
+            # entailment variants too ("taught law at" / "taught
+            # constitutional law at", OpenIEITest.java:186-199)
             for d, r in g.kids(v):
                 if r.startswith("nmod:") and r != "nmod:poss":
                     case = r.split(":", 1)[1]
-                    emit(s, f"{pred} {g.gloss(g.np_tokens(o))} {case}", d, 1.0)
+                    for onp in g.np_variants(o):
+                        emit(s, f"{pred} {g.gloss(onp)} {case}", d, 1.0)
         for d, r in g.kids(v):
             if r.startswith("nmod:") and r != "nmod:poss":
                 case = r.split(":", 1)[1]
-                emit(s, f"{pred} {case}", d, 1.0)
+                for pf in pred_forms:
+                    emit(s, f"{pf} {case}", d, 1.0)
         if o is None:
             x = g.first(v, "xcomp")
             if x is not None:
@@ -255,6 +294,35 @@ def extract_sentence(g: _Graph) -> list[tuple[str, str, str, float, int, int]]:
                 if np and not _negated(g, h) and g.first(h, "cop") is not None:
                     out.append((g.gloss(np), f"is {case}",
                                 g.gloss(g.np_tokens(d)), 1.0, h, d))
+
+    # noun pattern (RelationTripleSegmenter NOUN_DEPENDENCY_PATTERNS,
+    # `{tag:/N.*/} >/(nmod|obl):(in|with)/ {}`): ANY noun with an in/with
+    # modifier → (noun; is in/with; modifier) — "the 13th District in the
+    # Illinois Senate" ⊢ (13th District; is in; Illinois Senate)
+    def _noun_locative(h: int, d: int, case: str):
+        if g.pos[d - g.off] == "CD":
+            return  # temporal complements ("in 2000") belong to the verb
+        out.append((g.gloss(g.np_tokens(h)), f"is {case}",
+                    g.gloss(g.np_tokens(d)), 1.0, h, d))
+
+    for h in list(g.children):
+        if not g.pos[h - g.off].startswith("N"):
+            continue
+        for d, r in g.kids(h):
+            if r in ("nmod:in", "nmod:with"):
+                _noun_locative(h, d, r.split(":", 1)[1])
+    # the same pattern when the PP attached high (verb) but sits linearly
+    # adjacent to the object NP — PP-attachment ambiguity the reference's
+    # trained parser resolves low in these cases
+    for v2 in list(g.children):
+        o2 = g.first(v2, "obj")
+        if o2 is None or not g.pos[v2 - g.off].startswith("V"):
+            continue
+        for d, r in g.kids(v2):
+            if r in ("nmod:in", "nmod:with"):
+                case_tok = g.first(d, "case")
+                if case_tok is not None and case_tok == max(g.np_tokens(o2)) + 1:
+                    _noun_locative(o2, d, r.split(":", 1)[1])
 
     # noun pattern (RelationTripleSegmenter): possessive → (possessor; has; rest)
     for h in list(g.children):

@@ -33,25 +33,56 @@ GOLDEN = [
     ("There are cats with tails.", {("cats", "is with", "tails")}, False),
     ("IBM's research group.", {("ibm", "has", "research group")}, False),
     ("All rabbits eat vegetables.", {("rabbits", "eat", "vegetables")}, False),
-    # :135-143 testExtractionsGeorgeBoyd (truncated pool variant)
+    # :134-143 testExtractionsGeorgeBoyd — FULL sentence, and the extraction
+    # set matches the reference's assertExtracted set EXACTLY (set equality,
+    # the reference's own assertion mode)
+    ("On 21 February 2013 George Boyd joined on loan from Peterborough United for the remainder of the season.",
+     {("george boyd", "joined on", "21 february 2013"),
+      ("george boyd", "joined for", "remainder"),
+      ("george boyd", "joined for", "remainder of season"),
+      ("george boyd", "joined on", "loan"),
+      ("george boyd", "joined on", "loan from peterborough united")}, True),
+    # the truncated variant stays as an exact regression case
     ("On 21 February 2013 George Boyd joined on loan from Peterborough United.",
      {("george boyd", "joined on", "21 february 2013"),
       ("george boyd", "joined on", "loan"),
       ("george boyd", "joined on", "loan from peterborough united")}, True),
-    # :145-156 testExtractionsObamaWikiOne (simplified pool variant)
+    # :145-156 testExtractionsObamaWikiOne — FULL sentence (containment: the
+    # engine adds entailment variants the reference's exact set omits, e.g.
+    # "is current President of United States", which the reference itself
+    # has commented out as model-dependent at :149,154)
+    ("Barack Hussein Obama II is the 44th and current President of the United States, and the first African American to hold the office.",
+     {("barack hussein obama ii", "is 44th and current president of", "united states"),
+      ("barack hussein obama ii", "is 44th president of", "united states"),
+      ("barack hussein obama ii", "is president of", "united states"),
+      ("barack hussein obama ii", "is", "president"),
+      ("barack hussein obama ii", "is", "44th president")}, False),
     ("Barack Hussein Obama II is the 44th President of the United States.",
      {("barack hussein obama ii", "is", "president"),
       ("barack hussein obama ii", "is", "44th president"),
       ("barack hussein obama ii", "is 44th president of", "united states"),
       ("barack hussein obama ii", "is president of", "united states")}, True),
-    # :186-199 testExtractionsObamaWikiFour
-    ("He worked as a civil rights attorney and taught constitutional law at the University of Chicago Law School.",
+    # :186-200 testExtractionsObamaWikiFour — FULL sentence incl. the
+    # "from 1992 to 2004" range the reference asserts
+    ("He worked as a civil rights attorney and taught constitutional law at the University of Chicago Law School from 1992 to 2004.",
      {("he", "worked as", "civil rights attorney"),
       ("he", "worked as", "rights attorney"),
       ("he", "taught", "constitutional law"),
       ("he", "taught", "law"),
-      ("he", "taught constitutional law at", "university of chicago law school"),
-      ("he", "taught constitutional law at", "university")}, False),
+      ("he", "taught law at", "university of chicago law school"),
+      ("he", "taught law at", "university"),
+      ("he", "taught law from", "1992 to 2004")}, False),
+    # :204-223 testExtractionsObamaWikiFive (disabled in the reference —
+    # //@Test — but its uncommented golden set is covered here)
+    ("He served three terms representing the 13th District in the Illinois Senate from 1997 to 2004, running unsuccessfully for the United States House of Representatives in 2000.",
+     {("he", "served", "three terms"),
+      ("13th district", "is in", "illinois senate"),
+      ("he", "running unsuccessfully for", "united states house of representatives"),
+      ("he", "running unsuccessfully for", "united states house"),
+      ("he", "running for", "united states house of representatives"),
+      ("he", "running for", "united states house"),
+      ("he", "running in", "2000"),
+      ("he", "running unsuccessfully in", "2000")}, False),
     # :225-247 testExtractionsObamaWikiSix
     ("He then defeated Republican nominee John McCain in the general election, and was inaugurated as president on January 20, 2009.",
      {("he", "defeated", "republican nominee john mccain"),
