@@ -64,11 +64,17 @@ def _pos_features(words: list[str], i: int, prev_tag: str) -> list[str]:
 
 
 class AveragedPerceptronTagger:
-    """Greedy left-to-right averaged perceptron POS tagger."""
+    """Greedy left-to-right averaged perceptron POS tagger.
+
+    Inference vectorizes per-feature label scores into numpy arrays (built
+    lazily once per process) — the same precompute trick the reference plays
+    for frequent-feature hidden products (``parser/nndep/Classifier.java``
+    preComputed / ``DependencyParser.java:109,313``)."""
 
     def __init__(self):
         self.weights: dict[str, dict[str, float]] = {}
         self.tags: list[str] = []
+        self._wvec = None  # feature → np.ndarray(len(tags))
 
     def _score(self, feats: list[str]) -> dict[str, float]:
         scores: dict[str, float] = defaultdict(float)
@@ -77,12 +83,43 @@ class AveragedPerceptronTagger:
                 scores[tag] += w
         return scores
 
+    def _ensure_vectors(self):
+        import numpy as np
+
+        if self._wvec is not None:
+            return
+        idx = {t: i for i, t in enumerate(self.tags)}
+        vec = {}
+        for f, by in self.weights.items():
+            a = np.zeros(len(self.tags))
+            for tag, w in by.items():
+                if tag in idx:
+                    a[idx[tag]] = w
+            vec[f] = a
+        self._wvec = vec
+
+    def _argmax_tag(self, feats: list[str]):
+        """Vectorized score + argmax; ties break to the LARGEST tag (same
+        as max(tags, key=(score, tag)) in the dict path)."""
+        import numpy as np
+
+        acc = None
+        vec = self._wvec
+        for f in feats:
+            a = vec.get(f)
+            if a is not None:
+                acc = a.copy() if acc is None else acc + a
+        if acc is None:
+            return self.tags[-1] if self.tags else "NN"
+        best = len(acc) - 1 - int(np.argmax(acc[::-1]))
+        return self.tags[best]
+
     def predict(self, words: list[str]) -> list[str]:
+        self._ensure_vectors()
         out: list[str] = []
         prev = "<s>"
         for i in range(len(words)):
-            scores = self._score(_pos_features(words, i, prev))
-            tag = max(self.tags, key=lambda t: (scores.get(t, 0.0), t)) if self.tags else "NN"
+            tag = self._argmax_tag(_pos_features(words, i, prev))
             out.append(tag)
             prev = tag
         return out
@@ -94,6 +131,7 @@ class AveragedPerceptronTagger:
         dictionary restricting MaxentTagger's search space
         (``tagger/maxent/TestSentence.java:335-341``). ``sent_starts`` resets
         the left-context across sentence boundaries."""
+        self._ensure_vectors()
         out: list[str] = []
         prev = "<s>"
         starts = sent_starts or set()
@@ -102,9 +140,7 @@ class AveragedPerceptronTagger:
                 prev = "<s>"
             tag = fixed.get(i)
             if tag is None:
-                scores = self._score(_pos_features(words, i, prev))
-                tag = (max(self.tags, key=lambda t: (scores.get(t, 0.0), t))
-                       if self.tags else "NN")
+                tag = self._argmax_tag(_pos_features(words, i, prev))
             out.append(tag)
             prev = tag
         return out
@@ -145,6 +181,7 @@ class AveragedPerceptronTagger:
                 key = (f, tag)
                 totals[key] += (step - stamps[key]) * by_tag[tag]
                 by_tag[tag] = totals[key] / max(step, 1)
+        self._wvec = None
 
     def to_broadcastable(self) -> dict:
         """Plain-dict snapshot for SparkContext.broadcast."""
@@ -191,35 +228,46 @@ _PERSON_TITLES = {"mr.", "mrs.", "ms.", "dr.", "prof.", "president",
                   "senator", "judge", "professor"}
 
 
+def _ner_sent_features(words: list[str], pos: list[str]) -> list[list[str]]:
+    """Per-token features for a whole sentence
+    (NERFeatureFactory.java:98-175 re-expressed): word identity, shape,
+    affixes, ±1 context words/shapes, POS context, org-suffix/title cue
+    classes. Lowercase forms and shapes are computed once per sentence."""
+    n = len(words)
+    lws = [w.lower() for w in words]
+    shs = [_shape(w) for w in words]
+    out = []
+    for i in range(n):
+        w, lw, sh = words[i], lws[i], shs[i]
+        plw = lws[i - 1] if i > 0 else "<s>"
+        nlw = lws[i + 1] if i + 1 < n else "</s>"
+        feats = [
+            f"w={lw}", f"sh={sh}", f"suf3={lw[-3:]}", f"pre2={lw[:2]}",
+            f"w-1={plw}", f"w+1={nlw}",
+            f"sh-1={shs[i - 1] if i > 0 else '<s>'}",
+            f"sh+1={shs[i + 1] if i + 1 < n else '</s>'}",
+            f"p={pos[i]}", f"p-1={pos[i-1] if i > 0 else '<s>'}",
+            f"w-1+sh={plw}+{sh}",
+            f"sh+w+1={sh}+{nlw}",
+            "bias",
+        ]
+        if i == 0:
+            feats.append("first")
+        if w.endswith("."):
+            feats.append("abbr")
+        if lw in _ORG_SUFFIX_WORDS:
+            feats.append("orgsuf")
+        if nlw in _ORG_SUFFIX_WORDS:
+            feats.append("orgsuf+1")
+        if plw in _PERSON_TITLES:
+            feats.append("title-1")
+        out.append(feats)
+    return out
+
+
 def _ner_features(words: list[str], pos: list[str], i: int) -> list[str]:
-    """Per-token features (NERFeatureFactory.java:98-175 re-expressed):
-    word identity, shape, affixes, ±1 context words/shapes, POS context,
-    org-suffix / person-title cue classes."""
-    w = words[i]
-    lw = w.lower()
-    pw = words[i - 1] if i > 0 else "<s>"
-    nw = words[i + 1] if i + 1 < len(words) else "</s>"
-    feats = [
-        f"w={lw}", f"sh={_shape(w)}", f"suf3={lw[-3:]}", f"pre2={lw[:2]}",
-        f"w-1={pw.lower()}", f"w+1={nw.lower()}",
-        f"sh-1={_shape(pw) if i > 0 else '<s>'}",
-        f"sh+1={_shape(nw) if i + 1 < len(words) else '</s>'}",
-        f"p={pos[i]}", f"p-1={pos[i-1] if i > 0 else '<s>'}",
-        f"w-1+sh={pw.lower()}+{_shape(w)}",
-        f"sh+w+1={_shape(w)}+{nw.lower()}",
-        "bias",
-    ]
-    if i == 0:
-        feats.append("first")
-    if w.endswith("."):
-        feats.append("abbr")
-    if lw in _ORG_SUFFIX_WORDS:
-        feats.append("orgsuf")
-    if nw.lower() in _ORG_SUFFIX_WORDS:
-        feats.append("orgsuf+1")
-    if pw.lower() in _PERSON_TITLES:
-        feats.append("title-1")
-    return feats
+    """Single-token view (kept for tests/debugging)."""
+    return _ner_sent_features(words, pos)[i]
 
 
 class StructuredPerceptronNER:
@@ -234,9 +282,78 @@ class StructuredPerceptronNER:
         self.trans: dict[str, float] = {}  # "A>B" → weight
         self.labels = list(NER_LABELS)
         self._L = {lab: i for i, lab in enumerate(self.labels)}
+        self._wvec = None  # feature → np.ndarray(k), built lazily
+        self._T = None     # cached k×k transition matrix (np)
+
+    def _invalidate(self):
+        self._wvec = None
+        self._T = None
+
+    def _ensure_vectors(self):
+        import numpy as np
+
+        if self._wvec is not None:
+            return
+        k = len(self.labels)
+        vec = {}
+        for f, by in self.weights.items():
+            a = np.zeros(k)
+            for lab, wt in by.items():
+                a[self._L[lab]] += wt
+            vec[f] = a
+        self._wvec = vec
+        T = np.zeros((k, k))
+        for i, a in enumerate(self.labels):
+            for j, b in enumerate(self.labels):
+                if b.startswith("I-") and a not in (f"B-{b[2:]}", f"I-{b[2:]}"):
+                    T[i, j] = _NEG  # BIO structural constraint
+                else:
+                    T[i, j] = self.trans.get(f"{a}>{b}", 0.0)
+        self._T = T
 
     # -- scoring -----------------------------------------------------------
-    def _emissions(self, feats_per_tok: list[list[str]]) -> list[list[float]]:
+    def _emissions(self, feats_per_tok: list[list[str]]):
+        import numpy as np
+
+        self._ensure_vectors()
+        k = len(self.labels)
+        em = np.zeros((len(feats_per_tok), k))
+        vec = self._wvec
+        for i, feats in enumerate(feats_per_tok):
+            row = em[i]
+            for f in feats:
+                a = vec.get(f)
+                if a is not None:
+                    row += a
+        return em
+
+    def _trans_matrix(self):
+        self._ensure_vectors()
+        return self._T
+
+    def _viterbi(self, em, trans) -> list[int]:
+        """Vectorized linear-chain Viterbi (numpy over the label axis; same
+        DP as ``sequences/ExactBestSequenceFinder.java:37-110``)."""
+        import numpy as np
+
+        n, k = em.shape
+        dp = em[0].copy()
+        for j in range(k):
+            if self.labels[j].startswith("I-"):
+                dp[j] += _NEG
+        back = np.zeros((n, k), dtype=np.int32)
+        for t in range(1, n):
+            scores = dp[:, None] + trans
+            back[t] = np.argmax(scores, axis=0)
+            dp = scores[back[t], np.arange(k)] + em[t]
+        path = [int(np.argmax(dp))]
+        for t in range(n - 1, 0, -1):
+            path.append(int(back[t, path[-1]]))
+        return path[::-1]
+
+    # dict-path twins used DURING TRAINING (weights mutate every update, so
+    # the cached numpy vectors cannot be used there)
+    def _emissions_train(self, feats_per_tok: list[list[str]]) -> list[list[float]]:
         k = len(self.labels)
         out = []
         for feats in feats_per_tok:
@@ -249,18 +366,18 @@ class StructuredPerceptronNER:
             out.append(row)
         return out
 
-    def _trans_matrix(self) -> list[list[float]]:
+    def _trans_matrix_train(self) -> list[list[float]]:
         k = len(self.labels)
         t = [[0.0] * k for _ in range(k)]
         for i, a in enumerate(self.labels):
             for j, b in enumerate(self.labels):
                 if b.startswith("I-") and a not in (f"B-{b[2:]}", f"I-{b[2:]}"):
-                    t[i][j] = _NEG  # BIO structural constraint
+                    t[i][j] = _NEG
                 else:
                     t[i][j] = self.trans.get(f"{a}>{b}", 0.0)
         return t
 
-    def _viterbi(self, em: list[list[float]], trans: list[list[float]]) -> list[int]:
+    def _viterbi_train(self, em: list[list[float]], trans: list[list[float]]) -> list[int]:
         k = len(self.labels)
         dp = list(em[0])
         for j in range(k):
@@ -292,12 +409,11 @@ class StructuredPerceptronNER:
         (punct/number/calendar tokens owned by the numeric/temporal pass)."""
         if not words:
             return []
-        feats = [_ner_features(words, pos, i) for i in range(len(words))]
+        feats = _ner_sent_features(words, pos)
         em = self._emissions(feats)
         if force_o:
             for i in force_o:
-                for j in range(1, len(self.labels)):
-                    em[i][j] += _NEG
+                em[i, 1:] += _NEG
         path = self._viterbi(em, self._trans_matrix())
         return [self.labels[i] for i in path]
 
@@ -326,10 +442,10 @@ class StructuredPerceptronNER:
 
         for _ in range(epochs):
             for words, pos, gold in corpus:
-                feats = [_ner_features(words, pos, i) for i in range(len(words))]
-                em = self._emissions(feats)
+                feats = _ner_sent_features(words, pos)
+                em = self._emissions_train(feats)
                 pred = [self.labels[i]
-                        for i in self._viterbi(em, self._trans_matrix())]
+                        for i in self._viterbi_train(em, self._trans_matrix_train())]
                 if pred != gold:
                     for i, (p, g) in enumerate(zip(pred, gold)):
                         if p != g:
@@ -350,6 +466,7 @@ class StructuredPerceptronNER:
         for key in list(self.trans):
             t_totals[key] += (step - t_stamps[key]) * self.trans[key]
             self.trans[key] = t_totals[key] / max(step, 1)
+        self._invalidate()
 
     def to_broadcastable(self) -> dict:
         return {"weights": {f: dict(t) for f, t in self.weights.items()},
