@@ -386,6 +386,10 @@ def q_events_pivot(spark, sf_dir):
 
 
 def q_kg_kbp_ensemble(spark, sf_dir):
+    """3-arm KBP ensemble over the golden pool PLUS the widened KBP pool
+    (data/kbp_corpus.py — ~20 distinct relations of the reference taxonomy,
+    ie/KBPRelationExtractor.java:119-168)."""
+    from corenlp_spark.data.kbp_corpus import kbp_docs
     from corenlp_spark.operators.kbp import (
         kbp_ensemble, kbp_relations, kbp_semgrex_relations,
         kbp_statistical_relations, pattern_table,
@@ -394,7 +398,7 @@ def q_kg_kbp_ensemble(spark, sf_dir):
     from corenlp_spark.plans.fused import annotate_fused
     from corenlp_spark.plans.pipeline import triples_of
 
-    ann = annotate_fused(_golden_docs(spark))
+    ann = annotate_fused(_golden_docs(spark).unionByName(kbp_docs(spark)))
     arm1 = kbp_relations(triples_of(ann), mention_rows(ann), pattern_table(spark))
     arm2 = kbp_semgrex_relations(ann)
     arm3 = kbp_statistical_relations(ann)

@@ -1,0 +1,171 @@
+"""KBP golden pool + statistical-arm training data.
+
+The evaluation pool mirrors the reference's KBP benchmark harness shape
+(``ie/KBPAnnotatorBenchmark.java:24-161``: documents + a gold file of
+(subject, relation, object) rows, scored micro-F1 with the gate at
+``KBPAnnotatorEnglishBenchmarkSlowITest.java:18`` F1 ≥ 0.455). Sentences are
+synthesized over the NER-corpus name pools so the trained mention detector
+(not a fixture gazetteer) finds the arguments; every sentence routes through
+the REAL pipeline: tokenize → pos → ner → depparse → openie → kbp ensemble.
+
+``lr_training_rows()`` synthesizes labeled (features, signature, relation)
+rows for the statistical arm — the stand-in for the reference's distantly-
+supervised training set (``ie/KBPStatisticalExtractor.java:190-664``).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from corenlp_spark.data.synth import DOCS_SCHEMA
+
+# (sentence, (subj, relation, obj)) — the gold file
+KBP_GOLD: list[tuple[str, tuple[str, str, str]]] = [
+    ("Anna Keller was born in Madrid.",
+     ("Anna Keller", "per:city_of_birth", "Madrid")),
+    ("Anna Keller was born on 4 May 1970.",
+     ("Anna Keller", "per:date_of_birth", "4 May 1970")),
+    ("Victor Alden died in Lisbon.",
+     ("Victor Alden", "per:city_of_death", "Lisbon")),
+    ("Clara Draper works for Vertex Systems.",
+     ("Clara Draper", "per:employee_of", "Vertex Systems")),
+    ("Nimbus Labs is headquartered in Oslo.",
+     ("Nimbus Labs", "org:city_of_headquarters", "Oslo")),
+    ("Acme Corp. acquired Stellar Group.",
+     ("Acme Corp.", "org:subsidiaries", "Stellar Group")),
+    ("Quantum Institute was founded in 1991.",
+     ("Quantum Institute", "org:founded", "1991")),
+    ("Orion Bank was founded by Henry Mercer.",
+     ("Orion Bank", "org:founded_by", "Henry Mercer")),
+    ("Maria Quinn married Simon Vargas.",
+     ("Maria Quinn", "per:spouse", "Simon Vargas")),
+    ("Tessa Holt is the wife of Jacob Sutton.",
+     ("Tessa Holt", "per:spouse", "Jacob Sutton")),
+    ("Louis Barton is the son of Oscar Whitman.",
+     ("Louis Barton", "per:parents", "Oscar Whitman")),
+    ("Grace Foster is the sister of Irene Archer.",
+     ("Grace Foster", "per:siblings", "Irene Archer")),
+    ("David Chavez attended Columbia University.",
+     ("David Chavez", "per:schools_attended", "Columbia University")),
+    ("Elena Porter graduated from Stanford University.",
+     ("Elena Porter", "per:schools_attended", "Stanford University")),
+    ("Frank Hayes lives in Toronto.",
+     ("Frank Hayes", "per:cities_of_residence", "Toronto")),
+    ("Walter Reyes moved to Denver.",
+     ("Walter Reyes", "per:cities_of_residence", "Denver")),
+    ("Karen Ingram is a member of Cascade Partners.",
+     ("Karen Ingram", "per:member_of", "Cascade Partners")),
+    ("Summit Media is a subsidiary of Beacon Group.",
+     ("Summit Media", "org:parents", "Beacon Group")),
+    ("Vanguard Labs hired Petra Jensen.",
+     ("Vanguard Labs", "org:top_members_employees", "Petra Jensen")),
+    ("Fulcrum Systems was dissolved in 2009.",
+     ("Fulcrum Systems", "org:dissolved", "2009")),
+    ("Zenith Group merged with Crescent Media.",
+     ("Zenith Group", "org:parents", "Crescent Media")),
+    ("Jacob Sutton turned 45.",
+     ("Jacob Sutton", "per:age", "45")),
+    ("Nora Duncan is the daughter of Brian Norris.",
+     ("Nora Duncan", "per:parents", "Brian Norris")),
+    ("Hugo Ellison is the president of Meridian Institute.",
+     ("Hugo Ellison", "per:employee_of", "Meridian Institute")),
+    ("Ivy Monroe resides in Vienna.",
+     ("Ivy Monroe", "per:cities_of_residence", "Vienna")),
+]
+
+# distractor sentences: entity pairs with NO KBP relation (precision control)
+KBP_DISTRACTORS: list[str] = [
+    "Anna Keller visited Madrid.",
+    "Victor Alden saw Clara Draper.",
+    "Nimbus Labs announced earnings.",
+    "Frank Hayes spoke.",
+    "The committee approved the budget.",
+]
+
+
+def kbp_docs(spark: SparkSession, n_docs: int = 0) -> DataFrame:
+    """One doc per gold/distractor sentence (deterministic)."""
+    texts = [s for s, _ in KBP_GOLD] + KBP_DISTRACTORS
+    rows = pd.DataFrame({
+        "doc_id": [f"kbp-{i:04d}" for i in range(len(texts))],
+        "spans": [[{"kind": "text", "text": t, "media_ref": None, "offset": 0}]
+                  for t in texts],
+    })
+    return spark.createDataFrame(rows, schema=DOCS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# statistical-arm training rows: (between_lemmas, subj_ner, obj_ner, relation)
+# — lemma cues per relation, plus NONE negatives, varied deterministically
+# ---------------------------------------------------------------------------
+
+_LR_TEMPLATES: list[tuple[str, str, str, str]] = [
+    ("be bear in", "PERSON", "LOCATION", "per:city_of_birth"),
+    ("be bear on", "PERSON", "DATE", "per:date_of_birth"),
+    ("die in", "PERSON", "LOCATION", "per:city_of_death"),
+    ("die on", "PERSON", "DATE", "per:date_of_death"),
+    ("work for", "PERSON", "ORGANIZATION", "per:employee_of"),
+    ("work at", "PERSON", "ORGANIZATION", "per:employee_of"),
+    ("be the president of", "PERSON", "ORGANIZATION", "per:employee_of"),
+    ("be employ by", "PERSON", "ORGANIZATION", "per:employee_of"),
+    ("be headquarter in", "ORGANIZATION", "LOCATION", "org:city_of_headquarters"),
+    ("be base in", "ORGANIZATION", "LOCATION", "org:city_of_headquarters"),
+    ("be locate in", "ORGANIZATION", "LOCATION", "org:city_of_headquarters"),
+    ("acquire", "ORGANIZATION", "ORGANIZATION", "org:subsidiaries"),
+    ("buy", "ORGANIZATION", "ORGANIZATION", "org:subsidiaries"),
+    ("be found in", "ORGANIZATION", "DATE", "org:founded"),
+    ("be found by", "ORGANIZATION", "PERSON", "org:founded_by"),
+    ("marry", "PERSON", "PERSON", "per:spouse"),
+    ("be the wife of", "PERSON", "PERSON", "per:spouse"),
+    ("be the husband of", "PERSON", "PERSON", "per:spouse"),
+    ("be the son of", "PERSON", "PERSON", "per:parents"),
+    ("be the daughter of", "PERSON", "PERSON", "per:parents"),
+    ("be the sister of", "PERSON", "PERSON", "per:siblings"),
+    ("be the brother of", "PERSON", "PERSON", "per:siblings"),
+    ("attend", "PERSON", "ORGANIZATION", "per:schools_attended"),
+    ("graduate from", "PERSON", "ORGANIZATION", "per:schools_attended"),
+    ("live in", "PERSON", "LOCATION", "per:cities_of_residence"),
+    ("move to", "PERSON", "LOCATION", "per:cities_of_residence"),
+    ("reside in", "PERSON", "LOCATION", "per:cities_of_residence"),
+    ("be a member of", "PERSON", "ORGANIZATION", "per:member_of"),
+    ("be a subsidiary of", "ORGANIZATION", "ORGANIZATION", "org:parents"),
+    ("merge with", "ORGANIZATION", "ORGANIZATION", "org:parents"),
+    ("hire", "ORGANIZATION", "PERSON", "org:top_members_employees"),
+    ("be dissolve in", "ORGANIZATION", "DATE", "org:dissolved"),
+    ("turn", "PERSON", "NUMBER", "per:age"),
+    ("be know as", "ORGANIZATION", "ORGANIZATION", "org:alternate_names"),
+    ("be a citizen of", "PERSON", "LOCATION", "per:origin"),
+    # NONE negatives — frequent non-relational contexts
+    ("visit", "PERSON", "LOCATION", "NONE"),
+    ("see", "PERSON", "PERSON", "NONE"),
+    ("speak with", "PERSON", "PERSON", "NONE"),
+    ("and", "PERSON", "PERSON", "NONE"),
+    ("meet", "PERSON", "PERSON", "NONE"),
+    ("announce", "ORGANIZATION", "ORGANIZATION", "NONE"),
+    ("discuss", "ORGANIZATION", "ORGANIZATION", "NONE"),
+    ("travel to", "PERSON", "LOCATION", "NONE"),
+    ("arrive in", "PERSON", "LOCATION", "NONE"),
+    ("jump over", "PERSON", "LOCATION", "NONE"),
+]
+
+_FILLERS = ["", "recently", "reportedly", "quietly", "last year"]
+
+
+def lr_training_rows() -> list[tuple[list[str], str, str, str]]:
+    """[(feature_lemmas, subj_ner, obj_ner, relation|NONE)] — each template
+    repeated with deterministic filler variation so cue lemmas dominate.
+    Every positive also yields an INVERSE negative (the same cue seen from
+    the reversed pair, marked "inv") — the candidate generator enumerates
+    both orders of each mention pair, and the stated direction is the only
+    correct slot fill."""
+    rows = []
+    for i, (cue, sner, oner, rel) in enumerate(_LR_TEMPLATES):
+        for j, fill in enumerate(_FILLERS):
+            lemmas = cue.split()
+            if fill and (i + j) % 2 == 0:
+                lemmas = lemmas[:1] + fill.split() + lemmas[1:]
+            rows.append((lemmas, sner, oner, rel))
+            if rel != "NONE":
+                rows.append((lemmas + ["inv"], oner, sner, "NONE"))
+    return rows

@@ -482,6 +482,95 @@ class StructuredPerceptronNER:
         return m
 
 
+class RelationClassifier:
+    """Multiclass averaged perceptron over (between-mention lemmas, NER type
+    signature) features — the TRAINED statistical arm of the KBP ensemble,
+    replacing hand-set LR weights (``ie/KBPStatisticalExtractor.java:190-664``
+    re-expressed; features = lemma unigrams between the mention pair + the
+    type signature, the core of the reference's surface-feature set)."""
+
+    NONE = "NONE"
+
+    def __init__(self):
+        self.weights: dict[str, dict[str, float]] = {}
+        self.classes: list[str] = []
+
+    @staticmethod
+    def featurize(lemmas: list[str], sner: str, oner: str) -> list[str]:
+        feats = [f"sig={sner}>{oner}", "bias"]
+        feats.extend(f"lem={l.lower()}" for l in lemmas)
+        if lemmas:
+            feats.append(f"first={lemmas[0].lower()}")
+            feats.append(f"last={lemmas[-1].lower()}")
+        return feats
+
+    def _scores(self, feats: list[str]) -> dict[str, float]:
+        sc: dict[str, float] = defaultdict(float)
+        for f in feats:
+            by = self.weights.get(f)
+            if by:
+                for c, w in by.items():
+                    sc[c] += w
+        return sc
+
+    def predict(self, lemmas: list[str], sner: str, oner: str) -> tuple[str, float]:
+        """(relation|NONE, confidence) — confidence from the margin over the
+        runner-up, squashed to (0, 0.85] (the ensemble rank: statistical arm
+        below both pattern arms, KBPEnsembleExtractor priority)."""
+        import math
+
+        if not self.classes:
+            return self.NONE, 0.0
+        sc = self._scores(self.featurize(lemmas, sner, oner))
+        ranked = sorted(self.classes, key=lambda c: (sc.get(c, 0.0), c))
+        best = ranked[-1]
+        margin = sc.get(best, 0.0) - (sc.get(ranked[-2], 0.0) if len(ranked) > 1 else 0.0)
+        conf = min(0.85, 1.0 / (1.0 + math.exp(-margin / 2.0)))
+        return best, round(conf, 4)
+
+    def train(self, rows: list[tuple[list[str], str, str, str]], epochs: int = 10):
+        """rows: [(lemmas, subj_ner, obj_ner, relation|NONE)]; deterministic,
+        averaged."""
+        self.classes = sorted({r for _, _, _, r in rows})
+        totals: dict[tuple[str, str], float] = defaultdict(float)
+        stamps: dict[tuple[str, str], int] = defaultdict(int)
+        step = 0
+
+        def upd(f, c, delta):
+            key = (f, c)
+            cur = self.weights.setdefault(f, {}).get(c, 0.0)
+            totals[key] += (step - stamps[key]) * cur
+            stamps[key] = step
+            self.weights[f][c] = cur + delta
+
+        for _ in range(epochs):
+            for lemmas, sner, oner, gold in rows:
+                feats = self.featurize(lemmas, sner, oner)
+                sc = self._scores(feats)
+                pred = max(self.classes, key=lambda c: (sc.get(c, 0.0), c))
+                if pred != gold:
+                    for f in feats:
+                        upd(f, gold, 1.0)
+                        upd(f, pred, -1.0)
+                step += 1
+        for f, by in self.weights.items():
+            for c in list(by):
+                key = (f, c)
+                totals[key] += (step - stamps[key]) * by[c]
+                by[c] = totals[key] / max(step, 1)
+
+    def to_broadcastable(self) -> dict:
+        return {"weights": {f: dict(t) for f, t in self.weights.items()},
+                "classes": list(self.classes)}
+
+    @classmethod
+    def from_broadcastable(cls, blob: dict) -> "RelationClassifier":
+        m = cls()
+        m.weights = blob["weights"]
+        m.classes = blob["classes"]
+        return m
+
+
 def tag_with_model(df, blob: dict):
     """Batched inference shape: broadcast weights → Arrow-batched predict.
 

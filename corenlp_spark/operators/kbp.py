@@ -24,39 +24,155 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-# (pred_lemma_pattern, subj_ner, obj_ner, relation) — broadcast pattern table
-KBP_PATTERNS: list[tuple[str, str, str, str]] = [
-    ("born in", "PERSON", "LOCATION", "per:city_of_birth"),
+# ---------------------------------------------------------------------------
+# Relation taxonomy: the reference's 2013 shared-task inventory
+# (``ie/KBPRelationExtractor.java:119-168``), with the fine NER types
+# (CITY/COUNTRY/STATE_OR_PROVINCE → LOCATION, NATIONALITY/IDEOLOGY/RELIGION/
+# TITLE/CHARGE → MISC) collapsed onto this engine's coarse tag set.
+# relation → (subject NER, allowed object NERs)
+# ---------------------------------------------------------------------------
+RELATION_TAXONOMY: dict[str, tuple[str, tuple[str, ...]]] = {
+    "per:alternate_names": ("PERSON", ("PERSON", "MISC")),
+    "per:children": ("PERSON", ("PERSON",)),
+    "per:cities_of_residence": ("PERSON", ("LOCATION",)),
+    "per:city_of_birth": ("PERSON", ("LOCATION",)),
+    "per:city_of_death": ("PERSON", ("LOCATION",)),
+    "per:countries_of_residence": ("PERSON", ("LOCATION",)),
+    "per:country_of_birth": ("PERSON", ("LOCATION",)),
+    "per:country_of_death": ("PERSON", ("LOCATION",)),
+    "per:employee_of": ("PERSON", ("ORGANIZATION", "LOCATION")),
+    "per:location_of_birth": ("PERSON", ("LOCATION",)),
+    "per:location_of_death": ("PERSON", ("LOCATION",)),
+    "per:location_of_residence": ("PERSON", ("LOCATION",)),
+    "per:member_of": ("PERSON", ("ORGANIZATION",)),
+    "per:origin": ("PERSON", ("MISC", "LOCATION")),
+    "per:other_family": ("PERSON", ("PERSON",)),
+    "per:parents": ("PERSON", ("PERSON",)),
+    "per:schools_attended": ("PERSON", ("ORGANIZATION",)),
+    "per:siblings": ("PERSON", ("PERSON",)),
+    "per:spouse": ("PERSON", ("PERSON",)),
+    "per:stateorprovince_of_birth": ("PERSON", ("LOCATION",)),
+    "per:stateorprovince_of_death": ("PERSON", ("LOCATION",)),
+    "per:stateorprovinces_of_residence": ("PERSON", ("LOCATION",)),
+    "per:age": ("PERSON", ("NUMBER", "DURATION")),
+    "per:date_of_birth": ("PERSON", ("DATE",)),
+    "per:date_of_death": ("PERSON", ("DATE",)),
+    "per:cause_of_death": ("PERSON", ("MISC",)),
+    "per:charges": ("PERSON", ("MISC",)),
+    "per:religion": ("PERSON", ("MISC",)),
+    "per:title": ("PERSON", ("MISC",)),
+    "org:alternate_names": ("ORGANIZATION", ("ORGANIZATION", "MISC")),
+    "org:city_of_headquarters": ("ORGANIZATION", ("LOCATION",)),
+    "org:country_of_headquarters": ("ORGANIZATION", ("LOCATION",)),
+    "org:location_of_headquarters": ("ORGANIZATION", ("LOCATION",)),
+    "org:stateorprovince_of_headquarters": ("ORGANIZATION", ("LOCATION",)),
+    "org:founded_by": ("ORGANIZATION", ("PERSON", "ORGANIZATION")),
+    "org:member_of": ("ORGANIZATION", ("ORGANIZATION", "LOCATION")),
+    "org:members": ("ORGANIZATION", ("ORGANIZATION", "LOCATION")),
+    "org:parents": ("ORGANIZATION", ("ORGANIZATION",)),
+    "org:political_religious_affiliation": ("ORGANIZATION", ("MISC",)),
+    "org:shareholders": ("ORGANIZATION", ("PERSON", "ORGANIZATION")),
+    "org:subsidiaries": ("ORGANIZATION", ("ORGANIZATION",)),
+    "org:top_members_employees": ("ORGANIZATION", ("PERSON",)),
+    "org:dissolved": ("ORGANIZATION", ("DATE",)),
+    "org:founded": ("ORGANIZATION", ("DATE",)),
+    "org:number_of_employees_members": ("ORGANIZATION", ("NUMBER",)),
+    "org:website": ("ORGANIZATION", ("MISC",)),
+}
+
+
+def _expand(patterns: list[tuple[str, str]]) -> list[tuple[str, str, str, str]]:
+    """(pred_pattern, relation) → rows per allowed (subj, obj) signature."""
+    rows = []
+    for pattern, rel in patterns:
+        subj, objs = RELATION_TAXONOMY[rel]
+        for o in objs:
+            rows.append((pattern, subj, o, rel))
+    return rows
+
+
+# (pred_lemma_pattern, relation) — expanded against the taxonomy signatures
+# into the broadcast pattern table (KBPTokensregexExtractor arm)
+KBP_PATTERNS: list[tuple[str, str, str, str]] = _expand([
+    ("born in", "per:city_of_birth"),
+    ("works for", "per:employee_of"),
+    ("worked for", "per:employee_of"),
+    ("works at", "per:employee_of"),
+    ("employee of", "per:employee_of"),
+    ("joined", "per:employee_of"),
+    ("hired by", "per:employee_of"),
+    ("headquartered in", "org:city_of_headquarters"),
+    ("located in", "org:city_of_headquarters"),
+    ("based in", "org:city_of_headquarters"),
+    ("president of", "per:employee_of"),
+    ("acquired", "org:subsidiaries"),
+    ("bought", "org:subsidiaries"),
+    ("founded", "org:founded_by"),
+    ("established", "org:founded_by"),
+    ("member of", "per:member_of"),
+    ("spouse of", "per:spouse"),
+    ("married", "per:spouse"),
+    ("wife of", "per:spouse"),
+    ("husband of", "per:spouse"),
+    ("died in", "per:city_of_death"),
+    ("passed away in", "per:city_of_death"),
+    ("attended", "per:schools_attended"),
+    ("studied at", "per:schools_attended"),
+    ("graduate of", "per:schools_attended"),
+    ("is graduate of", "per:schools_attended"),
+    ("graduated from", "per:schools_attended"),
+    ("enrolled at", "per:schools_attended"),
+    ("subsidiary of", "org:parents"),
+    ("unit of", "org:parents"),
+    ("division of", "org:parents"),
+    ("owns", "org:subsidiaries"),
+    ("parent of", "per:children"),
+    ("father of", "per:children"),
+    ("mother of", "per:children"),
+    ("son of", "per:parents"),
+    ("daughter of", "per:parents"),
+    ("child of", "per:parents"),
+    ("sister of", "per:siblings"),
+    ("brother of", "per:siblings"),
+    ("cousin of", "per:other_family"),
+    ("uncle of", "per:other_family"),
+    ("citizen of", "per:origin"),
+    ("moved to", "per:cities_of_residence"),
+    ("lives in", "per:cities_of_residence"),
+    ("lived in", "per:cities_of_residence"),
+    ("resides in", "per:cities_of_residence"),
+    ("grew up in", "per:cities_of_residence"),
+    ("born on", "per:date_of_birth"),
+    ("died on", "per:date_of_death"),
+    ("founded in", "org:founded"),
+    ("established in", "org:founded"),
+    ("dissolved in", "org:dissolved"),
+    ("shut down in", "org:dissolved"),
+    ("employs", "org:number_of_employees_members"),
+    ("merged with", "org:parents"),
+    ("known as", "org:alternate_names"),
+    ("also known as", "per:alternate_names"),
+    ("charged with", "per:charges"),
+    ("convicted of", "per:charges"),
+    ("practices", "per:religion"),
+    ("shareholder of", "org:shareholders"),
+    ("invested in", "org:shareholders"),
+    ("won", "per:title"),
+]) + [
+    # signature-specific rows that don't come from the taxonomy expansion
     ("born in", "PERSON", "DATE", "per:date_of_birth"),
-    ("works for", "PERSON", "ORGANIZATION", "per:employee_of"),
-    ("worked for", "PERSON", "ORGANIZATION", "per:employee_of"),
-    ("works at", "PERSON", "ORGANIZATION", "per:employee_of"),
-    ("employee of", "PERSON", "ORGANIZATION", "per:employee_of"),
-    ("headquartered in", "ORGANIZATION", "LOCATION", "org:city_of_headquarters"),
-    ("located in", "ORGANIZATION", "LOCATION", "org:city_of_headquarters"),
-    ("president of", "PERSON", "ORGANIZATION", "per:employee_of"),
-    ("president of", "PERSON", "LOCATION", "per:origin"),
-    ("acquired", "ORGANIZATION", "ORGANIZATION", "org:subsidiaries"),
-    ("founded", "PERSON", "ORGANIZATION", "org:founded_by"),
-    ("member of", "PERSON", "ORGANIZATION", "org:top_members_employees"),
-    ("spouse of", "PERSON", "PERSON", "per:spouse"),
-    ("married", "PERSON", "PERSON", "per:spouse"),
-    ("died in", "PERSON", "LOCATION", "per:city_of_death"),
     ("died in", "PERSON", "DATE", "per:date_of_death"),
-    ("attended", "PERSON", "ORGANIZATION", "per:schools_attended"),
-    ("studied at", "PERSON", "ORGANIZATION", "per:schools_attended"),
-    ("graduate of", "PERSON", "ORGANIZATION", "per:schools_attended"),
-    ("is graduate of", "PERSON", "ORGANIZATION", "per:schools_attended"),
+    ("president of", "PERSON", "LOCATION", "per:origin"),
     ("capital of", "LOCATION", "LOCATION", "org:country_of_headquarters"),
-    ("subsidiary of", "ORGANIZATION", "ORGANIZATION", "org:parents"),
-    ("parent of", "PERSON", "PERSON", "per:children"),
-    ("child of", "PERSON", "PERSON", "per:parents"),
-    ("sister of", "PERSON", "PERSON", "per:siblings"),
-    ("brother of", "PERSON", "PERSON", "per:siblings"),
-    ("citizen of", "PERSON", "LOCATION", "per:origin"),
-    ("moved to", "PERSON", "LOCATION", "per:cities_of_residence"),
-    ("lives in", "PERSON", "LOCATION", "per:cities_of_residence"),
-    ("lived in", "PERSON", "LOCATION", "per:cities_of_residence"),
+    ("ceo of", "PERSON", "ORGANIZATION", "per:employee_of"),
+    ("chairman of", "PERSON", "ORGANIZATION", "per:employee_of"),
+    ("director of", "PERSON", "ORGANIZATION", "per:employee_of"),
+    ("hired", "ORGANIZATION", "PERSON", "org:top_members_employees"),
+    ("led by", "ORGANIZATION", "PERSON", "org:top_members_employees"),
+    ("founded by", "ORGANIZATION", "PERSON", "org:founded_by"),
+    ("is", "PERSON", "NUMBER", "per:age"),
+    ("turned", "PERSON", "NUMBER", "per:age"),
+    ("aged", "PERSON", "NUMBER", "per:age"),
 ]
 
 
@@ -145,39 +261,39 @@ def kbp_semgrex_relations(annotated: DataFrame) -> DataFrame:
     return annotated.mapInPandas(run, schema=schema)
 
 
-# statistical arm: logistic-regression scorer over bag-of-lemma + type
-# features (KBPStatisticalExtractor shape, ``ie/KBPStatisticalExtractor.java:
-# 190-664``). Weights are a broadcast dict; deterministic hand-set values
-# stand in for trained ones (the stage contract — featurize → dot → sigmoid
-# → threshold — is the real thing; a trained table drops in unchanged).
-LR_WEIGHTS: dict[tuple[str, str], dict[str, float]] = {
-    ("PERSON", "LOCATION"): {
-        "bear": 2.2, "in": 0.4, "bias": -2.5, "_rel": "per:city_of_birth"},
-    ("PERSON", "ORGANIZATION"): {
-        "work": 2.0, "for": 0.6, "employee": 1.5, "bias": -2.4,
-        "_rel": "per:employee_of"},
-    ("ORGANIZATION", "LOCATION"): {
-        "headquarter": 2.5, "locate": 2.0, "in": 0.4, "bias": -2.6,
-        "_rel": "org:city_of_headquarters"},
-    ("ORGANIZATION", "ORGANIZATION"): {
-        "acquire": 2.3, "buy": 2.0, "bias": -2.5, "_rel": "org:subsidiaries"},
-}
+# statistical arm: TRAINED multiclass relation classifier over between-
+# mention lemma + type-signature features (``ie/KBPStatisticalExtractor.java:
+# 190-664`` re-expressed). Weights are trained by scripts/train_models.py on
+# the synthesized distant-supervision rows (data/kbp_corpus.lr_training_rows)
+# and shipped as a committed artifact, loaded once per executor process.
+_REL_MODEL = None
+
+
+def _get_rel_model():
+    global _REL_MODEL
+    if _REL_MODEL is None:
+        from corenlp_spark.models.perceptron import (
+            RelationClassifier, load_weights,
+        )
+        _REL_MODEL = RelationClassifier.from_broadcastable(load_weights("kbp"))
+    return _REL_MODEL
 
 
 def kbp_statistical_relations(annotated: DataFrame, threshold: float = 0.5) -> DataFrame:
-    """LR arm: score each within-sentence mention pair by sigmoid(w·f) where
-    f = lemma counts between/around the pair; emit above-threshold relations
-    with the sigmoid as confidence (capped at 0.85 — the ensemble prefers
-    pattern arms, KBPEnsembleExtractor priority)."""
-    import math
+    """Statistical arm: classify each within-sentence mention pair whose NER
+    signature appears in the taxonomy; emit non-NONE predictions above the
+    threshold (confidence capped at 0.85 — the ensemble prefers the pattern
+    arms, KBPEnsembleExtractor priority)."""
     from typing import Iterator
 
     import pandas as pd
 
     schema = ("doc_id string, sent_idx int, subj string, relation string, "
               "obj string, confidence double")
+    signatures = {(s, o) for s, objs in RELATION_TAXONOMY.values() for o in objs}
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        model = _get_rel_model()
         for pdf in batches:
             rows = {k: [] for k in ("doc_id", "sent_idx", "subj", "relation",
                                     "obj", "confidence")}
@@ -190,8 +306,7 @@ def kbp_statistical_relations(annotated: DataFrame, threshold: float = 0.5) -> D
                     i = 0
                     while i < len(seg):
                         ner = seg[i]["ner"]
-                        if ner not in ("O", "", "NUMBER", "ORDINAL", "MONEY",
-                                       "TIME", "DURATION"):
+                        if ner not in ("O", "", "ORDINAL", "MONEY", "TIME"):
                             j = i
                             while j < len(seg) and seg[j]["ner"] == ner:
                                 j += 1
@@ -202,22 +317,27 @@ def kbp_statistical_relations(annotated: DataFrame, threshold: float = 0.5) -> D
                     lemmas = [t["lemma"] for t in seg]
                     for si, (s0, s1, sner) in enumerate(runs):
                         for oi, (o0, o1, oner) in enumerate(runs):
-                            if si == oi:
+                            if si == oi or (sner, oner) not in signatures:
                                 continue
-                            w = LR_WEIGHTS.get((sner, oner))
-                            if not w:
+                            # features = lemmas BETWEEN the pair (+ inversion
+                            # marker when the object precedes the subject)
+                            if s1 <= o0:
+                                between = lemmas[s1:o0]
+                            else:
+                                between = lemmas[o1:s0] + ["inv"]
+                            rel, conf = model.predict(between, sner, oner)
+                            # taxonomy type check (the reference's per-
+                            # relation signature validation)
+                            sig = RELATION_TAXONOMY.get(rel)
+                            if sig is not None and (sner != sig[0] or oner not in sig[1]):
                                 continue
-                            z = w.get("bias", 0.0)
-                            for lem in lemmas:
-                                z += w.get(lem, 0.0)
-                            p = 1.0 / (1.0 + math.exp(-z))
-                            if p >= threshold:
+                            if rel != model.NONE and conf >= threshold:
                                 rows["doc_id"].append(doc_id)
                                 rows["sent_idx"].append(s["sent_idx"])
                                 rows["subj"].append(" ".join(t["word"] for t in seg[s0:s1]))
-                                rows["relation"].append(w["_rel"])
+                                rows["relation"].append(rel)
                                 rows["obj"].append(" ".join(t["word"] for t in seg[o0:o1]))
-                                rows["confidence"].append(min(round(p, 4), 0.85))
+                                rows["confidence"].append(conf)
             yield pd.DataFrame(rows)
 
     return annotated.mapInPandas(run, schema=schema)

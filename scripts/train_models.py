@@ -16,11 +16,13 @@ import time
 
 sys.path.insert(0, "/root/repo")
 
+from corenlp_spark.data.kbp_corpus import lr_training_rows  # noqa: E402
 from corenlp_spark.data.train_corpus import (  # noqa: E402
     ner_corpus, ner_heldout, pos_corpus, pos_heldout,
 )
 from corenlp_spark.models.perceptron import (  # noqa: E402
-    AveragedPerceptronTagger, StructuredPerceptronNER, save_weights,
+    AveragedPerceptronTagger, RelationClassifier, StructuredPerceptronNER,
+    save_weights,
 )
 
 
@@ -91,7 +93,22 @@ def main():
     for e in nerrs:
         print("  miss:", e)
     save_weights("ner", ner.to_broadcastable())
+
+    # ---- KBP statistical arm --------------------------------------------
+    rows = lr_training_rows()
+    rc = RelationClassifier()
+    rc.train(rows, epochs=10)
+    right = total = 0
+    for lemmas, sner, oner, gold in rows:
+        pred, _ = rc.predict(lemmas, sner, oner)
+        right += pred == gold
+        total += 1
+    acc_k = right / max(total, 1)
+    print(f"KBP classifier training-set accuracy: {acc_k:.4f} "
+          f"({len(rc.classes)} classes incl. NONE)")
+    save_weights("kbp", rc.to_broadcastable())
     print(f"trained + saved in {time.time() - t0:.1f}s")
+    assert acc_k >= 0.95, f"KBP classifier accuracy {acc_k} < 0.95"
     # gates for CI use
     assert acc >= 0.90, f"POS held-out accuracy {acc} < 0.90"
     assert f1 >= 0.90, f"NER held-out F1 {f1} < 0.90"
