@@ -304,6 +304,64 @@ def q_kg_mentions(spark, sf_dir):
     )
 
 
+def _ann_tokens_path() -> str:
+    """Deterministic path for materialized golden-doc annotations, keyed on
+    the golden pool AND the trained model weights (new weights → new path)."""
+    import hashlib
+
+    from corenlp_spark.data.synth import GOLDEN_SENTENCES
+    from corenlp_spark.models.perceptron import WEIGHTS_DIR
+
+    h = hashlib.md5("".join(GOLDEN_SENTENCES).encode())
+    import os
+
+    for name in ("pos.json.gz", "ner.json.gz"):
+        p = os.path.join(WEIGHTS_DIR, name)
+        if os.path.exists(p):
+            with open(p, "rb") as f:
+                h.update(f.read())
+    return f"/tmp/corenlp_spark_ann_tokens_{h.hexdigest()[:10]}"
+
+
+def q_kg_mentions_oracle(spark, sf_dir):
+    """The REAL NER path under a DuckDB oracle (VERDICT r1 #6/#7): the fused
+    pipeline's annotated tokens are materialized to parquet; Spark rebuilds
+    per-doc token arrays and runs the ENGINE's chunker
+    (operators/mentions.chunk_mentions) while DuckDB replays
+    LabeledChunkIdentifier as window SQL over the same bytes — both must
+    aggregate identically."""
+    import os
+
+    from corenlp_spark.operators.mentions import mention_rows
+    from corenlp_spark.plans.fused import annotate_fused
+
+    path = _ann_tokens_path()
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        ann = annotate_fused(_golden_docs(spark))
+        flat = ann.select("doc_id", F.explode("tokens").alias("t")).select(
+            "doc_id", F.col("t.idx").alias("idx"), F.col("t.sent").alias("sent"),
+            F.col("t.word").alias("word"), F.col("t.ner").alias("ner"),
+            F.coalesce(F.col("t.nner"), F.lit("")).alias("nner"),
+        )
+        flat.write.mode("overwrite").parquet(path)
+    docs = (
+        spark.read.parquet(path)
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(
+            F.struct("idx", "sent", "word", "ner", "nner"))).alias("tokens"))
+    )
+    m = mention_rows(docs)
+    ln = F.col("end_tok") - F.col("start_tok")
+    return (
+        m.groupBy("ner")
+        .agg(F.count("*").alias("n_mentions"),
+             F.sum(ln).cast("long").alias("n_tokens"),
+             F.max(ln).cast("long").alias("max_len"),
+             F.countDistinct("text").alias("n_texts"))
+        .orderBy("ner")
+    )
+
+
 def q_kg_coref_chains(spark, sf_dir):
     from corenlp_spark.operators.graph import coref_chains_rows
     from corenlp_spark.plans.pipeline import annotate
@@ -487,6 +545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_link_dict": q_entity_link_sql,
         "kg_triples": q_kg_triples,
         "kg_mentions": q_kg_mentions,
+        "kg_mentions_oracle": q_kg_mentions_oracle,
         "kg_coref_chains": q_kg_coref_chains,
         "kg_entity_link": q_kg_entity_link,
         "kg_kbp": q_kg_kbp,
@@ -754,6 +813,33 @@ def oracle_sql() -> dict[str, str]:
             WHERE inter * 1.0 / (a.n + b.n - inter) >= 0.8
             ORDER BY doc_a, doc_b
         """,
-        # kg_* and media_features: non-SQL-expressible (full NLP pipeline /
-        # Arrow UDF stages) → rows-only driver check by design.
+        # the real NER path, DuckDB-checked over materialized annotations:
+        # DuckDB replays LabeledChunkIdentifier (lag → run ids → group) over
+        # the exact parquet bytes the engine's chunker consumes
+        "kg_mentions_oracle": f"""
+            WITH tok AS (
+              SELECT doc_id, idx, sent, word, ner
+              FROM read_parquet('{_ann_tokens_path()}/*.parquet')),
+            runs AS (
+              SELECT doc_id, idx, sent, word, ner,
+                     CASE WHEN lag(ner) OVER w IS NULL
+                          OR lag(ner) OVER w <> ner THEN 1 ELSE 0 END AS chg
+              FROM tok WINDOW w AS (PARTITION BY doc_id, sent ORDER BY idx)),
+            rid AS (
+              SELECT doc_id, idx, sent, word, ner,
+                     sum(chg) OVER (PARTITION BY doc_id, sent ORDER BY idx) AS run_id
+              FROM runs),
+            chunks AS (
+              SELECT doc_id, sent, run_id, ner, count(*) AS n_tok,
+                     string_agg(word, ' ' ORDER BY idx) AS text
+              FROM rid WHERE ner <> 'O' AND ner <> ''
+              GROUP BY doc_id, sent, run_id, ner)
+            SELECT ner, count(*) AS n_mentions,
+                   CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+                   CAST(max(n_tok) AS BIGINT) AS max_len,
+                   count(DISTINCT text) AS n_texts
+            FROM chunks GROUP BY ner ORDER BY ner
+        """,
+        # other kg_* and media_features: non-SQL-expressible (full NLP
+        # pipeline / Arrow UDF stages) → rows-only driver check by design.
     }

@@ -59,6 +59,13 @@ NOUNS: list[tuple[str, str]] = [
     ("city", "cities"), ("child", "children"), ("man", "men"), ("woman", "women"),
     ("policy", "policies"), ("theory", "theories"), ("award", "awards"),
     ("league", "leagues"), ("committee", "committees"), ("article", "articles"),
+    # profession/agent suffixes (-ist, -ian, -eer, -or)
+    ("physicist", "physicists"), ("scientist", "scientists"),
+    ("artist", "artists"), ("journalist", "journalists"),
+    ("chemist", "chemists"), ("historian", "historians"),
+    ("musician", "musicians"), ("volunteer", "volunteers"),
+    ("pioneer", "pioneers"), ("editor", "editors"), ("director", "directors"),
+    ("senator", "senators"), ("professor", "professors"),
 ]
 
 # mass / uncountable nouns (NN only)

@@ -105,8 +105,16 @@ def _strip_det(text: str) -> str:
     return " ".join(ws)
 
 
-def run_sieves(mentions: list[Mention]) -> None:
-    """Assign cluster ids in place — sieve cascade in Constants.java:56 order."""
+def run_sieves(mentions: list[Mention], tokens: list[dict] | None = None) -> None:
+    """Assign cluster ids in place — sieve cascade in Constants.java:56 order.
+
+    Implemented sieves (of the reference's 11): ExactStringMatch,
+    RelaxedExactStringMatch, PreciseConstructs (acronym + appositive +
+    predicate nominative, Rules.java:123-175), StrictHeadMatch1 (head +
+    NER), StrictHeadMatch2-4 (head + word inclusion, Rules.java:216-248),
+    RelaxedHeadMatch (head word contained in antecedent span), PronounMatch.
+    ``tokens`` enables the construct sieves (appositive/pred-nominative need
+    the between-mention words)."""
     n = len(mentions)
     parent = list(range(n))
 
@@ -151,7 +159,31 @@ def run_sieves(mentions: list[Mention]) -> None:
             if _acronym_of(mi.text, mj.text.split()) or _acronym_of(mj.text, mi.text.split()):
                 union(i, j)
                 break
-    # Sieve 4: strict head match (same head word, same kind class)
+    # Sieve 3b: precise constructs — appositive + predicate nominative
+    # (Rules.java:123-175 entityIsApposition / entityIsPredicateNominatives)
+    if tokens is not None:
+        for i in range(n):
+            mi = mentions[i]
+            if mi.kind == "pronoun":
+                continue
+            for j in antecedents(i, 10):
+                mj = mentions[j]
+                if mj.kind == "pronoun" or mj.sent != mi.sent or mj.end > mi.start:
+                    continue
+                between = [tokens[k]["word"].lower()
+                           for k in range(mj.end, mi.start)]
+                # appositive: "<entity> , <nominal>" ("Barack Obama, the
+                # president, …") — kinds must differ so list constructions
+                # ("France, Germany and Italy") never merge
+                if between == [","] and {mi.kind, mj.kind} == {"entity", "nominal"}:
+                    union(i, j)
+                    break
+                # predicate nominative: "<NP> is <NP>" (copula only between)
+                if between in (["is"], ["was"], ["are"], ["were"]) \
+                        and mi.kind == "nominal":
+                    union(i, j)
+                    break
+    # Sieve 4: strict head match 1 (same head word, same NER class)
     for i in range(n):
         mi = mentions[i]
         if mi.kind == "pronoun":
@@ -161,6 +193,39 @@ def run_sieves(mentions: list[Mention]) -> None:
             if mj.kind == "pronoun":
                 continue
             if mi.head_word.lower() == mj.head_word.lower() and mi.ner == mj.ner:
+                union(i, j)
+                break
+    # Sieve 4b: strict head match 2-4 — same head + word inclusion (the
+    # shorter mention's determiner-stripped words all appear in the longer,
+    # Rules.java:216-248 entityWordsIncluded)
+    for i in range(n):
+        mi = mentions[i]
+        if mi.kind == "pronoun":
+            continue
+        wi = set(_strip_det(mi.text).split())
+        for j in antecedents(i):
+            mj = mentions[j]
+            if mj.kind == "pronoun":
+                continue
+            if mi.head_word.lower() != mj.head_word.lower():
+                continue
+            wj = set(_strip_det(mj.text).split())
+            if wi and wj and (wi <= wj or wj <= wi):
+                union(i, j)
+                break
+    # Sieve 4c: relaxed head match — the mention's head word appears inside
+    # the antecedent span, same NER ("Obama" ← "Barack Hussein Obama II",
+    # Rules.java:286-316 relaxed-head discipline)
+    for i in range(n):
+        mi = mentions[i]
+        if mi.kind != "entity":
+            continue
+        hw = mi.head_word.lower()
+        for j in antecedents(i):
+            mj = mentions[j]
+            if mj.kind != "entity" or mi.ner != mj.ner or mj.end - mj.start < 2:
+                continue
+            if hw in _strip_det(mj.text).split():
                 union(i, j)
                 break
     # Sieve 5: pronoun match (agreement-gated, nearest compatible antecedent
@@ -199,7 +264,7 @@ def coref_docs(df: DataFrame) -> DataFrame:
             for toks, sents in zip(pdf["tokens"], pdf["sentences"]):
                 toks = list(toks)
                 ms = detect_mentions(toks, list(sents))
-                run_sieves(ms)
+                run_sieves(ms, toks)
                 # representative mention per cluster: longest entity mention,
                 # earliest on tie (CorefChain representative semantics)
                 best: dict[int, Mention] = {}

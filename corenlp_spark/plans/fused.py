@@ -60,7 +60,7 @@ def _annotate_one(spans) -> tuple[list[dict], list[dict], list[dict], list[dict]
             deps.append({"sent_idx": s["sent_idx"], "head": (h + a) if h >= 0 else -1,
                          "dep": d + a, "rel": r})
     ms = detect_mentions(tokens, sentences)
-    run_sieves(ms)
+    run_sieves(ms, tokens)
     best = {}
     for m in ms:
         cur = best.get(m.cluster)

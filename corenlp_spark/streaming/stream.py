@@ -62,28 +62,19 @@ def streaming_entity_counts(docs_stream: DataFrame):
 
     ann = ner_docs(tag_docs(tokenize_docs(docs_stream)))
 
-    # doc-local mention chunking (the SQL-window variant in operators/
-    # mentions.py is batch-only: streaming forbids non-time windows)
+    # doc-local mention chunking — same kernel as the batch fused path
+    # (operators/mentions.chunk_mentions); the SQL-window variant is
+    # batch-only (streaming forbids non-time windows)
+    from corenlp_spark.operators.mentions import chunk_mentions
+
     def chunk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = {"surface": [], "doc_id": [], "ner": []}
             for doc_id, toks in zip(pdf["doc_id"], pdf["tokens"]):
-                toks = list(toks)
-                i = 0
-                while i < len(toks):
-                    ner = toks[i]["ner"]
-                    if ner not in ("O", ""):
-                        j = i
-                        while j < len(toks) and toks[j]["ner"] == ner \
-                                and toks[j]["sent"] == toks[i]["sent"]:
-                            j += 1
-                        rows["surface"].append(
-                            " ".join(t["word"] for t in toks[i:j]).lower())
-                        rows["doc_id"].append(doc_id)
-                        rows["ner"].append(ner)
-                        i = j
-                    else:
-                        i += 1
+                for m in chunk_mentions(list(toks)):
+                    rows["surface"].append(m["text"].lower())
+                    rows["doc_id"].append(doc_id)
+                    rows["ner"].append(m["ner"])
             yield pd.DataFrame(rows)
 
     keyed = ann.mapInPandas(chunk, schema="surface string, doc_id string, ner string")

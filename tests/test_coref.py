@@ -23,7 +23,7 @@ def chains(text: str) -> list[set[str]]:
         for t, a, b in zip(seg, ner, nner):
             t["ner"], t["nner"] = a, b
     ms = detect_mentions(toks, sents)
-    run_sieves(ms)
+    run_sieves(ms, toks)
     out: dict[int, set[str]] = {}
     for m in ms:
         out.setdefault(m.cluster, set()).add(m.text)
@@ -68,3 +68,40 @@ def test_no_person_pronoun_to_org():
 def test_it_links_to_org():
     c = cluster_of("IBM announced earnings. It acquired the startup.", "It")
     assert "IBM" in c
+
+
+def test_appositive_precise_construct():
+    """PreciseConstructs appositive (Rules.java:123-150): '<entity>, <NP>,'
+    merges the apposed description into the entity's cluster."""
+    c = cluster_of("Marie Curie, the physicist, won the Nobel Prize.", "Marie Curie")
+    assert any("physicist" in m for m in c)
+
+
+def test_predicate_nominative_precise_construct():
+    """PreciseConstructs predicate nominative (Rules.java:150-175):
+    'X is the Y' merges subject and predicate NP."""
+    c = cluster_of("Barack Obama is the president. The president spoke.", "Barack Obama")
+    assert any("president" in m.lower() for m in c)
+
+
+def test_word_inclusion_head_match():
+    """StrictHeadMatch2 (Rules.java:216-248): same head + word inclusion —
+    'the research group' ← 'the large research group'."""
+    c = cluster_of(
+        "The large research group published results. The research group grew quickly.",
+        "The research group")
+    assert any("large research group" in m for m in c)
+
+
+def test_relaxed_head_match():
+    """RelaxedHeadMatch: bare surname joins the full-name cluster."""
+    c = cluster_of("Barack Hussein Obama II spoke. Obama visited Paris.", "Obama")
+    assert any("Barack Hussein Obama II" == m for m in c)
+
+
+def test_list_construction_not_apposed():
+    """'France, Germany' in a list must NOT merge as appositive (same-kind
+    guard)."""
+    cs = chains("Anna Keller visited Madrid, Lisbon and Oslo.")
+    for c in cs:
+        assert not ({"Madrid", "Lisbon"} <= c)
