@@ -312,7 +312,10 @@ def _ann_tokens_path() -> str:
     from corenlp_spark.data.synth import GOLDEN_SENTENCES
     from corenlp_spark.models.perceptron import WEIGHTS_DIR
 
-    h = hashlib.md5("".join(GOLDEN_SENTENCES).encode())
+    # bump on annotation-semantics changes so a stale /tmp parquet from an
+    # older code version is regenerated (both engines always read the same
+    # bytes either way — this only keeps the snapshot current)
+    h = hashlib.md5(("ann-v2" + "".join(GOLDEN_SENTENCES)).encode())
     import os
 
     for name in ("pos.json.gz", "ner.json.gz"):

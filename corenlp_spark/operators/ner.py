@@ -123,7 +123,10 @@ MONTHS = {m.lower(): i + 1 for i, m in enumerate(
     ["January", "February", "March", "April", "May", "June", "July",
      "August", "September", "October", "November", "December"])}
 _DAY_WORDS = {"monday", "tuesday", "wednesday", "thursday", "friday",
-              "saturday", "sunday", "today", "yesterday", "tomorrow"}
+              "saturday", "sunday", "today", "yesterday", "tomorrow",
+              # holiday names are temporal, owned by the SUTime pass
+              "christmas", "easter", "thanksgiving", "halloween",
+              "juneteenth", "epiphany"}
 _RE_YEAR = re.compile(r"^(1[6-9]\d\d|20\d\d)$")
 _RE_NUM = re.compile(r"^\d{1,3}(,\d{3})*(\.\d+)?$|^\d+(\.\d+)?$")
 _RE_ORD = re.compile(r"^(\d+)(st|nd|rd|th)$")
@@ -230,6 +233,7 @@ def tag_sentence_ner(words: list[str], pos: list[str]) -> tuple[list[str], list[
         force_o = {
             i for i, w in enumerate(words)
             if not w[:1].isalpha()
+            or any(c.isdigit() for c in w)  # Q3, 4:45pm — numeric pass owns
             or w.lower() in MONTHS or w.lower() in _DAY_WORDS
         }
         bio = _get_ner_model().decode(words, pos, force_o)

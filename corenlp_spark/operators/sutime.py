@@ -1,13 +1,21 @@
-"""SUTime subset: document dates + relative/duration temporal expressions.
+"""SUTime subset: document dates + relative/duration/range/set/holiday
+temporal expressions.
 
-Behavioral reference (re-expressed):
+Behavioral reference (re-expressed): ``time/SUTime.java`` (+ the English
+rules in ``time/rules/english.sutime.txt``):
   - docdate assignment: ``pipeline/DocDateAnnotator.java`` (fixed / derived);
-  - temporal normalization to Timex values: ``time/SUTime.java`` — the
-    deliberately-reduced scope is absolute dates (done in ner.numeric_pass),
-    relative day/week/month/year expressions resolved against the docdate,
-    PRESENT/PAST_REF, and ISO-8601 durations ("three years" → P3Y). Timex
-    values stay strings (``pipeline/WikidictAnnotator.java:125-140`` consumes
-    them as strings — SURVEY.md §1.1).
+  - absolute dates are tagged in ner.numeric_pass; this stage resolves
+    relative day/week/month/year expressions against the docdate,
+    PRESENT/PAST/FUTURE_REF, ISO-8601 durations ("three years" → P3Y),
+    weekday references ("on Friday" → the ISO-week date; "last Friday" /
+    "next Friday" offset a week), RANGES ("from 1992 to 2004" →
+    "1992/2004" interval notation, TIMEX3 beginPoint/endPoint),
+    SETS ("every Friday" → XXXX-WXX-5, "daily" → P1D — TIMEX3 type SET),
+    HOLIDAYS (fixed-date table + computed movable feasts: Easter via the
+    Gauss computus, US Thanksgiving as the 4th Thursday of November), and
+    QUARTERS ("Q3 2020" / "third quarter" → 2020-Q3).
+Timex values stay strings (``pipeline/WikidictAnnotator.java:125-140``
+consumes them as strings — SURVEY.md §1.1).
 
 Narrow mapInPandas; the docdate column is plain Spark SQL.
 """
@@ -27,6 +35,53 @@ _UNIT = {"day": "D", "days": "D", "week": "W", "weeks": "W",
          "month": "M", "months": "M", "year": "Y", "years": "Y"}
 _REF = {"now": "PRESENT_REF", "currently": "PRESENT_REF",
         "recently": "PAST_REF", "formerly": "PAST_REF", "soon": "FUTURE_REF"}
+_WEEKDAYS = {"monday": 0, "tuesday": 1, "wednesday": 2, "thursday": 3,
+             "friday": 4, "saturday": 5, "sunday": 6}
+# TIMEX3 SET values for frequency adverbs
+_FREQ_SETS = {"daily": "P1D", "weekly": "P1W", "monthly": "P1M",
+              "annually": "P1Y", "yearly": "P1Y", "hourly": "PT1H"}
+_ORDINAL_WORDS = {"first": 1, "second": 2, "third": 3, "fourth": 4}
+# fixed-date holidays (month, day) — english.sutime.txt holiday table subset
+_HOLIDAYS_FIXED = {
+    "christmas": (12, 25), "halloween": (10, 31), "valentine's": (2, 14),
+    "juneteenth": (6, 19), "epiphany": (1, 6),
+}
+
+
+def _easter(year: int) -> datetime.date:
+    """Gauss/Anonymous computus for Western Easter (public algorithm)."""
+    a = year % 19
+    b, c = divmod(year, 100)
+    d, e = divmod(b, 4)
+    g = (8 * b + 13) // 25
+    h = (19 * a + b - d - g + 15) % 30
+    i, k = divmod(c, 4)
+    l = (32 + 2 * e + 2 * i - h - k) % 7
+    m = (a + 11 * h + 22 * l) // 451
+    month, day = divmod(h + l - 7 * m + 114, 31)
+    return datetime.date(year, month, day + 1)
+
+
+def _thanksgiving(year: int) -> datetime.date:
+    """4th Thursday of November (US)."""
+    d = datetime.date(year, 11, 1)
+    off = (3 - d.weekday()) % 7  # first Thursday
+    return d + datetime.timedelta(days=off + 21)
+
+
+def _holiday(lower_word: str, next_word: str | None, year: int):
+    """(value, n_tokens) for a holiday expression at this position."""
+    if lower_word in _HOLIDAYS_FIXED:
+        m, d = _HOLIDAYS_FIXED[lower_word]
+        n = 2 if (lower_word == "valentine's" and next_word == "day") else 1
+        return f"{year}-{m:02d}-{d:02d}", n
+    if lower_word == "easter":
+        return _easter(year).isoformat(), 1
+    if lower_word == "thanksgiving":
+        return _thanksgiving(year).isoformat(), 1
+    if lower_word == "new" and next_word in ("year's", "year"):
+        return f"{year}-01-01", 2
+    return None
 
 
 def with_docdate(df: DataFrame, fixed: str | None = None) -> DataFrame:
@@ -45,11 +100,71 @@ def with_docdate(df: DataFrame, fixed: str | None = None) -> DataFrame:
 
 
 def _resolve(words: list[str], lower: list[str], docdate: datetime.date):
-    """Yield (start, end, ner, timex) for relative/duration expressions."""
+    """Yield (start, end, ner, timex) for relative/duration/set/holiday/
+    weekday/quarter expressions."""
+    import re as _re
+
     n = len(words)
+    monday = docdate - datetime.timedelta(days=docdate.weekday())
     i = 0
     while i < n:
         w = lower[i]
+        # sets: "every Friday" / "every week" / frequency adverbs (TIMEX3 SET)
+        if w == "every" and i + 1 < n:
+            nxt = lower[i + 1]
+            if nxt in _WEEKDAYS:
+                yield i, i + 2, "SET", f"XXXX-WXX-{_WEEKDAYS[nxt] + 1}"
+                i += 2
+                continue
+            if nxt in _UNIT:
+                yield i, i + 2, "SET", f"P1{_UNIT[nxt]}"
+                i += 2
+                continue
+        if w in _FREQ_SETS:
+            yield i, i + 1, "SET", _FREQ_SETS[w]
+            i += 1
+            continue
+        # holidays (fixed + movable feasts), year from the docdate
+        hol = _holiday(w, lower[i + 1] if i + 1 < n else None, docdate.year)
+        if hol is not None:
+            val, ntok = hol
+            yield i, i + ntok, "DATE", val
+            i += ntok
+            continue
+        # last/next/bare weekday → resolved ISO date
+        if w in ("last", "next") and i + 1 < n and lower[i + 1] in _WEEKDAYS:
+            base = monday + datetime.timedelta(days=_WEEKDAYS[lower[i + 1]])
+            base += datetime.timedelta(weeks=-1 if w == "last" else 1)
+            yield i, i + 2, "DATE", base.isoformat()
+            i += 2
+            continue
+        if w in _WEEKDAYS:
+            d = monday + datetime.timedelta(days=_WEEKDAYS[w])
+            yield i, i + 1, "DATE", d.isoformat()
+            i += 1
+            continue
+        # quarters: "Q3 2020" / "Q3" / "third quarter" / "last quarter"
+        mq = _re.match(r"^q([1-4])$", w)
+        if mq:
+            year = docdate.year
+            end = i + 1
+            if i + 1 < n and _re.match(r"^(19|20)\d\d$", lower[i + 1]):
+                year = int(lower[i + 1])
+                end = i + 2
+            yield i, end, "DATE", f"{year}-Q{mq.group(1)}"
+            i = end
+            continue
+        if w in _ORDINAL_WORDS and i + 1 < n and lower[i + 1] == "quarter":
+            yield i, i + 2, "DATE", f"{docdate.year}-Q{_ORDINAL_WORDS[w]}"
+            i += 2
+            continue
+        if w in ("last", "next", "this") and i + 1 < n and lower[i + 1] == "quarter":
+            q = (docdate.month - 1) // 3 + 1
+            off = -1 if w == "last" else (1 if w == "next" else 0)
+            q0 = q - 1 + off
+            yield i, i + 2, "DATE", f"{docdate.year + q0 // 4}-Q{q0 % 4 + 1}"
+            i += 2
+            continue
         if w in _REF:
             yield i, i + 1, "DATE", _REF[w]
             i += 1
@@ -97,6 +212,42 @@ def _resolve(words: list[str], lower: list[str], docdate: datetime.date):
         i += 1
 
 
+def _mark_ranges(toks: list[dict], lower: list[str]) -> None:
+    """Temporal ranges: "from <DATE> to <DATE>" / "between <DATE> and
+    <DATE>" → ISO-8601 interval value "v1/v2" over the whole span (the
+    TIMEX3 beginPoint/endPoint pair SUTime emits for ranges)."""
+    n = len(toks)
+
+    def date_run(k):
+        if k >= n or toks[k].get("ner") != "DATE":
+            return None
+        e = k
+        while e < n and toks[e].get("ner") == "DATE":
+            e += 1
+        return k, e
+
+    for i in range(n):
+        pairs = {"from": "to", "between": "and"}
+        if lower[i] not in pairs:
+            continue
+        r1 = date_run(i + 1)
+        if r1 is None:
+            continue
+        mid = r1[1]
+        if mid >= n or lower[mid] != pairs[lower[i]]:
+            continue
+        r2 = date_run(mid + 1)
+        if r2 is None:
+            continue
+        v1 = toks[r1[0]].get("nner") or ""
+        v2 = toks[r2[0]].get("nner") or ""
+        if not v1 or not v2 or "/" in v1 or "/" in v2:
+            continue
+        val = f"{v1}/{v2}"
+        for k in range(r1[0], r2[1]):
+            toks[k]["ner"], toks[k]["nner"] = "DATE", val
+
+
 def sutime_docs(df: DataFrame) -> DataFrame:
     """Resolve relative temporal expressions against the docdate column
     (requires tokens + docdate; overwrites only O-tagged tokens)."""
@@ -111,13 +262,17 @@ def sutime_docs(df: DataFrame) -> DataFrame:
                 words = [t["word"] for t in toks]
                 lower = [w.lower() for w in words]
                 for s, e, ner, val in _resolve(words, lower, docdate):
+                    # overwrite O/NUMBER tokens, OFFSET placeholders, and
+                    # DATE tokens being refined into a wider expression
+                    # ("Q3 2020" absorbs the bare-year DATE)
                     if all(
-                        toks[k].get("ner", "O") in ("O", "NUMBER")
+                        toks[k].get("ner", "O") in ("O", "NUMBER", "DATE")
                         or str(toks[k].get("nner", "")).startswith("OFFSET")
                         for k in range(s, e)
                     ):
                         for k in range(s, e):
                             toks[k]["ner"], toks[k]["nner"] = ner, val
+                _mark_ranges(toks, lower)
                 new_tokens.append(toks)
             pdf = pdf.copy()
             pdf["tokens"] = new_tokens

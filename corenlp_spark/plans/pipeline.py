@@ -101,8 +101,17 @@ class CheckpointedPipeline:
         from corenlp_spark.operators.graph import partition_metrics
 
         pm = partition_metrics(out, stage)
-        pm.write.mode("overwrite").parquet(os.path.join(self.root, f"_metrics_{stage}"))
-        meta = {"stage": stage, "rows": out.count(), "wall_s": round(time.time() - t0, 3)}
+        mpath = os.path.join(self.root, f"_metrics_{stage}")
+        pm.write.mode("overwrite").parquet(mpath)
+        # derive the stage row count from the just-written per-partition
+        # metrics (tiny table) instead of a second full pass over the stage
+        # output (VERDICT r1 #7)
+        from pyspark.sql import functions as F
+
+        n_rows = self.spark.read.parquet(mpath).agg(
+            F.sum("rows")).first()[0] or 0
+        meta = {"stage": stage, "rows": int(n_rows),
+                "wall_s": round(time.time() - t0, 3)}
         with open(os.path.join(self.root, f"_lineage_{stage}.json"), "w") as f:
             json.dump(meta, f)
         return out

@@ -57,6 +57,40 @@ def test_durations_and_refs(spark):
     assert m["now"] == ("DATE", "PRESENT_REF")
 
 
+def test_sutime_ranges_sets_holidays_weekdays_quarters(spark):
+    """SUTime breadth (time/SUTime.java + english.sutime.txt re-expressed):
+    ranges, sets, holidays (incl. computed movable feasts), weekday and
+    quarter resolution. Docdate 2020-06-15 is a Monday."""
+    docs = with_docdate(_docs(spark, [
+        "He taught there from 1992 to 2004.",
+        "The meeting is every Friday. She exercises daily.",
+        "They met on Christmas. Easter was quiet. Thanksgiving came late.",
+        "Revenue grew in Q3 2020. The third quarter was strong.",
+        "See you on Friday. He left last Friday.",
+    ]), fixed="2020-06-15")
+    rows = sutime_docs(annotate(docs, upto="ner")).collect()
+    maps = [_tok_map(r) for r in rows]
+    # range: interval value over the whole from-to span
+    assert maps[0]["1992"] == ("DATE", "1992/2004")
+    assert maps[0]["2004"] == ("DATE", "1992/2004")
+    assert maps[0]["to"] == ("DATE", "1992/2004")
+    # sets
+    assert maps[1]["every"] == ("SET", "XXXX-WXX-5")
+    assert maps[1]["daily"] == ("SET", "P1D")
+    # holidays: fixed + computus + 4th-Thursday
+    assert maps[2]["christmas"] == ("DATE", "2020-12-25")
+    assert maps[2]["easter"] == ("DATE", "2020-04-12")
+    assert maps[2]["thanksgiving"] == ("DATE", "2020-11-26")
+    # quarters
+    assert maps[3]["q3"] == ("DATE", "2020-Q3")
+    assert maps[3]["third"] == ("DATE", "2020-Q3")
+    # weekdays: same ISO week (2020-06-15 is Monday → Friday = 06-19),
+    # "last Friday" a week earlier
+    assert maps[4]["friday"][0] == "DATE"
+    fr = [t for r in rows[4:5] for t in r["tokens"] if t["word"].lower() == "friday"]
+    assert {t["nner"] for t in fr} == {"2020-06-19", "2020-06-12"}
+
+
 def test_quote_attribution(spark):
     docs = _docs(spark, ['"Stop right there," Jane said loudly.'])
     out = quote_docs(annotate(docs, upto="ner")).first()

@@ -35,6 +35,37 @@ def test_json_outputter_shape(spark):
     assert any(m["isRepresentativeMention"] for m in doc["corefs"])
 
 
+def test_conll_tsv_text_xml_outputters(spark):
+    from corenlp_spark.sources.outputters import to_conll, to_text, to_tsv, to_xml
+
+    ann = annotate_fused(_docs(spark, ["Barack Obama visited Paris. He spoke."]))
+    conll = to_conll(ann).first().conll
+    sents = conll.split("\n\n")
+    assert len(sents) == 2
+    first = sents[0].splitlines()[0].split("\t")
+    assert first == ["1", "Barack", "Barack", "NNP", "PERSON"]
+
+    tsv = to_tsv(ann).orderBy("sent", "idx").collect()
+    assert tsv[0].tsv.split("\t")[:4] == ["d0", "0", "0", "Barack"]
+    assert len(tsv) == 8  # "Barack Obama visited Paris ." + "He spoke ."
+    assert {r.sent for r in tsv} == {0, 1}
+
+    text = to_text(ann).first().text
+    assert text.startswith("Sentence #1 (")
+    assert "[Text=Barack POS=NNP NER=PERSON]" in text
+
+    xml = to_xml(ann).first().xml
+    assert xml.startswith('<document docId="d0"><sentences><sentence id="1">')
+    assert "<word>Barack</word>" in xml and "<NER>PERSON</NER>" in xml
+    # escaping: & < > must never appear raw in content
+    from corenlp_spark.sources.outputters import _xml_escape
+    from pyspark.sql import functions as F
+
+    esc = spark.range(1).select(
+        _xml_escape(F.lit('a & b < c > d')).alias("e")).first().e
+    assert esc == "a &amp; b &lt; c &gt; d"
+
+
 def test_conllu_roundtrip(spark, tmp_path):
     ann = annotate_fused(_docs(spark, ["Obama visited Paris."]))
     lines = to_conllu_lines(ann)
