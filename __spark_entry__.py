@@ -264,6 +264,54 @@ def q_dedup_minhash(spark, sf_dir):
     )
 
 
+def q_dedup_simhash(spark, sf_dir):
+    """SimHash near-dup signatures: per-16-bit-prefix bucket stats (the
+    bucketing that bounds the pair join at scale). The DuckDB oracle
+    reproduces every md5-derived bit (portable hashing)."""
+    from corenlp_spark.functions.dedup import simhash
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    s = simhash(d).withColumn("bucket", F.shiftright("simhash", 44))
+    return (
+        s.groupBy("bucket")
+        .agg(F.count("*").alias("n_docs"),
+             F.countDistinct("simhash").alias("n_distinct"))
+        .orderBy(F.desc("n_docs"), "bucket")
+        .limit(30)
+    )
+
+
+def _simhash_oracle() -> str:
+    """DuckDB twin of functions/dedup.simhash: 60 per-bit majority votes
+    over md5-derived token hashes, generated as literal SQL."""
+    bit_sums = ", ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(60)
+    )
+    sim = " + ".join(
+        f"(CASE WHEN b{b} > 0 THEN CAST({2 ** b} AS BIGINT) ELSE 0 END)"
+        for b in range(60)
+    )
+    return f"""
+        WITH t AS (
+          SELECT doc_id, unnest(list_distinct({_TOKENS})) AS tok
+          FROM documents),
+        h AS (
+          SELECT doc_id,
+                 CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h
+          FROM t),
+        bits AS (SELECT doc_id, {bit_sums} FROM h GROUP BY doc_id),
+        sim AS (SELECT doc_id, {sim} AS simhash FROM bits),
+        b AS (SELECT doc_id, simhash, simhash >> 44 AS bucket FROM sim)
+        SELECT bucket, count(*) AS n_docs,
+               count(DISTINCT simhash) AS n_distinct
+        FROM b GROUP BY bucket
+        ORDER BY n_docs DESC, bucket LIMIT 30
+    """
+
+
 def q_dedup_ngram_jaccard(spark, sf_dir):
     """Exact n-gram Jaccard near-dup pairs (inverted-index join)."""
     from corenlp_spark.functions.dedup import ngram_jaccard_pairs
@@ -533,6 +581,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_orders_per_segment": q_top_orders_per_segment,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
+        "dedup_simhash": q_dedup_simhash,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "doc_fingerprint": q_fingerprint,
         "token_count": q_token_count,
@@ -695,6 +744,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY score DESC, vec_id LIMIT 10
         """,
         "embedding_dups": _lsh_dups_oracle(),
+        "dedup_simhash": _simhash_oracle(),
         "events_sessions": """
             WITH s AS (
               SELECT user_id,

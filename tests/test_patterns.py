@@ -93,3 +93,33 @@ def test_semgrex_governor_direction():
     pat = compile_semgrex("{ner:LOCATION}=o <obj {}=v")
     ms = match_semgrex(pat, g)
     assert len(ms) == 1 and toks[ms[0]["v"]]["word"] == "visited"
+
+
+def test_semgrex_tree_shaped_group():
+    """Parenthesized sub-pattern constrains the INNER node, not the head —
+    the tree-shaped grammar of SemgrexPattern.java:28-120."""
+    g, toks = _graph("Chris Manning works for Stanford University.")
+    pat = compile_semgrex(
+        "{pos:/VB./}=v >nsubj {}=s >nmod ({ner:ORGANIZATION}=org >case {}=prep)")
+    ms = match_semgrex(pat, g)
+    assert len(ms) == 1
+    m = ms[0]
+    assert toks[m["org"]]["word"] == "University"
+    assert toks[m["prep"]]["word"] == "for"
+    # without parens the same relations would all constrain the verb, so
+    # ">case" would fail (the verb has no case child)
+    flat = compile_semgrex("{pos:/VB./}=v >nsubj {}=s >nmod {ner:ORGANIZATION}=org >case {}=prep")
+    assert match_semgrex(flat, g) == []
+
+
+def test_semgrex_optional_and_negated():
+    g, toks = _graph("Obama visited Paris.")
+    # optional relation binds when present…
+    pat = compile_semgrex("{pos:/VB./}=v >obj {}=o ?>nmod {}=n")
+    ms = match_semgrex(pat, g)
+    assert len(ms) == 1 and "n" not in ms[0] and toks[ms[0]["o"]]["word"] == "Paris"
+    # …and negation rejects when present
+    pat = compile_semgrex("{pos:/VB./}=v !>obj {}")
+    assert match_semgrex(pat, g) == []
+    pat = compile_semgrex("{pos:/VB./}=v !>ccomp {}")
+    assert len(match_semgrex(pat, g)) == 1
