@@ -42,13 +42,24 @@ SENTENCES_TYPE = "array<struct<sent_idx:int,start_tok:int,end_tok:int,span_idx:i
 ABBREVS = {
     "mr.", "mrs.", "ms.", "dr.", "prof.", "sen.", "rep.", "gen.", "gov.",
     "inc.", "ltd.", "co.", "corp.", "pty.", "vs.", "etc.", "jr.", "sr.",
-    "st.", "mt.", "no.", "dept.", "univ.", "assn.", "bros.", "ph.d.",
+    "st.", "mt.", "dept.", "univ.", "assn.", "bros.", "ph.d.",
     "jan.", "feb.", "mar.", "apr.", "jun.", "jul.", "aug.", "sep.", "sept.",
     "oct.", "nov.", "dec.", "mon.", "tue.", "wed.", "thu.", "fri.", "sat.",
     "sun.", "approx.", "appt.", "est.", "min.", "max.", "misc.",
-    "art.", "fig.", "sec.", "op.", "ch.", "p.m.", "a.m.", "ore.",
-    "calif.", "ave.", "blvd.", "rd.",
+    "p.m.", "a.m.", "ore.", "calif.", "ave.", "blvd.", "rd.", "so.",
 }
+
+# ambiguous abbreviations: the period belongs to the token only when a digit
+# follows ("No. 24", "Art. 53", "ca. 1300"); otherwise it ends the sentence
+# ("I like Art. And I like History.") — PTBLexer's context-gated abbrevs
+CONTEXT_ABBREVS = {"no.", "art.", "fig.", "sec.", "op.", "ch.", "ca.", "pp."}
+
+# cp1252 control-range bytes inherited into text → unicode equivalents
+# (PTBLexer cp1252 normalization set; 1:1 so char offsets are preserved)
+CP1252 = {"\x91": "\u2018", "\x92": "\u2019", "\x93": "\u201c",
+          "\x94": "\u201d", "\x95": "\u2022", "\x96": "\u2013",
+          "\x97": "\u2014", "\x85": "\u2026"}
+_CP1252_RE = re.compile("[" + "".join(CP1252) + "]")
 
 # multi-word split table: PTBLexer splits these informal contractions
 SPLIT_WORDS = {
@@ -67,21 +78,29 @@ CLITICS = ("'s", "'m", "'re", "'ve", "'ll", "'d", "n't", "'S", "'M", "'RE", "'VE
 _RULES = [
     ("URL", r"(?:(?:https?|ftp|svn(?:\+ssh)?)://|www\.|mailto:)[\w.\-@]+(?:/[\w.\-/%&?=+#~:@]*)?"),
     ("EMAIL", r"[\w.+\-]+@[\w\-]+(?:\.[\w\-]+)+"),
+    ("HANDLE", r"[@#][A-Za-z_][\w]*"),  # @Harry_Styles, #hashtag
     ("EMOTICON", r"\^_\^|<3|[<>]?[:;=8][\-o*']?[)\](\[dDpP/\\|@3]"),
-    ("ELLIPSIS", r"\.\.\.|…"),
+    # spaced ellipsis ". . ." normalizes to "..." (one token)
+    ("SPACEDOTS", r"\.(?: \.){2,}"),
+    ("ELLIPSIS", r"\.\.+|…"),
     ("TIME", r"\d{1,2}:\d{2}(?::\d{2})?"),
     ("ORDINAL", r"\d+(?:st|nd|rd|th)\b"),
     # hyphenated ranges / number-word compounds stay whole: 2010-2015,
-    # 20-30%, 80,000-man (PTBLexer hyphenated-token behavior)
-    ("NUMRANGE", r"\d[\d,.]*(?:[-–][\w.%]+)+"),
+    # 20-30%, 80,000-man, 60-90's (PTBLexer hyphenated-token behavior)
+    ("NUMRANGE", r"\d[\d,.]*(?:[-–][\w.%'’]+)+"),
+    ("VERSION", r"\d+\.[A-Za-z]\w*"),  # Windows 3.x
     ("NUMBER", r"\d{1,3}(?:,\d{3})+(?:\.\d+)?|\d+\.\d+|\d+"),
     ("PROGLANG", r"[A-Za-z]#"),
     ("CENSORED", r"[A-Za-z]+\*+[A-Za-z*]*"),
     ("CURRENCY", r"(?:US|HK|A|C|NZ)?\$|£|€|¥"),
     ("ACRONYM", r"(?:[A-Za-z]\.){2,}"),
-    # word with optional internal hyphens/slashes/apostrophes (O'Malley,
-    # anti-acquisition, Sydney-based). Trailing clitics split in post-pass.
-    ("WORD", r"[A-Za-zÀ-ɏ0-9]+(?:[-/'’][A-Za-zÀ-ɏ0-9]+)*\.?"),
+    # inner-dot names: Ph.D, Mesa A.B (alpha parts joined by single dots)
+    ("DOTTED", r"[A-Za-z]+(?:\.[A-Za-z]+)+"),
+    # word with optional internal hyphens/slashes/apostrophes/backquotes
+    # (O'Malley, anti-acquisition, Sydney-based, Mu`ammar); soft hyphens
+    # (\u00AD) ride inside and are stripped from the normalized word.
+    # Trailing clitics split in post-pass.
+    ("WORD", r"[A-Za-zÀ-ɏ0-9\u00AD]+(?:[-/'’`][A-Za-zÀ-ɏ0-9\u00AD]+)*\.?"),
     ("MULTIPUNCT", r"[?!]+"),
     ("DASH", r"--+|—|–"),
     ("QUOTE", r"``|''|[\"'`‘’“”]"),
@@ -102,10 +121,18 @@ def _split_word(original: str, begin: int):
 
     Yields (word, original, begin, end) 4-tuples.
     """
+    # soft hyphens vanish from the normalized word, stay in the original
+    if "\u00AD" in original:
+        cleaned = original.replace("\u00AD", "")
+        if cleaned:
+            yield (cleaned, original, begin, begin + len(original))
+        return
     lower = original.lower()
     # abbreviation: keep trailing period iff known abbrev, else detach
+    # (CONTEXT_ABBREVS kept here; tokenize_text re-splits them when no digit
+    # follows — the context the lexer state machine sees)
     if original.endswith("."):
-        if lower in ABBREVS:
+        if lower in ABBREVS or lower in CONTEXT_ABBREVS:
             yield (original, original, begin, begin + len(original))
             return
         core = original[:-1]
@@ -121,8 +148,8 @@ def _split_word(original: str, begin: int):
             yield (word, seg, begin + pos, begin + pos + len(seg))
             pos += len(seg)
         return
-    # clitic split: don't → do + n't ; Mary's → Mary + 's ; I'm → I + 'm
-    norm = original.replace("’", "'")
+    # clitic split: don't → do + n't ; Mary's → Mary + 's ; didn`t → did n't
+    norm = original.replace("’", "'").replace("`", "'")
     for cl in CLITICS:
         if norm.lower().endswith(cl.lower()) and len(norm) > len(cl):
             stem_orig = original[: len(original) - len(cl)]
@@ -134,29 +161,54 @@ def _split_word(original: str, begin: int):
             yield (norm[len(norm) - len(cl):], cl_orig,
                    begin + len(stem_orig), begin + len(original))
             return
-    yield (original, original, begin, begin + len(original))
+    # normalized word form (curly/backquote apostrophes → '), raw original
+    yield (norm, original, begin, begin + len(original))
 
 
 def tokenize_text(text: str) -> list[tuple[str, str, int, int]]:
-    """Tokenize one text span → list of (word, original, begin, end)."""
+    """Tokenize one text span → list of (word, original, begin, end).
+
+    ``word`` is the normalized form; ``original`` is the raw slice of the
+    input (invertible: originals + offsets reconstruct the span exactly)."""
+    # cp1252 control-range normalization (1:1, offsets preserved); raw text
+    # still supplies the originals
+    norm_text = _CP1252_RE.sub(lambda m: CP1252[m.group()], text)
     out: list[tuple[str, str, int, int]] = []
-    for m in MASTER.finditer(text):
+    for m in MASTER.finditer(norm_text):
         kind = m.lastgroup
-        original = m.group()
+        matched = m.group()
+        raw = text[m.start():m.end()]
         if kind == "WORD":
-            out.extend(_split_word(original, m.start()))
-        elif kind == "URL" and original.endswith("."):
-            core = original[:-1]
+            # words split on NORMALIZED text; originals re-sliced from the
+            # raw input at the same offsets (1:1 mapping → invertible)
+            out.extend((w, text[b:e], b, e)
+                       for w, _, b, e in _split_word(matched, m.start()))
+        elif kind == "URL" and matched.endswith("."):
+            core = matched[:-1]
             out.append((core, core, m.start(), m.end() - 1))
             out.append((".", ".", m.end() - 1, m.end()))
+        elif kind == "SPACEDOTS":
+            out.append(("...", raw, m.start(), m.end()))
         else:
-            word = _NORM.get(original, original)
-            if kind == "QUOTE" and original == '"':
+            word = _NORM.get(matched, matched)
+            if kind == "QUOTE" and matched == '"':
                 # PTB: straight double quote → `` if opening else ''
-                prev_sp = m.start() == 0 or text[m.start() - 1].isspace() or text[m.start() - 1] in "([{"
+                prev_sp = m.start() == 0 or norm_text[m.start() - 1].isspace() \
+                    or norm_text[m.start() - 1] in "([{"
                 word = "``" if prev_sp else "''"
-            out.append((word, original, m.start(), m.end()))
-    return out
+            out.append((word, raw, m.start(), m.end()))
+    # context gate for ambiguous abbreviations: "No. 24" keeps the period,
+    # "I like Art. And…" detaches it (sentence boundary)
+    gated: list[tuple[str, str, int, int]] = []
+    for i, (w, o, b, e) in enumerate(out):
+        if w.lower() in CONTEXT_ABBREVS:
+            nxt = out[i + 1][0] if i + 1 < len(out) else ""
+            if not nxt[:1].isdigit():
+                gated.append((w[:-1], o[:-1], b, e - 1))
+                gated.append((".", ".", e - 1, e))
+                continue
+        gated.append((w, o, b, e))
+    return gated
 
 
 def annotate_doc(spans: Iterable[dict]) -> tuple[list[dict], list[dict]]:

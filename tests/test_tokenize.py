@@ -39,6 +39,24 @@ GOLDEN = [
     ("I can't believe they wanna keep 40% of that.",
      ["I", "ca", "n't", "believe", "they", "wan", "na", "keep", "40", "%",
       "of", "that", "."]),
+    # r2 widening: soft hyphens, cp1252, context abbrevs, spaced ellipsis,
+    # handles, backquote clitics/names, inner-dot names, versions
+    ("Indo­nesian ship­ping ­", ["Indonesian", "shipping"]),
+    ("I lived in O\x92Malley.", ["I", "lived", "in", "O'Malley", "."]),
+    ("No. I like No. 24 and no.47.",
+     ["No", ".", "I", "like", "No.", "24", "and", "no.", "47", "."]),
+    ("First sentence . . . . Second.",
+     ["First", "sentence", "...", "Second", "."]),
+    ("@Harry_Styles didn`t like Mu`ammar al-Qaddafi",
+     ["@Harry_Styles", "did", "n't", "like", "Mu'ammar", "al-Qaddafi"]),
+    ("a B.S. or a Ph.D from Stanford",
+     ["a", "B.S.", "or", "a", "Ph.D", "from", "Stanford"]),
+    ("Windows 3.1, Windows 3.x", ["Windows", "3.1", ",", "Windows", "3.x"]),
+    ("The Iron Age (ca. 1300 – ca. 300 BC).",
+     ["The", "Iron", "Age", "(", "ca.", "1300", "--", "ca.", "300", "BC",
+      ")", "."]),
+    ("I like Art. And I like History.",
+     ["I", "like", "Art", ".", "And", "I", "like", "History", "."]),
 ]
 
 
