@@ -413,6 +413,22 @@ def q_kg_mentions_oracle(spark, sf_dir):
     )
 
 
+def q_kg_entailed(spark, sf_dir):
+    """Forward-entailed sentence fragments (EntailedSentencesAnnotation
+    analog): deletion-BFS over natural-logic-licensed edges,
+    naturalli/ForwardEntailerSearchProblem.java:119-220 re-expressed."""
+    from corenlp_spark.operators.entail import entailed_docs
+    from corenlp_spark.plans.fused import annotate_fused
+
+    fr = entailed_docs(annotate_fused(_golden_docs(spark)))
+    return (
+        fr.groupBy("fragment")
+        .agg(F.count("*").alias("n"), F.round(F.max("score"), 6).alias("max_score"))
+        .orderBy(F.desc("n"), "fragment")
+        .limit(50)
+    )
+
+
 def q_kg_coref_chains(spark, sf_dir):
     from corenlp_spark.operators.graph import coref_chains_rows
     from corenlp_spark.plans.pipeline import annotate
@@ -598,6 +614,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triples": q_kg_triples,
         "kg_mentions": q_kg_mentions,
         "kg_mentions_oracle": q_kg_mentions_oracle,
+        "kg_entailed": q_kg_entailed,
         "kg_coref_chains": q_kg_coref_chains,
         "kg_entity_link": q_kg_entity_link,
         "kg_kbp": q_kg_kbp,

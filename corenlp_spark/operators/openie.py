@@ -226,7 +226,25 @@ def extract_sentence(g: _Graph) -> list[tuple[str, str, str, float, int, int]]:
             if r == "conj":
                 expanded.append((v, d))
 
+    def resolve_ref(s: int) -> int:
+        """Enhanced++ ``ref`` rewrite (UniversalEnglishGrammaticalStructure
+        relative-pronoun coindexing): a who/which/whom subject resolves to
+        the nearest preceding nominal head across commas/brackets —
+        "Obama, who was born in Hawaii" ⊢ subject Obama, not who."""
+        if g.word(s).lower() not in ("who", "which", "whom"):
+            return s
+        t = s - 1
+        while t >= g.off:
+            p = g.pos[t - g.off]
+            if p.startswith("NN") or p == "PRP":
+                return t
+            if g.word(t) not in (",", "(", "-LRB-"):
+                break
+            t -= 1
+        return s
+
     for v, s in expanded:
+        s = resolve_ref(s)
         if _polarity_blocked(g, v) or _negated(g, v):
             continue
         if g.first(v, "expl") is not None:

@@ -117,6 +117,15 @@ GOLDEN = [
      {("he", "was", "community organizer"),
       ("community organizer", "is in", "chicago"),
       ("he", "earning", "law degree")}, False),
+    # relative-clause splitting with enhanced++ ref coindexing
+    # (naturalli/ClauseSplitterSearchProblem clause extraction +
+    # UniversalEnglishGrammaticalStructure relative-pronoun rewrite)
+    ("Obama, who was born in Hawaii, visited Paris.",
+     {("obama", "was born in", "hawaii"),
+      ("obama", "visited", "paris")}, True),
+    ("The company, which was founded in 1990, acquired the startup.",
+     {("company", "was founded in", "1990"),
+      ("company", "acquired", "startup")}, True),
     # :274-280 testSara
     ("John did see Sara", {("john", "did see", "sara")}, True),
     ("John did not see Sara", set(), True),
