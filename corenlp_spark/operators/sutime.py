@@ -84,19 +84,28 @@ def _holiday(lower_word: str, next_word: str | None, year: int):
     return None
 
 
-def with_docdate(df: DataFrame, fixed: str | None = None) -> DataFrame:
-    """+ docdate column: fixed ISO date, or deterministic per-doc date derived
-    from doc_id (2020-01-01 + hash days — the test/synth policy)."""
+def with_docdate(df: DataFrame, fixed: str | None = None,
+                 from_tags: bool = False) -> DataFrame:
+    """+ docdate column: fixed ISO date; or extracted from document markup
+    (``<date>/<docdate>`` elements — CleanXmlAnnotator docdate extraction,
+    ``pipeline/CleanXmlAnnotator.java:176``); or a deterministic per-doc
+    date derived from doc_id (2020-01-01 + hash days — the synth policy).
+    Pure column algebra in all three modes."""
     if fixed:
         return df.withColumn("docdate", F.lit(fixed))
-    return df.withColumn(
-        "docdate",
-        F.date_format(
-            F.date_add(F.lit("2020-01-01").cast("date"),
-                       F.pmod(F.xxhash64("doc_id"), F.lit(1461)).cast("int")),
-            "yyyy-MM-dd",
-        ),
+    derived = F.date_format(
+        F.date_add(F.lit("2020-01-01").cast("date"),
+                   F.pmod(F.xxhash64("doc_id"), F.lit(1461)).cast("int")),
+        "yyyy-MM-dd",
     )
+    if from_tags:
+        joined = F.concat_ws(
+            " ", F.transform("spans", lambda s: F.coalesce(s["text"], F.lit(""))))
+        tag_date = F.regexp_extract(
+            joined, r"(?i)<(?:doc)?date>\s*(\d{4}-\d{2}-\d{2})\s*</(?:doc)?date>", 1)
+        return df.withColumn(
+            "docdate", F.when(tag_date != "", tag_date).otherwise(derived))
+    return df.withColumn("docdate", derived)
 
 
 def _resolve(words: list[str], lower: list[str], docdate: datetime.date):

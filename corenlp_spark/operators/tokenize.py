@@ -76,6 +76,10 @@ SPLIT_WORDS = {
 CLITICS = ("'s", "'m", "'re", "'ve", "'ll", "'d", "n't", "'S", "'M", "'RE", "'VE", "'LL", "'D", "N'T")
 
 _RULES = [
+    # SGML/XML markup: recognized first, excluded from linguistic tokens,
+    # preserved positionally, forces a sentence break
+    # (pipeline/CleanXmlAnnotator.java:164-240 block-element semantics)
+    ("XMLTAG", r"</?[A-Za-z][\w:.\-]*(?:\s[^<>]*?)?/?>|<!--.*?-->"),
     ("URL", r"(?:(?:https?|ftp|svn(?:\+ssh)?)://|www\.|mailto:)[\w.\-@]+(?:/[\w.\-/%&?=+#~:@]*)?"),
     ("EMAIL", r"[\w.+\-]+@[\w\-]+(?:\.[\w\-]+)+"),
     ("HANDLE", r"[@#][A-Za-z_][\w]*"),  # @Harry_Styles, #hashtag
@@ -165,8 +169,11 @@ def _split_word(original: str, begin: int):
     yield (norm, original, begin, begin + len(original))
 
 
-def tokenize_text(text: str) -> list[tuple[str, str, int, int]]:
-    """Tokenize one text span → list of (word, original, begin, end).
+def tokenize_text_with_barriers(text: str):
+    """Tokenize one text span → (tokens, barriers) where tokens are
+    (word, original, begin, end) and barriers is the set of token indices
+    at which markup forced a sentence break (CleanXML: tags are excluded
+    from tokens, preserved positionally, and break sentences).
 
     ``word`` is the normalized form; ``original`` is the raw slice of the
     input (invertible: originals + offsets reconstruct the span exactly)."""
@@ -174,10 +181,14 @@ def tokenize_text(text: str) -> list[tuple[str, str, int, int]]:
     # still supplies the originals
     norm_text = _CP1252_RE.sub(lambda m: CP1252[m.group()], text)
     out: list[tuple[str, str, int, int]] = []
+    barriers: set[int] = set()
     for m in MASTER.finditer(norm_text):
         kind = m.lastgroup
         matched = m.group()
         raw = text[m.start():m.end()]
+        if kind == "XMLTAG":
+            barriers.add(len(out))
+            continue
         if kind == "WORD":
             # words split on NORMALIZED text; originals re-sliced from the
             # raw input at the same offsets (1:1 mapping → invertible)
@@ -206,9 +217,15 @@ def tokenize_text(text: str) -> list[tuple[str, str, int, int]]:
             if not nxt[:1].isdigit():
                 gated.append((w[:-1], o[:-1], b, e - 1))
                 gated.append((".", ".", e - 1, e))
+                barriers = {x + 1 if x > i else x for x in barriers}
                 continue
         gated.append((w, o, b, e))
-    return gated
+    return gated, barriers
+
+
+def tokenize_text(text: str) -> list[tuple[str, str, int, int]]:
+    """Tokenize one text span → list of (word, original, begin, end)."""
+    return tokenize_text_with_barriers(text)[0]
 
 
 def annotate_doc(spans: Iterable[dict]) -> tuple[list[dict], list[dict]]:
@@ -235,9 +252,11 @@ def annotate_doc(spans: Iterable[dict]) -> tuple[list[dict], list[dict]]:
             close_sentence(span["offset"])  # media barrier ends open sentence
             continue
         span_idx = span["offset"]
-        toks = tokenize_text(span["text"])
+        toks, barriers = tokenize_text_with_barriers(span["text"])
         i = 0
         while i < len(toks):
+            if i in barriers:
+                close_sentence(span_idx)  # markup forces a sentence break
             w, orig, b, e = toks[i]
             tokens.append(
                 {"idx": len(tokens), "word": w, "original": orig,

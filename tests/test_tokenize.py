@@ -78,6 +78,45 @@ def _sents(text):
     return [[toks[i]["word"] for i in range(s["start_tok"], s["end_tok"])] for s in sents]
 
 
+def test_cleanxml_strips_markup_and_breaks_sentences():
+    """CleanXmlAnnotator semantics (pipeline/CleanXmlAnnotator.java:164-240):
+    markup never reaches the token stream, offsets are preserved, and a tag
+    forces a sentence break."""
+    text = "Conseco acquires Kemper Corp. </HEADLINE>\n<P>\nU.S. insurance grew."
+    toks = tokenize_text(text)
+    words = [t[0] for t in toks]
+    assert "</HEADLINE>" not in words and "<P>" not in words
+    assert "Conseco" in words and "U.S." in words
+    for w, o, b, e in toks:
+        assert text[b:e] == o  # offsets still index the RAW text
+    sents = _sents(text)
+    assert len(sents) == 2
+    assert sents[1][0] == "U.S."
+
+
+def test_docdate_from_tags(spark):
+    import pandas as pd
+
+    from corenlp_spark.data.synth import DOCS_SCHEMA
+    from corenlp_spark.operators.sutime import with_docdate
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({
+            "doc_id": ["a", "b"],
+            "spans": [
+                [{"kind": "text", "text": "<DOCDATE>2013-02-21</DOCDATE> Obama spoke.",
+                  "media_ref": None, "offset": 0}],
+                [{"kind": "text", "text": "No date markup here.",
+                  "media_ref": None, "offset": 0}],
+            ],
+        }),
+        schema=DOCS_SCHEMA,
+    )
+    rows = {r.doc_id: r.docdate for r in with_docdate(docs, from_tags=True).collect()}
+    assert rows["a"] == "2013-02-21"
+    assert rows["b"] and rows["b"] != "2013-02-21"  # falls back to derived
+
+
 def test_sentence_split_basic():
     s = _sents("Obama visited Paris. Obama spoke. He was president.")
     assert len(s) == 3
