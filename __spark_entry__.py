@@ -97,6 +97,26 @@ def q_fingerprint(spark, sf_dir):
                     fingerprint(F.col("text")).alias("fp"))
 
 
+def q_rolling_fingerprints(spark, sf_dir):
+    """Winnowing-style window fingerprints shared across documents — the
+    dedup-fragment / attribution primitive (window 16, stride 8)."""
+    from corenlp_spark.functions.textstats import rolling_fingerprints
+
+    d = _t(spark, sf_dir, "documents")
+    rf = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(rolling_fingerprints(F.col("text"), window=16)).alias("fp"),
+    )
+    return (
+        rf.groupBy("fp")
+        .agg(F.countDistinct("doc_id").alias("n_docs"),
+             F.count("*").alias("n_occurrences"))
+        .filter(F.col("n_docs") > 1)
+        .orderBy(F.desc("n_docs"), "fp")
+        .limit(25)
+    )
+
+
 def q_token_count(spark, sf_dir):
     from corenlp_spark.functions.textstats import token_count
 
@@ -363,7 +383,7 @@ def _ann_tokens_path() -> str:
     # bump on annotation-semantics changes so a stale /tmp parquet from an
     # older code version is regenerated (both engines always read the same
     # bytes either way — this only keeps the snapshot current)
-    h = hashlib.md5(("ann-v2" + "".join(GOLDEN_SENTENCES)).encode())
+    h = hashlib.md5(("ann-v3" + "".join(GOLDEN_SENTENCES)).encode())
     import os
 
     for name in ("pos.json.gz", "ner.json.gz"):
@@ -600,6 +620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "doc_fingerprint": q_fingerprint,
+        "rolling_fingerprints": q_rolling_fingerprints,
         "token_count": q_token_count,
         "quality_score": q_quality,
         "lang_id": q_langid,
@@ -700,6 +721,19 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": f"""
             SELECT doc_id, md5(list_aggregate({_TOKENS}, 'string_agg', ' ')) AS fp
             FROM documents
+        """,
+        "rolling_fingerprints": f"""
+            WITH t AS (SELECT doc_id, {_TOKENS} AS tk FROM documents),
+            w AS (
+              SELECT doc_id,
+                     unnest(list_transform(
+                       range(0, CAST(floor(greatest(len(tk) - 16, 0) / 8.0) AS INT) + 1),
+                       i -> md5(array_to_string(tk[i*8+1 : i*8+16], ' ')))) AS fp
+              FROM t)
+            SELECT fp, count(DISTINCT doc_id) AS n_docs,
+                   count(*) AS n_occurrences
+            FROM w GROUP BY fp HAVING count(DISTINCT doc_id) > 1
+            ORDER BY n_docs DESC, fp LIMIT 25
         """,
         "token_count": f"""
             SELECT lang, CAST(sum(len({_TOKENS})) AS BIGINT) AS total_tokens,
