@@ -482,6 +482,59 @@ class StructuredPerceptronNER:
         return m
 
 
+def train_pos_distributed(spark, corpus: list[tuple[list[str], list[str]]],
+                          epochs: int = 8, n_shards: int = 8) -> "AveragedPerceptronTagger":
+    """Distributed perceptron training by PARAMETER MIXING (McDonald, Hall &
+    Mann 2010 — public algorithm): shard the corpus deterministically, train
+    one averaged perceptron per shard inside executors (one ``applyInPandas``
+    group per shard), then average the per-shard weight vectors on the
+    driver. This is how the training side itself scales past one machine —
+    the inference side already broadcasts the result.
+
+    Deterministic: shard = index mod n_shards, per-shard iteration order is
+    the corpus order, averaging is order-insensitive."""
+    import json as _json
+
+    import pandas as pd
+
+    rows = pd.DataFrame({
+        "shard": [i % n_shards for i in range(len(corpus))],
+        "idx": list(range(len(corpus))),
+        "words": [_json.dumps(w) for w, _ in corpus],
+        "tags": [_json.dumps(t) for _, t in corpus],
+    })
+    df = spark.createDataFrame(rows, "shard int, idx long, words string, tags string")
+
+    def train_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("idx")
+        shard_corpus = [(_json.loads(w), _json.loads(t))
+                        for w, t in zip(pdf["words"], pdf["tags"])]
+        m = AveragedPerceptronTagger()
+        m.train(shard_corpus, epochs=epochs)
+        return pd.DataFrame({"shard": [int(pdf["shard"].iloc[0])],
+                             "blob": [_json.dumps(m.to_broadcastable())]})
+
+    shard_blobs = [
+        _json.loads(r.blob)
+        for r in df.repartition(n_shards, "shard")
+        .groupBy("shard").applyInPandas(train_shard, "shard int, blob string")
+        .collect()
+    ]
+    # parameter mixing: uniform average of the shard weight vectors
+    mixed: dict[str, dict[str, float]] = {}
+    tags: set[str] = set()
+    for blob in shard_blobs:
+        tags.update(blob["tags"])
+        for f, by in blob["weights"].items():
+            tgt = mixed.setdefault(f, {})
+            for tag, w in by.items():
+                tgt[tag] = tgt.get(tag, 0.0) + w / len(shard_blobs)
+    out = AveragedPerceptronTagger()
+    out.weights = mixed
+    out.tags = sorted(tags)
+    return out
+
+
 class RelationClassifier:
     """Multiclass averaged perceptron over (between-mention lemmas, NER type
     signature) features — the TRAINED statistical arm of the KBP ensemble,

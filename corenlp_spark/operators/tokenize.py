@@ -115,6 +115,21 @@ MASTER = re.compile("|".join(f"(?P<{n}>{p})" for n, p in _RULES))
 # normalization map (PTBLexer quote/dash/ellipsis normalization, default opts)
 _NORM = {"‘": "`", "’": "'", "“": "``", "”": "''",
          "—": "--", "–": "--", "…": "..."}
+_NORM_QUOTES = {"‘", "’", "“", "”"}
+_NORM_DASHES = {"—", "–"}
+
+# PTBTokenizer option surface (process/PTBTokenizer.java:61-177 subset):
+#   normalize_quotes/dashes/ellipsis — the PTBLexer normalization toggles;
+#   split_hyphenated — "Sydney-based" → Sydney - based (UD-style);
+#   strict_treebank3 — disable the informal-contraction deviations from
+#   PTB3 (gonna/gimme/cannot stay whole, as in the original treebank).
+DEFAULT_OPTIONS = {
+    "normalize_quotes": True,
+    "normalize_dashes": True,
+    "normalize_ellipsis": True,
+    "split_hyphenated": False,
+    "strict_treebank3": False,
+}
 
 _SENT_END = re.compile(r"^[.!?]+$|^[。！？]+$")
 _FOLLOWER = re.compile(r"^[\"'`)\]}’”]+$|^''$")
@@ -143,7 +158,7 @@ def _split_word(original: str, begin: int):
         yield from _split_word(core, begin)
         yield (".", ".", begin + len(core), begin + len(original))
         return
-    if lower in SPLIT_WORDS:
+    if lower in SPLIT_WORDS and not _OPT.get("strict_treebank3"):
         parts = SPLIT_WORDS[lower]
         pos = 0
         for i, p in enumerate(parts):
@@ -169,7 +184,38 @@ def _split_word(original: str, begin: int):
     yield (norm, original, begin, begin + len(original))
 
 
-def tokenize_text_with_barriers(text: str):
+# active options for the current tokenize call (set by tokenize_text_with_
+# barriers; module-level so the helper cascade stays signature-stable)
+_OPT: dict = dict(DEFAULT_OPTIONS)
+
+
+def _norm_word(matched: str) -> str:
+    if matched in _NORM_QUOTES and not _OPT.get("normalize_quotes"):
+        return matched
+    if matched in _NORM_DASHES and not _OPT.get("normalize_dashes"):
+        return matched
+    if matched == "…" and not _OPT.get("normalize_ellipsis"):
+        return matched
+    return _NORM.get(matched, matched)
+
+
+def _split_hyphenated(tokens):
+    """splitHyphenated post-pass: internal hyphens become their own tokens
+    ("Sydney-based" → Sydney - based); number ranges keep their hyphens."""
+    out = []
+    for w, o, b, e in tokens:
+        if "-" in w[1:-1] and not any(c.isdigit() for c in w) and len(w) == e - b:
+            pos = b
+            for part in re.split(r"(-)", w):
+                if part:
+                    out.append((part, part, pos, pos + len(part)))
+                    pos += len(part)
+        else:
+            out.append((w, o, b, e))
+    return out
+
+
+def tokenize_text_with_barriers(text: str, options: dict | None = None):
     """Tokenize one text span → (tokens, barriers) where tokens are
     (word, original, begin, end) and barriers is the set of token indices
     at which markup forced a sentence break (CleanXML: tags are excluded
@@ -177,6 +223,8 @@ def tokenize_text_with_barriers(text: str):
 
     ``word`` is the normalized form; ``original`` is the raw slice of the
     input (invertible: originals + offsets reconstruct the span exactly)."""
+    global _OPT
+    _OPT = dict(DEFAULT_OPTIONS, **(options or {}))
     # cp1252 control-range normalization (1:1, offsets preserved); raw text
     # still supplies the originals
     norm_text = _CP1252_RE.sub(lambda m: CP1252[m.group()], text)
@@ -201,8 +249,8 @@ def tokenize_text_with_barriers(text: str):
         elif kind == "SPACEDOTS":
             out.append(("...", raw, m.start(), m.end()))
         else:
-            word = _NORM.get(matched, matched)
-            if kind == "QUOTE" and matched == '"':
+            word = _norm_word(matched)
+            if kind == "QUOTE" and matched == '"' and _OPT.get("normalize_quotes"):
                 # PTB: straight double quote → `` if opening else ''
                 prev_sp = m.start() == 0 or norm_text[m.start() - 1].isspace() \
                     or norm_text[m.start() - 1] in "([{"
@@ -220,15 +268,18 @@ def tokenize_text_with_barriers(text: str):
                 barriers = {x + 1 if x > i else x for x in barriers}
                 continue
         gated.append((w, o, b, e))
+    if _OPT.get("split_hyphenated"):
+        gated = _split_hyphenated(gated)
     return gated, barriers
 
 
-def tokenize_text(text: str) -> list[tuple[str, str, int, int]]:
+def tokenize_text(text: str, options: dict | None = None) -> list[tuple[str, str, int, int]]:
     """Tokenize one text span → list of (word, original, begin, end)."""
-    return tokenize_text_with_barriers(text)[0]
+    return tokenize_text_with_barriers(text, options)[0]
 
 
-def annotate_doc(spans: Iterable[dict]) -> tuple[list[dict], list[dict]]:
+def annotate_doc(spans: Iterable[dict],
+                 options: dict | None = None) -> tuple[list[dict], list[dict]]:
     """Tokenize + ssplit one document's span list. Media spans are barriers."""
     tokens: list[dict] = []
     sentences: list[dict] = []
@@ -252,7 +303,7 @@ def annotate_doc(spans: Iterable[dict]) -> tuple[list[dict], list[dict]]:
             close_sentence(span["offset"])  # media barrier ends open sentence
             continue
         span_idx = span["offset"]
-        toks, barriers = tokenize_text_with_barriers(span["text"])
+        toks, barriers = tokenize_text_with_barriers(span["text"], options)
         i = 0
         while i < len(toks):
             if i in barriers:
@@ -277,8 +328,10 @@ def annotate_doc(spans: Iterable[dict]) -> tuple[list[dict], list[dict]]:
     return tokens, sentences
 
 
-def tokenize_docs(df: DataFrame) -> DataFrame:
-    """DataFrame transform: docs(doc_id, spans, ...) → + tokens, sentences."""
+def tokenize_docs(df: DataFrame, options: dict | None = None) -> DataFrame:
+    """DataFrame transform: docs(doc_id, spans, ...) → + tokens, sentences.
+
+    ``options``: PTBTokenizer option subset (DEFAULT_OPTIONS keys)."""
     out_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
     out_schema += f", tokens {TOKENS_TYPE}, sentences {SENTENCES_TYPE}"
 
@@ -286,7 +339,7 @@ def tokenize_docs(df: DataFrame) -> DataFrame:
         for pdf in batches:
             toks_col, sents_col = [], []
             for spans in pdf["spans"]:
-                t, s = annotate_doc(spans)
+                t, s = annotate_doc(spans, options)
                 toks_col.append(t)
                 sents_col.append(s)
             pdf = pdf.copy()

@@ -130,6 +130,24 @@ def test_training_is_deterministic():
     assert x.to_broadcastable() == y.to_broadcastable()
 
 
+def test_distributed_parameter_mixing_training(spark):
+    """Parameter-mixing training (train per shard in executors, average
+    weights) must be deterministic and land near the single-process model
+    on the held-out gate — the training-side scale path."""
+    from corenlp_spark.models.perceptron import train_pos_distributed
+
+    corpus = pos_corpus()
+    m1 = train_pos_distributed(spark, corpus, epochs=4, n_shards=8)
+    m2 = train_pos_distributed(spark, corpus, epochs=4, n_shards=8)
+    assert m1.to_broadcastable() == m2.to_broadcastable()  # deterministic
+    right = total = 0
+    for words, gold in pos_heldout():
+        pred = m1.predict(words)
+        right += sum(p == g for p, g in zip(pred, gold))
+        total += len(gold)
+    assert right / total >= 0.85, f"mixed-model held-out {right/total:.3f}"
+
+
 def test_broadcast_inference_on_spark(spark):
     """Explicit broadcast-variable inference shape still works (the cluster
     deployment alternative to package-file weights)."""

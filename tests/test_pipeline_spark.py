@@ -35,6 +35,52 @@ def test_determinism_across_partitioning(spark):
     assert a.alias("a").join(b.alias("b"), "doc_id").filter("a.h <> b.h").count() == 0
 
 
+def test_annotation_roundtrip_fidelity(spark, tmp_path):
+    """Serializer round trip (ProtobufAnnotationSerializerTest analog): every
+    annotation layer — tokens (word/original/offsets/pos/lemma/ner/nner),
+    sentences, deps, coref — survives a parquet write + read byte-identically."""
+    from corenlp_spark.plans.fused import annotate_fused
+
+    ann = annotate_fused(synth_docs(spark, 40))
+    path = str(tmp_path / "ann")
+    ann.write.parquet(path)
+    back = spark.read.parquet(path)
+
+    def snap(df):
+        return {r["doc_id"]: (r["tokens"], r["sentences"], r["deps"], r["coref"])
+                for r in df.collect()}
+    assert snap(ann) == snap(back)
+
+
+def test_wikidict_scale_linking_broadcasts_and_salts(spark):
+    """The linking stage at wikidict scale: a 100k-entry alias dictionary
+    must still take the broadcast-hash-join plan (WikidictAnnotator loads
+    21M entries in-JVM — same discipline), and the salted canonical
+    aggregation must produce identical results to an unsalted groupBy."""
+    from pyspark.sql import functions as F
+
+    from corenlp_spark.operators.entitylink import (
+        alias_dict, canonical_entities, link_mentions,
+    )
+    from corenlp_spark.operators.mentions import mention_rows
+    from corenlp_spark.plans.fused import annotate_fused
+
+    big = [(f"surface {i}", f"Entity_{i}", 0.9) for i in range(100_000)]
+    big += [("obama", "Barack_Obama", 0.9), ("paris", "Paris", 0.9)]
+    aliases = alias_dict(spark, big)
+    m = mention_rows(annotate_fused(synth_docs(spark, 60)))
+    linked = link_mentions(m, aliases)
+    plan = linked._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+    got = {(r.entity_key, r.n_mentions) for r in canonical_entities(linked).collect()}
+    plain = (
+        linked.groupBy(
+            F.coalesce(F.col("link"), F.lower(F.col("text"))).alias("entity_key"))
+        .agg(F.count("*").alias("n_mentions"))
+    )
+    assert got == {(r.entity_key, r.n_mentions) for r in plain.collect()}
+
+
 def test_triples_emitted_and_deduped(spark):
     t = openie_docs(full(spark))
     rows = t.collect()

@@ -94,6 +94,31 @@ def test_cleanxml_strips_markup_and_breaks_sentences():
     assert sents[1][0] == "U.S."
 
 
+def test_tokenizer_options():
+    """PTBTokenizer option subset (process/PTBTokenizer.java:61-177)."""
+    # normalize_quotes off: raw quote characters survive
+    raw = tokenize_text('“hi”', {"normalize_quotes": False})
+    assert [t[0] for t in raw] == ["“", "hi", "”"]
+    assert [t[0] for t in tokenize_text('“hi”')] == ["``", "hi", "''"]
+    # normalize_dashes off
+    assert [t[0] for t in tokenize_text("a — b", {"normalize_dashes": False})] \
+        == ["a", "—", "b"]
+    # split_hyphenated: UD-style hyphen splitting (number ranges untouched)
+    got = [t[0] for t in tokenize_text("Sydney-based firms kept 2010-2015 plans",
+                                       {"split_hyphenated": True})]
+    assert got[:3] == ["Sydney", "-", "based"]
+    assert "2010-2015" in got
+    # strict_treebank3: informal-contraction splits disabled
+    assert [t[0] for t in tokenize_text("gonna", {"strict_treebank3": True})] == ["gonna"]
+    assert [t[0] for t in tokenize_text("gonna")] == ["gon", "na"]
+    # offsets remain invertible under every option combination
+    for opts in ({"split_hyphenated": True}, {"normalize_quotes": False},
+                 {"strict_treebank3": True}):
+        text = 'He said “Sydney-based firms” are gonna win.'
+        for w, o, b, e in tokenize_text(text, opts):
+            assert text[b:e] == o
+
+
 def test_docdate_from_tags(spark):
     import pandas as pd
 
