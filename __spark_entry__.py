@@ -433,6 +433,62 @@ def q_kg_mentions_oracle(spark, sf_dir):
     )
 
 
+def q_kg_triples_oracle(spark, sf_dir):
+    """The dedup/aggregation algebra of the KG serving layer under a DuckDB
+    oracle over REAL extraction output: raw (pre-dedup) triples from the
+    fused pipeline are materialized to parquet; Spark runs the engine's
+    dedup_triples operator, DuckDB replays its groupBy semantics over the
+    same bytes."""
+    import os
+
+    from corenlp_spark.operators.graph import dedup_triples
+    from corenlp_spark.plans.fused import extract_triples_fused
+
+    path = _ann_tokens_path() + "_triples"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        t = extract_triples_fused(_golden_docs(spark))
+        t.write.mode("overwrite").parquet(path)
+    raw = spark.read.parquet(path)
+    return (
+        dedup_triples(raw)
+        .select("subj", "pred", "obj",
+                F.round("confidence", 6).alias("confidence"),
+                F.col("support").cast("long").alias("support"),
+                F.col("n_docs").cast("long").alias("n_docs"))
+        .orderBy("subj", "pred", "obj")
+    )
+
+
+def q_kg_coref_oracle(spark, sf_dir):
+    """Representative-mention selection under a DuckDB oracle: the engine's
+    representative FLAGS (longest non-pronoun mention, earliest on ties —
+    CorefChain representative semantics) aggregated by Spark must equal
+    DuckDB RECOMPUTING the selection from scratch via window ranking over
+    the same materialized chains."""
+    import os
+
+    path = _ann_tokens_path() + "_coref"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        from corenlp_spark.operators.graph import coref_chains_rows
+        from corenlp_spark.plans.fused import annotate_fused
+
+        ch = coref_chains_rows(annotate_fused(_golden_docs(spark))).select(
+            "doc_id", "cluster_id", "sent_idx", "start_tok", "text",
+            "kind", "representative")
+        ch.write.mode("overwrite").parquet(path)
+    ch = spark.read.parquet(path)
+    per = ch.groupBy("doc_id", "cluster_id").agg(
+        F.count("*").alias("n_mentions"),
+        F.max(F.when(F.col("representative"), F.col("text"))).alias("rep"),
+    )
+    return (
+        per.groupBy("rep")
+        .agg(F.count("*").alias("n_chains"),
+             F.sum("n_mentions").cast("long").alias("n_mentions"))
+        .orderBy(F.desc("n_chains"), "rep")
+    )
+
+
 def q_kg_entailed(spark, sf_dir):
     """Forward-entailed sentence fragments (EntailedSentencesAnnotation
     analog): deletion-BFS over natural-logic-licensed edges,
@@ -633,8 +689,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mention_chunks": q_mention_chunks_sql,
         "entity_link_dict": q_entity_link_sql,
         "kg_triples": q_kg_triples,
+        "kg_triples_oracle": q_kg_triples_oracle,
         "kg_mentions": q_kg_mentions,
         "kg_mentions_oracle": q_kg_mentions_oracle,
+        "kg_coref_oracle": q_kg_coref_oracle,
         "kg_entailed": q_kg_entailed,
         "kg_coref_chains": q_kg_coref_chains,
         "kg_entity_link": q_kg_entity_link,
@@ -943,6 +1001,39 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(n_tok) AS BIGINT) AS max_len,
                    count(DISTINCT text) AS n_texts
             FROM chunks GROUP BY ner ORDER BY ner
+        """,
+        # the serving-layer dedup algebra over real extraction output
+        # (operators/graph.dedup_triples semantics replayed in SQL)
+        "kg_triples_oracle": f"""
+            SELECT lower(subj) AS subj, lower(pred) AS pred,
+                   lower(obj) AS obj,
+                   round(max(confidence), 6) AS confidence,
+                   count(*) AS support,
+                   count(DISTINCT doc_id) AS n_docs
+            FROM read_parquet('{_ann_tokens_path()}_triples/*.parquet')
+            GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+        """,
+        # representative-mention selection recomputed from scratch in SQL
+        # (window ranking) — must equal the engine's in-kernel choice
+        "kg_coref_oracle": f"""
+            WITH ch AS (
+              SELECT * FROM read_parquet('{_ann_tokens_path()}_coref/*.parquet')),
+            ranked AS (
+              SELECT doc_id, cluster_id, text,
+                     row_number() OVER (
+                       PARTITION BY doc_id, cluster_id
+                       ORDER BY (kind <> 'pronoun') DESC, length(text) DESC,
+                                sent_idx, start_tok) AS rk
+              FROM ch),
+            per AS (
+              SELECT doc_id, cluster_id, count(*) AS n_mentions
+              FROM ch GROUP BY 1, 2),
+            rep AS (
+              SELECT doc_id, cluster_id, text AS rep FROM ranked WHERE rk = 1)
+            SELECT rep, count(*) AS n_chains,
+                   CAST(sum(n_mentions) AS BIGINT) AS n_mentions
+            FROM per JOIN rep USING (doc_id, cluster_id)
+            GROUP BY rep ORDER BY n_chains DESC, rep
         """,
         # other kg_* and media_features: non-SQL-expressible (full NLP
         # pipeline / Arrow UDF stages) → rows-only driver check by design.

@@ -58,31 +58,47 @@ def quote_docs(df: DataFrame) -> DataFrame:
             for toks in pdf["tokens"]:
                 toks = list(toks)
                 quotes = []
-                open_i = None
+
+                def emit(open_i: int, close_i: int):
+                    text = " ".join(x["word"] for x in toks[open_i + 1: close_i])
+                    # attribution: nearest PERSON token within 5 tokens of
+                    # either quote edge, gated by a speech verb nearby
+                    speaker = None
+                    window = list(range(max(0, open_i - 5), open_i)) + \
+                        list(range(close_i + 1, min(len(toks), close_i + 6)))
+                    has_verb = any(
+                        toks[k]["lemma"] in _SPEECH_VERBS
+                        or toks[k]["word"].lower() in _SPEECH_VERBS
+                        for k in window
+                    )
+                    if has_verb:
+                        for k in window:
+                            if toks[k].get("ner") == "PERSON":
+                                speaker = toks[k]["word"]
+                                break
+                    quotes.append({"start_tok": open_i, "end_tok": close_i + 1,
+                                   "text": text, "speaker": speaker})
+
+                # NESTED quotes via a typed open-quote stack (QuoteAnnotator
+                # nesting semantics): `` … '' may contain ` … ' and vice
+                # versa; both levels are emitted
+                stack: list[tuple[int, str]] = []
                 for i, t in enumerate(toks):
-                    if t["word"] in _OPEN_Q and open_i is None:
-                        open_i = i
-                    elif t["word"] in _CLOSE_Q and open_i is not None:
-                        text = " ".join(
-                            x["word"] for x in toks[open_i + 1: i]
-                        )
-                        # attribution: nearest PERSON token within 5 tokens of
-                        # either quote edge, gated by a speech verb nearby
-                        speaker = None
-                        window = list(range(max(0, open_i - 5), open_i)) + \
-                            list(range(i + 1, min(len(toks), i + 6)))
-                        has_verb = any(
-                            toks[k]["lemma"] in _SPEECH_VERBS or toks[k]["word"].lower() in _SPEECH_VERBS
-                            for k in window
-                        )
-                        if has_verb:
-                            for k in window:
-                                if toks[k].get("ner") == "PERSON":
-                                    speaker = toks[k]["word"]
-                                    break
-                        quotes.append({"start_tok": open_i, "end_tok": i + 1,
-                                       "text": text, "speaker": speaker})
-                        open_i = None
+                    w = t["word"]
+                    if w == "``":
+                        stack.append((i, "d"))
+                    elif w == "`":
+                        stack.append((i, "s"))
+                    elif w == "''" and any(k == "d" for _, k in stack):
+                        while stack:
+                            oi, k = stack.pop()
+                            if k == "d":
+                                emit(oi, i)
+                                break
+                    elif w == "'" and stack and stack[-1][1] == "s":
+                        oi, _ = stack.pop()
+                        emit(oi, i)
+                quotes.sort(key=lambda q: (q["start_tok"], q["end_tok"]))
                 quotes_col.append(quotes)
             pdf = pdf.copy()
             pdf["quotes"] = quotes_col

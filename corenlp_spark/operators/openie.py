@@ -268,6 +268,22 @@ def extract_sentence(g: _Graph) -> list[tuple[str, str, str, float, int, int]]:
             continue
         # plain verb patterns
         o = g.first(v, "obj")
+        if o is None:
+            # clone_obj (ClauseSplitterSearchProblem.java:56-100 action):
+            # "Obama visited and praised Paris" — a conjoined verb with
+            # nothing but the conjunction between it and its partner shares
+            # the partner's object. The adjacency gate keeps "worked as X
+            # and taught law" from borrowing across intervening arguments.
+            partner = None
+            if v in g.parent and g.parent[v][1] == "conj":
+                partner = g.parent[v][0]
+            else:
+                partner = g.first(v, "conj")
+            if partner is not None and g.pos[partner - g.off].startswith("V"):
+                lo_t, hi_t = min(v, partner), max(v, partner)
+                if all(g.pos[t - g.off] in ("CC", "RB", ",")
+                       for t in range(lo_t + 1, hi_t)):
+                    o = g.first(partner, "obj")
         pred = _pred_words(g, v, [])
         # manner-adverb variant: "-ly" advmods stay in the relation gloss
         # ("running unsuccessfully for") alongside the entailed bare form

@@ -100,6 +100,20 @@ def test_quote_attribution(spark):
     assert q["speaker"] == "Jane"
 
 
+def test_nested_quotes(spark):
+    """QuoteAnnotator nesting: both the outer and inner quote are emitted,
+    the outer spanning the inner."""
+    docs = _docs(spark, ['"She told me `run fast\' today," Jane said.'])
+    out = quote_docs(annotate(docs, upto="ner")).first()
+    qs = sorted(out["quotes"], key=lambda q: q["start_tok"])
+    assert len(qs) == 2
+    outer, inner = qs
+    assert "run fast" in outer["text"] and inner["text"] == "run fast"
+    assert outer["start_tok"] < inner["start_tok"] \
+        and inner["end_tok"] < outer["end_tok"]
+    assert outer["speaker"] == "Jane"
+
+
 def test_quote_without_speech_verb_unattributed(spark):
     docs = _docs(spark, ['The sign "no entry" hung near Jane.'])
     out = quote_docs(annotate(docs, upto="ner")).first()

@@ -126,6 +126,10 @@ GOLDEN = [
     ("The company, which was founded in 1990, acquired the startup.",
      {("company", "was founded in", "1990"),
       ("company", "acquired", "startup")}, True),
+    # clone_obj clause-splitter action (ClauseSplitterSearchProblem.java:56-100):
+    # VP coordination shares the object across both verbs
+    ("Obama visited and praised Paris.",
+     {("obama", "visited", "paris"), ("obama", "praised", "paris")}, True),
     # :274-280 testSara
     ("John did see Sara", {("john", "did see", "sara")}, True),
     ("John did not see Sara", set(), True),
