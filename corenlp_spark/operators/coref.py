@@ -40,7 +40,13 @@ _PRONOUN_AGREE = {
     "it": ("ORGANIZATION|LOCATION", "sing"), "its": ("ORGANIZATION|LOCATION", "sing"),
     "they": ("PERSON|ORGANIZATION", "plur"), "them": ("PERSON|ORGANIZATION", "plur"),
     "their": ("PERSON|ORGANIZATION", "plur"),
+    # first person: resolved by the DiscourseMatch/speaker sieve inside
+    # quotes (dcoref SpeakerMatch semantics), never by distance
+    "i": ("PERSON", "sing"), "me": ("PERSON", "sing"), "my": ("PERSON", "sing"),
 }
+_FIRST_PERSON = {"i", "me", "my"}
+_SPEECH_LEMMAS = {"say", "think", "reply", "ask", "shout", "whisper", "add",
+                  "note", "claim", "tell"}
 _STOP_DETS = {"the", "a", "an", "this", "that", "these", "those"}
 
 
@@ -228,11 +234,42 @@ def run_sieves(mentions: list[Mention], tokens: list[dict] | None = None) -> Non
             if hw in _strip_det(mj.text).split():
                 union(i, j)
                 break
+    # Sieve 4d: DiscourseMatch/SpeakerMatch (dcoref discourse processing):
+    # a first-person pronoun INSIDE a quote corefs with the quote's
+    # attributed speaker (nearest PERSON at the quote edge + speech verb)
+    if tokens is not None:
+        q_spans, q_stack = [], []
+        for idx, t in enumerate(tokens):
+            w = t["word"]
+            if w == "``":
+                q_stack.append(idx)
+            elif w == "''" and q_stack:
+                q_spans.append((q_stack.pop(), idx))
+        for qs, qe in q_spans:
+            window = list(range(max(0, qs - 6), qs)) + \
+                list(range(qe + 1, min(len(tokens), qe + 7)))
+            if not any(tokens[k].get("lemma") in _SPEECH_LEMMAS
+                       or tokens[k]["word"].lower() in _SPEECH_LEMMAS
+                       for k in window):
+                continue
+            speaker_j = None
+            for j, mj in enumerate(mentions):
+                if mj.kind == "entity" and mj.ner == "PERSON" \
+                        and (mj.end <= qs or mj.start > qe) \
+                        and any(mj.start <= k < mj.end for k in window):
+                    speaker_j = j
+                    break
+            if speaker_j is None:
+                continue
+            for i, mi in enumerate(mentions):
+                if mi.kind == "pronoun" and mi.text.lower() in _FIRST_PERSON \
+                        and qs < mi.start < qe:
+                    union(i, speaker_j)
     # Sieve 5: pronoun match (agreement-gated, nearest compatible antecedent
-    # within 2 sentences)
+    # within 2 sentences); first person is the speaker sieve's job ONLY
     for i in range(n):
         mi = mentions[i]
-        if mi.kind != "pronoun":
+        if mi.kind != "pronoun" or mi.text.lower() in _FIRST_PERSON:
             continue
         allowed, _num = _PRONOUN_AGREE[mi.text.lower()]
         allowed_set = set(allowed.split("|"))

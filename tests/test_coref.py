@@ -99,6 +99,15 @@ def test_relaxed_head_match():
     assert any("Barack Hussein Obama II" == m for m in c)
 
 
+def test_speaker_sieve_first_person_in_quote():
+    """DiscourseMatch/SpeakerMatch: 'I' inside an attributed quote corefs
+    with the speaker; outside quotes first person stays unresolved."""
+    c = cluster_of('"I will win," said John McCain.', "I")
+    assert "John McCain" in c
+    c2 = cluster_of("I like Paris. Jane spoke.", "I")
+    assert c2 == {"I"}
+
+
 def test_list_construction_not_apposed():
     """'France, Germany' in a list must NOT merge as appositive (same-kind
     guard)."""
