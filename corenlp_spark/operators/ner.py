@@ -138,6 +138,15 @@ NUMBER_WORDS = {"one": 1, "two": 2, "three": 3, "four": 4, "five": 5,
                 "billion": 10**9}
 
 
+def _day_of(w: str) -> int | None:
+    """1-31 day number or None. str.isdigit() alone is a trap: unicode
+    digit-like characters ('²') pass it but int() rejects them."""
+    if not (w.isascii() and w.isdigit()):
+        return None
+    v = int(w)
+    return v if 1 <= v <= 31 else None
+
+
 def numeric_pass(words: list[str], ner: list[str], nner: list[str]) -> None:
     """In-place overwrite of O tags with numeric/temporal classes + values."""
     n = len(words)
@@ -171,8 +180,8 @@ def numeric_pass(words: list[str], ner: list[str], nner: list[str]) -> None:
             t += 1
             continue
         # DATE patterns: "21 February 2013" | "February 21, 2013" | "January 20, 2009" | bare year
-        if w.isdigit() and 1 <= int(w) <= 31 and t + 1 < n and words[t + 1].lower() in MONTHS:
-            day, mon = int(w), MONTHS[words[t + 1].lower()]
+        if _day_of(w) is not None and t + 1 < n and words[t + 1].lower() in MONTHS:
+            day, mon = _day_of(w), MONTHS[words[t + 1].lower()]
             end = t + 2
             year = None
             if end < n and _RE_YEAR.match(words[end]):
@@ -186,8 +195,8 @@ def numeric_pass(words: list[str], ner: list[str], nner: list[str]) -> None:
         if lw in MONTHS:
             mon = MONTHS[lw]
             end, day, year = t + 1, None, None
-            if end < n and words[end].isdigit() and 1 <= int(words[end]) <= 31:
-                day = int(words[end])
+            if end < n and _day_of(words[end]) is not None:
+                day = _day_of(words[end])
                 end += 1
                 if end < n and words[end] == ",":
                     end += 1

@@ -211,7 +211,7 @@ def _resolve(words: list[str], lower: list[str], docdate: datetime.date):
         qty = None
         if w in NUMBER_WORDS:
             qty = NUMBER_WORDS[w]
-        elif w.isdigit():
+        elif w.isascii() and w.isdigit():
             qty = int(w)
         if qty is not None and i + 1 < n and lower[i + 1] in _UNIT:
             unit = _UNIT[lower[i + 1]]
