@@ -459,6 +459,42 @@ def q_kg_triples_oracle(spark, sf_dir):
     )
 
 
+def q_kg_sutime_oracle(spark, sf_dir):
+    """The temporal path (numeric pass + SUTime resolution) under a DuckDB
+    oracle: sutime-annotated tokens materialized to parquet; the engine's
+    chunker aggregates timex mentions on Spark, DuckDB replays the chunking
+    as window SQL over the same bytes."""
+    import os
+
+    from corenlp_spark.operators.mentions import mention_rows
+    from corenlp_spark.operators.sutime import sutime_docs, with_docdate
+    from corenlp_spark.plans.pipeline import annotate
+
+    path = _ann_tokens_path() + "_sutime"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        docs = with_docdate(_golden_docs(spark), fixed="2013-02-21")
+        ann = sutime_docs(annotate(docs, upto="ner"))
+        flat = ann.select("doc_id", F.explode("tokens").alias("t")).select(
+            "doc_id", F.col("t.idx").alias("idx"), F.col("t.sent").alias("sent"),
+            F.col("t.word").alias("word"), F.col("t.ner").alias("ner"),
+            F.coalesce(F.col("t.nner"), F.lit("")).alias("nner"),
+        )
+        flat.write.mode("overwrite").parquet(path)
+    docs = (
+        spark.read.parquet(path)
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(
+            F.struct("idx", "sent", "word", "ner", "nner"))).alias("tokens"))
+    )
+    m = mention_rows(docs)
+    return (
+        m.filter(F.col("ner").isin("DATE", "TIME", "DURATION", "SET"))
+        .groupBy("ner", F.col("nner").alias("timex"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("ner", "timex")
+    )
+
+
 def q_kg_coref_oracle(spark, sf_dir):
     """Representative-mention selection under a DuckDB oracle: the engine's
     representative FLAGS (longest non-pronoun mention, earliest on ties —
@@ -693,6 +729,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_mentions": q_kg_mentions,
         "kg_mentions_oracle": q_kg_mentions_oracle,
         "kg_coref_oracle": q_kg_coref_oracle,
+        "kg_sutime_oracle": q_kg_sutime_oracle,
         "kg_entailed": q_kg_entailed,
         "kg_coref_chains": q_kg_coref_chains,
         "kg_entity_link": q_kg_entity_link,
@@ -1012,6 +1049,28 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT doc_id) AS n_docs
             FROM read_parquet('{_ann_tokens_path()}_triples/*.parquet')
             GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+        """,
+        # the temporal path: timex mention chunking replayed as window SQL
+        "kg_sutime_oracle": f"""
+            WITH tok AS (
+              SELECT doc_id, idx, sent, ner, nner
+              FROM read_parquet('{_ann_tokens_path()}_sutime/*.parquet')),
+            runs AS (
+              SELECT doc_id, idx, sent, ner, nner,
+                     CASE WHEN lag(ner) OVER w IS NULL
+                          OR lag(ner) OVER w <> ner THEN 1 ELSE 0 END AS chg
+              FROM tok WINDOW w AS (PARTITION BY doc_id, sent ORDER BY idx)),
+            rid AS (
+              SELECT doc_id, idx, sent, ner, nner,
+                     sum(chg) OVER (PARTITION BY doc_id, sent ORDER BY idx) AS run_id
+              FROM runs),
+            chunks AS (
+              SELECT doc_id, sent, run_id, ner, max(nner) AS timex
+              FROM rid WHERE ner <> 'O' AND ner <> ''
+              GROUP BY doc_id, sent, run_id, ner)
+            SELECT ner, timex, count(*) AS n
+            FROM chunks WHERE ner IN ('DATE', 'TIME', 'DURATION', 'SET')
+            GROUP BY ner, timex ORDER BY ner, timex
         """,
         # representative-mention selection recomputed from scratch in SQL
         # (window ranking) — must equal the engine's in-kernel choice

@@ -77,7 +77,7 @@ RELATION_TAXONOMY: dict[str, tuple[str, tuple[str, ...]]] = {
     "org:dissolved": ("ORGANIZATION", ("DATE",)),
     "org:founded": ("ORGANIZATION", ("DATE",)),
     "org:number_of_employees_members": ("ORGANIZATION", ("NUMBER",)),
-    "org:website": ("ORGANIZATION", ("MISC",)),
+    "org:website": ("ORGANIZATION", ("URL",)),
 }
 
 

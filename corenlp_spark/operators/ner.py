@@ -131,6 +131,8 @@ _RE_YEAR = re.compile(r"^(1[6-9]\d\d|20\d\d)$")
 _RE_NUM = re.compile(r"^\d{1,3}(,\d{3})*(\.\d+)?$|^\d+(\.\d+)?$")
 _RE_ORD = re.compile(r"^(\d+)(st|nd|rd|th)$")
 _RE_TIME = re.compile(r"^(\d{1,2}):(\d{2})(?::\d{2})?$")
+_RE_URL = re.compile(r"^(?:(?:https?|ftp|svn(?:\+ssh)?)://|www\.|mailto:)\S+$")
+_RE_EMAIL = re.compile(r"^[\w.+\-]+@[\w\-]+(?:\.[\w\-]+)+$")
 _CURRENCY = {"$", "US$", "HK$", "A$", "C$", "£", "€", "¥"}
 NUMBER_WORDS = {"one": 1, "two": 2, "three": 3, "four": 4, "five": 5,
                 "six": 6, "seven": 7, "eight": 8, "nine": 9, "ten": 10,
@@ -154,6 +156,16 @@ def numeric_pass(words: list[str], ner: list[str], nner: list[str]) -> None:
     while t < n:
         w, lw = words[t], words[t].lower()
         if ner[t] != "O":
+            t += 1
+            continue
+        # URL / EMAIL tokens (the tokenizer emits them whole) — reference
+        # NER URL type (org:website object signature)
+        if _RE_URL.match(w):
+            ner[t], nner[t] = "URL", w.lower()
+            t += 1
+            continue
+        if _RE_EMAIL.match(w):
+            ner[t], nner[t] = "EMAIL", w.lower()
             t += 1
             continue
         m = _RE_TIME.match(w)

@@ -61,3 +61,11 @@ def test_money_ordinal_number():
 
 def test_pronouns_not_entities():
     assert spans("He was president.") == set()
+
+
+def test_url_email_ner():
+    """URL/EMAIL entity classes (reference NERTag URL — the org:website
+    object signature)."""
+    by_word = {w: (t, n) for w, t, n in ner("Visit http://acme.example or mail sue@google.com now.")}
+    assert by_word["http://acme.example"] == ("URL", "http://acme.example")
+    assert by_word["sue@google.com"] == ("EMAIL", "sue@google.com")

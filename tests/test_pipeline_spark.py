@@ -97,7 +97,7 @@ def test_mentions_chunking(spark):
     assert all(r.end_tok > r.start_tok for r in rows)
     assert set(r.ner for r in rows) <= {
         "PERSON", "ORGANIZATION", "LOCATION", "MISC",
-        "DATE", "TIME", "NUMBER", "ORDINAL", "MONEY",
+        "DATE", "TIME", "NUMBER", "ORDINAL", "MONEY", "URL", "EMAIL",
     }
 
 
