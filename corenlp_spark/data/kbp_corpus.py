@@ -72,6 +72,10 @@ KBP_GOLD: list[tuple[str, tuple[str, str, str]]] = [
      ("Hugo Ellison", "per:employee_of", "Meridian Institute")),
     ("Ivy Monroe resides in Vienna.",
      ("Ivy Monroe", "per:cities_of_residence", "Vienna")),
+    ("Summit Media is known as Beacon Group.",
+     ("Summit Media", "org:alternate_names", "Beacon Group")),
+    ("Felix Griffin is a citizen of Prague.",
+     ("Felix Griffin", "per:origin", "Prague")),
 ]
 
 # distractor sentences: entity pairs with NO KBP relation (precision control)
