@@ -38,8 +38,16 @@ def save_weights(name: str, blob: dict) -> str:
 
 def load_weights(name: str) -> dict:
     path = os.path.join(WEIGHTS_DIR, f"{name}.json.gz")
-    with gzip.open(path, "rt", encoding="utf-8") as f:
-        return json.load(f)
+    if os.path.exists(path):
+        with gzip.open(path, "rt", encoding="utf-8") as f:
+            return json.load(f)
+    # zip deployment (spark-submit --py-files pkg.zip): __file__ points into
+    # the archive, so read the artifact through importlib.resources instead
+    from importlib import resources
+
+    data = (resources.files("corenlp_spark.models")
+            .joinpath("weights", f"{name}.json.gz").read_bytes())
+    return json.loads(gzip.decompress(data).decode("utf-8"))
 
 
 def have_weights(name: str) -> bool:
