@@ -459,6 +459,68 @@ def q_kg_triples_oracle(spark, sf_dir):
     )
 
 
+def q_kg_entity_link_oracle(spark, sf_dir):
+    """The REAL linking path under a DuckDB oracle: engine mentions
+    materialized to parquet; Spark runs link_mentions (broadcast caseless
+    dict + timex/numeric special cases, WikidictAnnotator.java:117-144) +
+    the salted canonical aggregation; DuckDB replays the identical decision
+    order and an unsalted window-ranked canonicalization over the same
+    bytes — the salting must be semantically invisible."""
+    import os
+
+    from corenlp_spark.operators.entitylink import (
+        alias_dict, canonical_entities, link_mentions,
+    )
+    from corenlp_spark.operators.mentions import mention_rows
+    from corenlp_spark.plans.fused import annotate_fused
+
+    path = _ann_tokens_path() + "_mentions"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        m = mention_rows(annotate_fused(_golden_docs(spark))).select(
+            "doc_id", "sent_idx", "ner",
+            F.coalesce(F.col("nner"), F.lit("")).alias("nner"), "text")
+        m.write.mode("overwrite").parquet(path)
+    m = spark.read.parquet(path)
+    linked = link_mentions(m, alias_dict(spark))
+    return (
+        canonical_entities(linked)
+        .select("entity_key", F.col("n_mentions").cast("long").alias("n_mentions"),
+                "canonical_text", "ner")
+        .orderBy(F.desc("n_mentions"), "entity_key")
+    )
+
+
+def _entity_link_oracle() -> str:
+    from corenlp_spark.operators.entitylink import DEFAULT_ALIASES
+
+    dict_rows = ", ".join(f"('{s}', '{l}', {sc})" for s, l, sc in DEFAULT_ALIASES)
+    return f"""
+        WITH m AS (
+          SELECT * FROM read_parquet('{_ann_tokens_path()}_mentions/*.parquet')),
+        dict(surface, link, score) AS (VALUES {dict_rows}),
+        linked AS (
+          SELECT m.text, m.ner,
+                 CASE WHEN m.ner IN ('DATE','TIME','NUMBER','ORDINAL','MONEY')
+                      THEN m.nner ELSE d.link END AS link
+          FROM m LEFT JOIN dict d
+            ON lower(m.text) = d.surface AND d.score >= 0.5),
+        keyed AS (
+          SELECT coalesce(link, lower(text)) AS entity_key, text, ner
+          FROM linked),
+        ranked AS (
+          SELECT entity_key, text,
+                 row_number() OVER (PARTITION BY entity_key
+                   ORDER BY length(text) DESC, text DESC) AS rk
+          FROM keyed)
+        SELECT k.entity_key, count(*) AS n_mentions,
+               max(r.text) AS canonical_text, max(k.ner) AS ner
+        FROM keyed k JOIN (SELECT entity_key, text FROM ranked WHERE rk = 1) r
+          USING (entity_key)
+        GROUP BY k.entity_key
+        ORDER BY n_mentions DESC, k.entity_key
+    """
+
+
 def q_kg_sutime_oracle(spark, sf_dir):
     """The temporal path (numeric pass + SUTime resolution) under a DuckDB
     oracle: sutime-annotated tokens materialized to parquet; the engine's
@@ -730,6 +792,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_mentions_oracle": q_kg_mentions_oracle,
         "kg_coref_oracle": q_kg_coref_oracle,
         "kg_sutime_oracle": q_kg_sutime_oracle,
+        "kg_entity_link_oracle": q_kg_entity_link_oracle,
         "kg_entailed": q_kg_entailed,
         "kg_coref_chains": q_kg_coref_chains,
         "kg_entity_link": q_kg_entity_link,
@@ -1050,6 +1113,7 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('{_ann_tokens_path()}_triples/*.parquet')
             GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
         """,
+        "kg_entity_link_oracle": _entity_link_oracle(),
         # the temporal path: timex mention chunking replayed as window SQL
         "kg_sutime_oracle": f"""
             WITH tok AS (
