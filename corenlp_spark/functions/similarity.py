@@ -140,7 +140,13 @@ def lsh_ann_pairs(
     (sequential-order accumulation — see _seq_dot) instead of interpreted
     per-element higher-order functions: ~20× faster at equal bit-exactness.
     The candidate generation stays a DataFrame equi-join on (band, sig) —
-    the scale-bearing shuffle Catalyst/AQE manage."""
+    the scale-bearing shuffle Catalyst/AQE manage.
+
+    Shuffle-payload discipline: the band equi-join and the (id_a, id_b)
+    ``.distinct()`` carry IDS ONLY — the vectors (768+ floats at real
+    embedding dims, ×n_bands replication) never ride the candidate
+    exchange. Vectors + norms re-join by id once, only for the surviving
+    deduped pairs, feeding the exact-verify kernel."""
     from typing import Iterator
 
     import numpy as np
@@ -149,9 +155,6 @@ def lsh_ann_pairs(
     planes = _planes(dim, n_bands * band_bits)
     P = np.array(planes, dtype=np.float64).T  # dim × (bands·bits)
     pow2 = np.array([2 ** j for j in range(band_bits)], dtype=np.int64)
-
-    sig_schema = (f"{id_col} long, {vec_col} array<float>, nrm double, "
-                  "band int, sig long")
 
     def signatures(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -163,26 +166,44 @@ def lsh_ann_pairs(
             for k in range(V.shape[1]):
                 D = D + V[:, k, None] * P[None, k, :]
             bits = (D >= 0).astype(np.int64)
-            nrm = np.sqrt(_seq_dot(V, V))
             frames = []
             for band in range(n_bands):
                 sig = bits[:, band * band_bits:(band + 1) * band_bits] @ pow2
                 frames.append(pd.DataFrame({
-                    id_col: pdf[id_col].values, vec_col: pdf[vec_col].values,
-                    "nrm": nrm, "band": band, "sig": sig,
+                    id_col: pdf[id_col].values, "band": band, "sig": sig,
                 }))
             yield pd.concat(frames, ignore_index=True)
 
-    sig = emb.select(id_col, vec_col).mapInPandas(signatures, schema=sig_schema)
-    a = sig.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"),
-                   F.col("nrm").alias("n_a"), "band", "sig")
-    b = sig.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"),
-                   F.col("nrm").alias("n_b"), "band", "sig")
-    cand = (
+    def with_norm(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            yield pd.DataFrame({id_col: pdf[id_col].values,
+                                vec_col: pdf[vec_col].values,
+                                "nrm": np.sqrt(_seq_dot(V, V))})
+
+    sig = emb.select(id_col, vec_col).mapInPandas(
+        signatures, schema=f"{id_col} long, band int, sig long")
+    vecs = emb.select(id_col, vec_col).mapInPandas(
+        with_norm, schema=f"{id_col} long, {vec_col} array<float>, nrm double")
+
+    a = sig.select(F.col(id_col).alias("id_a"), "band", "sig")
+    b = sig.select(F.col(id_col).alias("id_b"), "band", "sig")
+    pairs = (
         a.join(b, ["band", "sig"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "v_a", "v_b", "n_a", "n_b")
+        .select("id_a", "id_b")
         .distinct()
+    )
+    cand = (
+        pairs
+        .join(vecs.select(F.col(id_col).alias("id_a"),
+                          F.col(vec_col).alias("v_a"),
+                          F.col("nrm").alias("n_a")), "id_a")
+        .join(vecs.select(F.col(id_col).alias("id_b"),
+                          F.col(vec_col).alias("v_b"),
+                          F.col("nrm").alias("n_b")), "id_b")
     )
 
     def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

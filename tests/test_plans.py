@@ -67,3 +67,11 @@ def test_embedding_dups_has_no_nested_loop_join(spark):
     p = plan_of(em.queries()["embedding_dups"](spark, SF))
     assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
     assert "Join" in p  # the band/sig equi-join is present
+    # shuffle-payload gate (VERDICT r2 #6): the candidate dedup aggregates
+    # (id_a, id_b) ONLY — vectors/norms must not ride the exchange+distinct
+    import re
+
+    dedups = [a for a in re.findall(r"HashAggregate\(keys=\[[^\]]*\]", p)
+              if "id_a" in a]
+    assert dedups, "expected an id-pair distinct in the plan"
+    assert all("v_a" not in a and "n_a" not in a for a in dedups), dedups
