@@ -85,7 +85,12 @@ class Pipeline:
     # -- stage runners -----------------------------------------------------
     def __call__(self, docs: DataFrame) -> DataFrame:
         """docs → annotated DataFrame with the columns the requested
-        annotator set provides."""
+        annotator set provides.
+
+        Doc-shaped annotators (tokenize…coref, quote, truecase) add columns
+        here; row-shaped outputs are reached through the dedicated accessors
+        (.mentions/.triples/.entailed/.links/.genders/.kbp/.json) — every
+        annotator accepted at construction has an execution path."""
         from corenlp_spark.operators.coref import coref_docs
         from corenlp_spark.operators.depparse import depparse_docs
         from corenlp_spark.operators.ner import ner_docs
@@ -110,6 +115,20 @@ class Pipeline:
             df = depparse_docs(df)
         if "coref" in a:
             df = coref_docs(df)
+        # doc-shaped auxiliary annotators ride on the document row like any
+        # other stage (ADVICE r2: a requested annotator must never be a
+        # silent no-op). Row-shaped outputs (entitymentions/entitylink/
+        # gender/openie/kbp/entail) have dedicated accessors below — __call__
+        # keeps the docs shape, as the reference's annotate() keeps the
+        # Annotation shape.
+        from corenlp_spark.operators.aux_annotators import (
+            quote_docs, truecase_docs,
+        )
+
+        if "quote" in a:
+            df = quote_docs(df)
+        if "truecase" in a:
+            df = truecase_docs(df)
         return df
 
     def triples(self, docs: DataFrame) -> DataFrame:
@@ -132,6 +151,44 @@ class Pipeline:
         from corenlp_spark.operators.entail import entailed_docs
 
         return entailed_docs(self(docs))
+
+    def links(self, docs: DataFrame, aliases: DataFrame | None = None) -> DataFrame:
+        """docs → entity-linked mentions (WikidictAnnotator semantics)."""
+        if "entitylink" not in self.annotators:
+            raise ValueError("pipeline was not configured with 'entitylink'")
+        from corenlp_spark.operators.entitylink import alias_dict, link_mentions
+
+        mentions = self.mentions(docs)
+        if aliases is None:
+            aliases = alias_dict(mentions.sparkSession)
+        return link_mentions(mentions, aliases)
+
+    def genders(self, docs: DataFrame) -> DataFrame:
+        """docs → PERSON mentions + gender column (GenderAnnotator)."""
+        if "gender" not in self.annotators:
+            raise ValueError("pipeline was not configured with 'gender'")
+        from corenlp_spark.operators.aux_annotators import gender_mentions
+
+        return gender_mentions(self.mentions(docs))
+
+    def kbp(self, docs: DataFrame) -> DataFrame:
+        """docs → KBP relations via the 3-arm max-confidence ensemble."""
+        if "kbp" not in self.annotators:
+            raise ValueError("pipeline was not configured with 'kbp'")
+        from corenlp_spark.operators.kbp import (
+            kbp_ensemble, kbp_relations, kbp_semgrex_relations,
+            kbp_statistical_relations, pattern_table,
+        )
+        from corenlp_spark.operators.mentions import mention_rows
+        from corenlp_spark.plans.fused import annotate_fused
+        from corenlp_spark.plans.pipeline import triples_of
+
+        ann = annotate_fused(docs)
+        arm1 = kbp_relations(triples_of(ann), mention_rows(ann),
+                             pattern_table(docs.sparkSession))
+        arm2 = kbp_semgrex_relations(ann)
+        arm3 = kbp_statistical_relations(ann)
+        return kbp_ensemble(arm1, arm2, arm3)
 
     def json(self, docs: DataFrame) -> DataFrame:
         """CoreNLP-JSON outputter over the annotated docs."""

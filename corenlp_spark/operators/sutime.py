@@ -69,8 +69,10 @@ def _thanksgiving(year: int) -> datetime.date:
     return d + datetime.timedelta(days=off + 21)
 
 
-def _holiday(lower_word: str, next_word: str | None, year: int):
-    """(value, n_tokens) for a holiday expression at this position."""
+def _holiday(words: list[str], lower: list[str], i: int, year: int):
+    """(value, n_tokens) for a holiday expression starting at token i."""
+    lower_word = lower[i]
+    next_word = lower[i + 1] if i + 1 < len(lower) else None
     if lower_word in _HOLIDAYS_FIXED:
         m, d = _HOLIDAYS_FIXED[lower_word]
         n = 2 if (lower_word == "valentine's" and next_word == "day") else 1
@@ -80,7 +82,22 @@ def _holiday(lower_word: str, next_word: str | None, year: int):
     if lower_word == "thanksgiving":
         return _thanksgiving(year).isoformat(), 1
     if lower_word == "new" and next_word in ("year's", "year"):
-        return f"{year}-01-01", 2
+        # holiday gate (ADVICE r2): ordinary NPs like "a new year of growth"
+        # must not become Jan-1 — require the possessive form ("new year's",
+        # which the clitic split renders as year + 's) or proper-noun
+        # capitalization ("New Year"), like SUTime's capitalized patterns
+        cap = words[i][:1].isupper() and words[i + 1][:1].isupper()
+        j = i + 2
+        poss = next_word == "year's"
+        if not poss and j < len(lower) and lower[j] == "'s":
+            poss, j = True, j + 1
+        if poss or cap:
+            tail = lower[j] if j < len(lower) else None
+            if tail == "eve":
+                return f"{year}-12-31", j + 1 - i
+            if tail == "day":
+                return f"{year}-01-01", j + 1 - i
+            return f"{year}-01-01", j - i
     return None
 
 
@@ -134,10 +151,13 @@ def _resolve(words: list[str], lower: list[str], docdate: datetime.date):
             i += 1
             continue
         # holidays (fixed + movable feasts), year from the docdate
-        hol = _holiday(w, lower[i + 1] if i + 1 < n else None, docdate.year)
+        hol = _holiday(words, lower, i, docdate.year)
         if hol is not None:
             val, ntok = hol
-            yield i, i + ntok, "DATE", val
+            # holidays are authoritative over statistical NER (SUTime's
+            # holiday rules outrank the CRF for these capitalized spans,
+            # e.g. "New Year's Eve" must be DATE even if tagged PERSON)
+            yield i, i + ntok, "DATE", val, True
             i += ntok
             continue
         # last/next/bare weekday → resolved ISO date
@@ -270,11 +290,14 @@ def sutime_docs(df: DataFrame) -> DataFrame:
                 docdate = datetime.date.fromisoformat(str(dd))
                 words = [t["word"] for t in toks]
                 lower = [w.lower() for w in words]
-                for s, e, ner, val in _resolve(words, lower, docdate):
+                for item in _resolve(words, lower, docdate):
+                    s, e, ner, val = item[:4]
+                    force = len(item) > 4 and item[4]
                     # overwrite O/NUMBER tokens, OFFSET placeholders, and
                     # DATE tokens being refined into a wider expression
-                    # ("Q3 2020" absorbs the bare-year DATE)
-                    if all(
+                    # ("Q3 2020" absorbs the bare-year DATE); force=True
+                    # spans (holidays) also outrank statistical NER tags
+                    if force or all(
                         toks[k].get("ner", "O") in ("O", "NUMBER", "DATE")
                         or str(toks[k].get("nner", "")).startswith("OFFSET")
                         for k in range(s, e)

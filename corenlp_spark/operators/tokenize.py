@@ -135,10 +135,12 @@ _SENT_END = re.compile(r"^[.!?]+$|^[。！？]+$")
 _FOLLOWER = re.compile(r"^[\"'`)\]}’”]+$|^''$")
 
 
-def _split_word(original: str, begin: int):
+def _split_word(original: str, begin: int, opt: dict):
     """Post-pass on a WORD match: abbreviation periods, clitics, split table.
 
-    Yields (word, original, begin, end) 4-tuples.
+    Yields (word, original, begin, end) 4-tuples. ``opt`` is the resolved
+    option dict — threaded explicitly so concurrent pipelines with different
+    tokenize options never share state (no module-level option global).
     """
     # soft hyphens vanish from the normalized word, stay in the original
     if "\u00AD" in original:
@@ -155,10 +157,10 @@ def _split_word(original: str, begin: int):
             yield (original, original, begin, begin + len(original))
             return
         core = original[:-1]
-        yield from _split_word(core, begin)
+        yield from _split_word(core, begin, opt)
         yield (".", ".", begin + len(core), begin + len(original))
         return
-    if lower in SPLIT_WORDS and not _OPT.get("strict_treebank3"):
+    if lower in SPLIT_WORDS and not opt.get("strict_treebank3"):
         parts = SPLIT_WORDS[lower]
         pos = 0
         for i, p in enumerate(parts):
@@ -176,7 +178,7 @@ def _split_word(original: str, begin: int):
             if cl.lower() == "n't":
                 yield (stem_orig, stem_orig, begin, begin + len(stem_orig))
             else:
-                yield from _split_word(stem_orig, begin)
+                yield from _split_word(stem_orig, begin, opt)
             yield (norm[len(norm) - len(cl):], cl_orig,
                    begin + len(stem_orig), begin + len(original))
             return
@@ -184,17 +186,12 @@ def _split_word(original: str, begin: int):
     yield (norm, original, begin, begin + len(original))
 
 
-# active options for the current tokenize call (set by tokenize_text_with_
-# barriers; module-level so the helper cascade stays signature-stable)
-_OPT: dict = dict(DEFAULT_OPTIONS)
-
-
-def _norm_word(matched: str) -> str:
-    if matched in _NORM_QUOTES and not _OPT.get("normalize_quotes"):
+def _norm_word(matched: str, opt: dict) -> str:
+    if matched in _NORM_QUOTES and not opt.get("normalize_quotes"):
         return matched
-    if matched in _NORM_DASHES and not _OPT.get("normalize_dashes"):
+    if matched in _NORM_DASHES and not opt.get("normalize_dashes"):
         return matched
-    if matched == "…" and not _OPT.get("normalize_ellipsis"):
+    if matched == "…" and not opt.get("normalize_ellipsis"):
         return matched
     return _NORM.get(matched, matched)
 
@@ -223,8 +220,7 @@ def tokenize_text_with_barriers(text: str, options: dict | None = None):
 
     ``word`` is the normalized form; ``original`` is the raw slice of the
     input (invertible: originals + offsets reconstruct the span exactly)."""
-    global _OPT
-    _OPT = dict(DEFAULT_OPTIONS, **(options or {}))
+    opt = dict(DEFAULT_OPTIONS, **(options or {}))
     # cp1252 control-range normalization (1:1, offsets preserved); raw text
     # still supplies the originals
     norm_text = _CP1252_RE.sub(lambda m: CP1252[m.group()], text)
@@ -241,7 +237,7 @@ def tokenize_text_with_barriers(text: str, options: dict | None = None):
             # words split on NORMALIZED text; originals re-sliced from the
             # raw input at the same offsets (1:1 mapping → invertible)
             out.extend((w, text[b:e], b, e)
-                       for w, _, b, e in _split_word(matched, m.start()))
+                       for w, _, b, e in _split_word(matched, m.start(), opt))
         elif kind == "URL" and matched.endswith("."):
             core = matched[:-1]
             out.append((core, core, m.start(), m.end() - 1))
@@ -249,26 +245,32 @@ def tokenize_text_with_barriers(text: str, options: dict | None = None):
         elif kind == "SPACEDOTS":
             out.append(("...", raw, m.start(), m.end()))
         else:
-            word = _norm_word(matched)
-            if kind == "QUOTE" and matched == '"' and _OPT.get("normalize_quotes"):
+            word = _norm_word(matched, opt)
+            if kind == "QUOTE" and matched == '"' and opt.get("normalize_quotes"):
                 # PTB: straight double quote → `` if opening else ''
                 prev_sp = m.start() == 0 or norm_text[m.start() - 1].isspace() \
                     or norm_text[m.start() - 1] in "([{"
                 word = "``" if prev_sp else "''"
             out.append((word, raw, m.start(), m.end()))
     # context gate for ambiguous abbreviations: "No. 24" keeps the period,
-    # "I like Art. And…" detaches it (sentence boundary)
+    # "I like Art. And…" detaches it (sentence boundary). Split positions are
+    # recorded in INPUT space and all barriers remapped once at the end —
+    # shifting barriers inside the loop while comparing against unshifted
+    # input indices moves a barrier too far after 2+ splits.
     gated: list[tuple[str, str, int, int]] = []
+    split_pts: list[int] = []
     for i, (w, o, b, e) in enumerate(out):
         if w.lower() in CONTEXT_ABBREVS:
             nxt = out[i + 1][0] if i + 1 < len(out) else ""
             if not nxt[:1].isdigit():
                 gated.append((w[:-1], o[:-1], b, e - 1))
                 gated.append((".", ".", e - 1, e))
-                barriers = {x + 1 if x > i else x for x in barriers}
+                split_pts.append(i)
                 continue
         gated.append((w, o, b, e))
-    if _OPT.get("split_hyphenated"):
+    if split_pts:
+        barriers = {x + sum(1 for p in split_pts if p < x) for x in barriers}
+    if opt.get("split_hyphenated"):
         gated = _split_hyphenated(gated)
     return gated, barriers
 

@@ -67,6 +67,8 @@ def main():
           f"on {len(held)} unseen-vocabulary sentences")
     if errs:
         print("  sample errors (word, gold, pred):", errs)
+    # gate BEFORE save: a regressed model must never overwrite shipped weights
+    assert acc >= 0.90, f"POS held-out accuracy {acc} < 0.90"
     save_weights("pos", tagger.to_broadcastable())
 
     # ---- NER ------------------------------------------------------------
@@ -92,6 +94,7 @@ def main():
           f"on {len(nheld)} sentences")
     for e in nerrs:
         print("  miss:", e)
+    assert f1 >= 0.90, f"NER held-out F1 {f1} < 0.90"
     save_weights("ner", ner.to_broadcastable())
 
     # ---- arc-standard parser (distilled from the clause parser) ---------
@@ -118,8 +121,8 @@ def main():
     uas = good / max(total_arcs, 1)
     print(f"arc-standard parser held-out UAS vs teacher: {uas:.4f} "
           f"({len(trees[:split])} training trees)")
-    save_weights("parser", ap.to_broadcastable())
     assert uas >= 0.85, f"parser UAS {uas} < 0.85"
+    save_weights("parser", ap.to_broadcastable())
 
     # ---- KBP statistical arm --------------------------------------------
     rows = lr_training_rows()
@@ -133,12 +136,9 @@ def main():
     acc_k = right / max(total, 1)
     print(f"KBP classifier training-set accuracy: {acc_k:.4f} "
           f"({len(rc.classes)} classes incl. NONE)")
+    assert acc_k >= 0.95, f"KBP classifier accuracy {acc_k} < 0.95"
     save_weights("kbp", rc.to_broadcastable())
     print(f"trained + saved in {time.time() - t0:.1f}s")
-    assert acc_k >= 0.95, f"KBP classifier accuracy {acc_k} < 0.95"
-    # gates for CI use
-    assert acc >= 0.90, f"POS held-out accuracy {acc} < 0.90"
-    assert f1 >= 0.90, f"NER held-out F1 {f1} < 0.90"
 
 
 if __name__ == "__main__":

@@ -57,6 +57,26 @@ def test_durations_and_refs(spark):
     assert m["now"] == ("DATE", "PRESENT_REF")
 
 
+def test_new_year_holiday_gate(spark):
+    """ADVICE r2: 'a new year of growth' is an ordinary NP, not the Jan-1
+    holiday; the capitalized proper noun and the possessive form still fire,
+    and 'New Year's Eve' resolves to Dec-31."""
+    docs = with_docdate(_docs(spark, [
+        "They hope for a new year of growth.",
+        "We celebrated New Year in Sydney.",
+        "The party is on New Year's Eve.",
+    ]), fixed="2020-06-15")
+    rows = sutime_docs(annotate(docs, upto="ner")).collect()
+    maps = [_tok_map(r) for r in rows]
+    assert maps[0]["new"] == ("O", "") and maps[0]["year"] == ("O", "")
+    assert maps[1]["new"] == ("DATE", "2020-01-01")
+    assert maps[1]["year"] == ("DATE", "2020-01-01")
+    # clitic split renders the possessive as year + 's; the whole span
+    # (incl. Eve) carries the Dec-31 value and outranks the CRF's PERSON
+    assert maps[2]["eve"] == ("DATE", "2020-12-31")
+    assert maps[2]["year"] == ("DATE", "2020-12-31")
+
+
 def test_sutime_ranges_sets_holidays_weekdays_quarters(spark):
     """SUTime breadth (time/SUTime.java + english.sutime.txt re-expressed):
     ranges, sets, holidays (incl. computed movable feasts), weekday and

@@ -94,6 +94,20 @@ def test_cleanxml_strips_markup_and_breaks_sentences():
     assert sents[1][0] == "U.S."
 
 
+def test_barrier_remap_after_multiple_context_abbrev_splits():
+    """Two context-gated abbreviation splits BEFORE an XML barrier must shift
+    the barrier by exactly the number of preceding insertions (ADVICE r2:
+    in-loop shifting compared shifted indices against unshifted positions and
+    could move a sentence break one token too far)."""
+    text = "See Art. and Fig. above <br/> Next sentence here."
+    toks, barriers = __import__(
+        "corenlp_spark.operators.tokenize", fromlist=["x"]
+    ).tokenize_text_with_barriers(text)
+    assert barriers == {[t[0] for t in toks].index("Next")}
+    sents = _sents(text)
+    assert ["Next", "sentence", "here", "."] in sents
+
+
 def test_tokenizer_options():
     """PTBTokenizer option subset (process/PTBTokenizer.java:61-177)."""
     # normalize_quotes off: raw quote characters survive
