@@ -376,11 +376,13 @@ def parse_sentence(
 ) -> list[tuple[int, int, str]]:
     """Parse one sentence → [(head, dep, rel)] with local indices; root head=-1.
 
-    ``model="trained"`` routes to the trained arc-standard transition parser
-    (models/parser.py, Chen & Manning transition system with a perceptron
-    scorer) — the pluggable-scorer contract this stage was designed around.
-    Default stays the deterministic clause parser (the golden-gated path)."""
-    if model == "trained":
+    DEFAULT (model=None or "trained") is the trained arc-standard transition
+    parser (models/parser.py — Chen & Manning transition system, perceptron
+    scorer, trained on the hand-annotated gold treebank in
+    data/gold_trees.py with rule-parser coverage augmentation; VERDICT r2 #1
+    flipped this default). ``model="rule"`` selects the deterministic
+    clause parser — kept as the distillation teacher and fallback."""
+    if model != "rule":
         from corenlp_spark.models.parser import get_trained_parser
 
         return get_trained_parser().parse(words, pos)

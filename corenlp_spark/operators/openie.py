@@ -208,6 +208,17 @@ def extract_sentence(g: _Graph) -> list[tuple[str, str, str, float, int, int]]:
             if r == "conj" and d in subj_of and h not in subj_of \
                     and g.pos[h - g.off] in ("VBN", "VBG"):
                 subj_of[h] = subj_of[d]
+    # advcl clone_nsubj (ClauseSplitterSearchProblem.java:56-100): a
+    # subjectless adverbial clause inherits the matrix subject, in both
+    # directions — "He worked in Chicago before EARNING his degree" and the
+    # fronted participle "BORN in Hamburg, she moved to Berlin" are advcl
+    # children of the subject-bearing matrix verb
+    for h in list(g.children):
+        for d, r in g.children[h]:
+            if r == "advcl" and d not in subj_of \
+                    and g.pos[d - g.off].startswith("VB"):
+                if h in subj_of:
+                    subj_of[d] = subj_of[h]
 
     # existential pattern: root with expl + nmod → (root-NP; is <case>; nmod-NP)
     for h in list(g.children):
