@@ -366,6 +366,11 @@ def pos_corpus() -> list[tuple[list[str], list[str]]]:
         # that-complement after noun + pronoun subject: "...doubt that they won ."
         add([("There", "EX"), ("is", "VBZ"), ("no", "DT"), (ns, "NN"),
              ("that", "IN"), ("they", "PRP"), (vbd2, "VBD"), (".", ".")])
+        # bare-noun existential complement: "There is doubt that ..."
+        add([("There", "EX"), ("is", "VBZ"), (ns, "NN"), ("that", "IN"),
+             ("they", "PRP"), (vbd2, "VBD"), (".", ".")])
+        add([("There", "EX"), ("is", "VBZ"), (mass, "NN"), ("on", "IN"),
+             ("the", "DT"), (ns2, "NN"), (".", ".")])
         add([("He", "PRP"), ("thought", "VBD"), ("that", "IN"), ("I", "PRP"),
              ("was", "VBD"), (jj, "JJ"), (".", ".")])
         # relative clause ("that" kept IN per the engine's convention):
@@ -391,7 +396,80 @@ def pos_corpus() -> list[tuple[list[str], list[str]]]:
         if i % 6 == 0:
             add([('"', "``"), ("We", "PRP"), ("will", "MD"), (vb, "VB"),
                  (",", ","), ('"', "''"), ("said", "VBD"), (nnp, "NNP"), (".", ".")])
+
+        # ---- natural-register frames (news/encyclopedic style; the OOD
+        # eval gate in data/eval_corpus.py measures structures like these
+        # with DIFFERENT content vocabulary) -----------------------------
+        jjr = _pick(_JJR, i)
+        rp = _pick(_RP, i)
+        # bare-plural-initial reporting clause: "Editors said the budget
+        # would grow ."  (sentence-initial capitalized NNS — the templates
+        # above almost never start with a bare plural)
+        add([(np_.capitalize(), "NNS"), ("said", "VBD"), ("the", "DT"),
+             (ns2, "NN"), ("would", "MD"), (vb, "VB"), (".", ".")])
+        add([(np_.capitalize(), "NNS"), (vbd, "VBD"), ("the", "DT"),
+             (ns2, "NN"), ("on", "IN"), (nnp, "NNP"), (".", ".")])
+        # bare plural + VBP: "Farmers depend on rainfall ."
+        add([(np_.capitalize(), "NNS"), (vb, "VBP"), ("on", "IN"),
+             (mass, "NN"), (".", ".")])
+        # perfect + negation + yet: "The committee has not yet decided ."
+        add([("The", "DT"), (ns, "NN"), ("has", "VBZ"), ("not", "RB"),
+             ("yet", "RB"), (vbn, "VBN"), (".", ".")])
+        # declined/plans + to-infinitive
+        add([("The", "DT"), (ns, "NN"), ("declined", "VBD"), ("to", "TO"),
+             (vb, "VB"), ("on", "IN"), ("the", "DT"), (ns2, "NN"), (".", ".")])
+        add([("The", "DT"), (ns, "NN"), ("plans", "VBZ"), ("to", "TO"),
+             (vb, "VB"), ("its", "PRP$"), (np2, "NNS"), (".", ".")])
+        # comparative object: "Workers demanded higher pay ."
+        add([(np_.capitalize(), "NNS"), (vbd, "VBD"), (jjr, "JJR"),
+             (np2, "NNS"), (".", ".")])
+        # comparative-than clause: "Revenues grew faster than expected ."
+        add([(np_.capitalize(), "NNS"), (vbd, "VBD"), ("faster", "RBR"),
+             ("than", "IN"), (np2, "NNS"), ("had", "VBD"), (vbn2, "VBN"),
+             (".", ".")])
+        # verb + particle: "Talks broke down over the contract ."
+        add([(np_.capitalize(), "NNS"), ("broke", "VBD"), (rp, "RP"),
+             ("over", "IN"), ("the", "DT"), (ns2, "NN"), (".", ".")])
+        add([("He", "PRP"), ("took", "VBD"), ("the", "DT"), (np2, "NNS"),
+             (rp, "RP"), ("and", "CC"), (vbd, "VBD"), ("them", "PRP"),
+             (".", ".")])
+        # embedded VBG subject of complement: "The bank warned that rising
+        # costs could hurt profits ."
+        add([("The", "DT"), (ns, "NN"), ("warned", "VBD"), ("that", "IN"),
+             (vbg, "VBG"), (np2, "NNS"), ("could", "MD"), (vb, "VB"),
+             (np_, "NNS"), (".", ".")])
+        # whether-to: "The board decided whether to publish its findings ."
+        add([("The", "DT"), (ns, "NN"), (vbd, "VBD"), ("whether", "IN"),
+             ("to", "TO"), (vb, "VB"), ("its", "PRP$"), (np2, "NNS"),
+             (".", ".")])
+        # gerund object: "Witnesses described hearing a loud noise ."
+        add([(np_.capitalize(), "NNS"), ("described", "VBD"), (vbg, "VBG"),
+             ("a", "DT"), (jj, "JJ"), (ns2, "NN"), (".", ".")])
+        # number-word + percent: "Shares fell nearly nine percent ."
+        add([(np_.capitalize(), "NNS"), (vbd, "VBD"), ("nearly", "RB"),
+             ("nine", "CD"), ("percent", "NN"), (".", ".")])
+        # possessive inside NP: "The firm 's own lawyers objected ."
+        add([("The", "DT"), (ns, "NN"), ("'s", "POS"), ("own", "JJ"),
+             (np2, "NNS"), (vbd, "VBD"), (".", ".")])
+        # quantifier subjects: "Most analysts remain skeptical ."
+        add([("Most", "JJS"), (np_, "NNS"), (vb, "VBP"), (jj, "JJ"), (".", ".")])
+        add([("Few", "JJ"), (np_, "NNS"), (vbd, "VBD"), ("the", "DT"),
+             (ns2, "NN"), (".", ".")])
+        add([("Several", "JJ"), (np_, "NNS"), (vbd, "VBD"), ("the", "DT"),
+             (ns2, "NN"), (".", ".")])
+        # participial adjunct after comma: "... , destroying the bridges ."
+        add([("The", "DT"), (ns, "NN"), (vbd, "VBD"), ("the", "DT"),
+             (ns2, "NN"), (",", ","), (vbg, "VBG"), (np2, "NNS"), (".", ".")])
+        # while-contrast: "Exports fell while imports climbed ."
+        add([(np_.capitalize(), "NNS"), (vbd, "VBD"), ("while", "IN"),
+             (np2, "NNS"), (vbd2, "VBD"), (".", ".")])
     return out
+
+
+# comparatives / particles for the natural-register frames
+_JJR = ["higher", "lower", "smaller", "larger", "stronger", "weaker",
+        "cheaper", "broader", "safer", "deeper"]
+_RP = ["out", "up", "down", "off"]
 
 
 # held-out vocabulary: appears in NO table above (regular morphology so the
@@ -552,6 +630,40 @@ def ner_corpus() -> list[tuple[list[str], list[str], list[str]]]:
         add([w(["The"], ["DT"]), org(i + 21),
              w(["office", "opened", "in"], ["NN", "VBD", "IN"]), loc(i + 22),
              w(["."], ["."])])
+        # locations governed by prepositions in natural frames (OOD eval
+        # has structures like these with different place names/verbs)
+        add([w(["A", nn, "in"], ["DT", "NN", "IN"]), loc(i + 23),
+             w(["was", "approved", "."], ["VBD", "VBN", "."])])
+        add([w(["They", "met", "near"], ["PRP", "VBD", "IN"]), loc(i + 24),
+             w(["."], ["."])])
+        add([w(["Flights", "between"], ["NNS", "IN"]), loc(i + 25),
+             w(["and"], ["CC"]), loc(i + 26),
+             w(["resumed", "."], ["VBD", "."])])
+        add([w(["He", "traveled", "from"], ["PRP", "VBD", "IN"]), loc(i + 27),
+             w(["to"], ["IN"]), loc(i + 28), w(["."], ["."])])
+        add([w(["Crowds", "gathered", "outside", "the", nn, "in"],
+               ["NNS", "VBD", "IN", "DT", "NN", "IN"]), loc(i + 29),
+             w(["."], ["."])])
+        add([w(["Workers", "south", "of"], ["NNS", "RB", "IN"]), loc(i + 30),
+             w(["protested", "."], ["VBD", "."])])
+        # organizations in object / of-genitive positions
+        add([w(["Regulators", "fined"], ["NNS", "VBD"]), org(i + 31),
+             w(["for", "the", nn, "."], ["IN", "DT", "NN", "."])])
+        add([w(["The", "startup", "merged", "with"],
+               ["DT", "NN", "VBD", "IN"]), org(i + 32), w(["."], ["."])])
+        add([w(["Shareholders", "of"], ["NNS", "IN"]), org(i + 33),
+             w(["approved", "the", nn, "."], ["VBD", "DT", "NN", "."])])
+        add([w(["The", "accounts", "of"], ["DT", "NNS", "IN"]), org(i + 34),
+             w(["were", "reviewed", "."], ["VBD", "VBN", "."])])
+        # persons in object position after transitive verbs
+        add([w(["The", nn, "blamed"], ["DT", "NN", "VBD"]), per(i + 35),
+             w(["."], ["."])])
+        add([w(["The", "committee", "honored"], ["DT", "NN", "VBD"]),
+             per(i + 36), w(["for", "the", nn, "."], ["IN", "DT", "NN", "."])])
+        add([w(["Reporters", "asked"], ["NNS", "VBD"]), per(i + 37),
+             w(["about", "the", nn, "."], ["IN", "DT", "NN", "."])])
+        add([w(["Colleagues", "regarded"], ["NNS", "VBD"]), per(i + 38),
+             w(["as", "a", nn, "."], ["IN", "DT", "NN", "."])])
         # negatives: no entities at all
         add([w(["The", nn, "was", "approved", "."],
                ["DT", "NN", "VBD", "VBN", "."])])

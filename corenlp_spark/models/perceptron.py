@@ -54,20 +54,32 @@ def have_weights(name: str) -> bool:
     return os.path.exists(os.path.join(WEIGHTS_DIR, f"{name}.json.gz"))
 
 
-def _pos_features(words: list[str], i: int, prev_tag: str) -> list[str]:
+def _pos_features(words: list[str], i: int, prev_tag: str,
+                  prev2_tag: str = "<s>") -> list[str]:
+    """left3words-style frame (ExtractorFrames.java:104-145) + the
+    unknown-word extractors (suffixes to 4, prefixes to 2, shape, hyphen) —
+    these carry OOD generalization; the corpus benchmark gate in
+    tests/test_models.py measures exactly that."""
     w = words[i]
     lw = w.lower()
     sh = f"{'X' if w[:1].isupper() else 'x'}{'d' if any(c.isdigit() for c in w) else ''}"
     feats = [
         f"w={lw}", f"pt={prev_tag}", f"pt+w={prev_tag}+{lw}",
-        f"suf3={lw[-3:]}", f"suf2={lw[-2:]}", f"suf1={lw[-1:]}",
-        f"pre1={lw[:1]}", f"shape={sh}", f"pt+sh={prev_tag}+{sh}",
+        f"pt2={prev2_tag}+{prev_tag}",
+        f"suf4={lw[-4:]}", f"suf3={lw[-3:]}", f"suf2={lw[-2:]}",
+        f"suf1={lw[-1:]}",
+        f"pre1={lw[:1]}", f"pre2={lw[:2]}", f"shape={sh}",
+        f"pt+sh={prev_tag}+{sh}", f"pt+suf2={prev_tag}+{lw[-2:]}",
         f"w-1={words[i-1].lower() if i > 0 else '<s>'}",
         f"w+1={words[i+1].lower() if i + 1 < len(words) else '</s>'}",
+        f"w+2={words[i+2].lower() if i + 2 < len(words) else '</s>'}",
         "bias",
     ]
+    if "-" in w[1:-1]:
+        feats.append("hyph")
     if i == 0:
         feats.append("first")
+        feats.append(f"first+suf2={lw[-2:]}")
     return feats
 
 
@@ -106,7 +118,21 @@ class AveragedPerceptronTagger:
             vec[f] = a
         self._wvec = vec
 
-    def _argmax_tag(self, feats: list[str]):
+    # open classes: the only tags an UNKNOWN word may receive — the tag-
+    # dictionary discipline of TestSentence.java:335-341 (closed-class tags
+    # like RP/MD/DT/IN can only come from known vocabulary)
+    OPEN_TAGS = {"NN", "NNS", "NNP", "NNPS", "VB", "VBD", "VBG", "VBN",
+                 "VBP", "VBZ", "JJ", "JJR", "JJS", "RB", "RBR", "RBS",
+                 "CD", "FW", "UH"}
+
+    def _ensure_open_mask(self):
+        import numpy as np
+
+        if getattr(self, "_open_mask", None) is None:
+            self._open_mask = np.array(
+                [t in self.OPEN_TAGS for t in self.tags])
+
+    def _argmax_tag(self, feats: list[str], open_only: bool = False):
         """Vectorized score + argmax; ties break to the LARGEST tag (same
         as max(tags, key=(score, tag)) in the dict path)."""
         import numpy as np
@@ -118,18 +144,27 @@ class AveragedPerceptronTagger:
             if a is not None:
                 acc = a.copy() if acc is None else acc + a
         if acc is None:
-            return self.tags[-1] if self.tags else "NN"
+            return "NN" if "NN" in self.tags else (self.tags[-1] if self.tags else "NN")
+        if open_only:
+            self._ensure_open_mask()
+            if self._open_mask.any():
+                acc = np.where(self._open_mask, acc, -np.inf)
         best = len(acc) - 1 - int(np.argmax(acc[::-1]))
         return self.tags[best]
+
+    def _known(self, lw: str) -> bool:
+        return f"w={lw}" in self.weights
 
     def predict(self, words: list[str]) -> list[str]:
         self._ensure_vectors()
         out: list[str] = []
-        prev = "<s>"
+        prev = prev2 = "<s>"
         for i in range(len(words)):
-            tag = self._argmax_tag(_pos_features(words, i, prev))
+            tag = self._argmax_tag(
+                _pos_features(words, i, prev, prev2),
+                open_only=not self._known(words[i].lower()))
             out.append(tag)
-            prev = tag
+            prev2, prev = prev, tag
         return out
 
     def predict_with_constraints(self, words: list[str], fixed: dict[int, str],
@@ -141,16 +176,18 @@ class AveragedPerceptronTagger:
         the left-context across sentence boundaries."""
         self._ensure_vectors()
         out: list[str] = []
-        prev = "<s>"
+        prev = prev2 = "<s>"
         starts = sent_starts or set()
         for i in range(len(words)):
             if i in starts:
-                prev = "<s>"
+                prev = prev2 = "<s>"
             tag = fixed.get(i)
             if tag is None:
-                tag = self._argmax_tag(_pos_features(words, i, prev))
+                tag = self._argmax_tag(
+                    _pos_features(words, i, prev, prev2),
+                    open_only=not self._known(words[i].lower()))
             out.append(tag)
-            prev = tag
+            prev2, prev = prev, tag
         return out
 
     def train(self, corpus: list[tuple[list[str], list[str]]], epochs: int = 8):
@@ -168,11 +205,18 @@ class AveragedPerceptronTagger:
             stamps[key] = step
             self.weights[f][tag] = cur + delta
 
-        for _ in range(epochs):
-            for words, gold in corpus:
-                prev = "<s>"
+        for ep in range(epochs):
+            for si, (words, gold) in enumerate(corpus):
+                prev = prev2 = "<s>"
                 for i, g in enumerate(gold):
-                    feats = _pos_features(words, i, prev)
+                    feats = _pos_features(words, i, prev, prev2)
+                    # deterministic lexical dropout: every 5th (sentence,
+                    # token) position trains WITHOUT the word-identity
+                    # features, forcing weight onto the suffix/shape/context
+                    # extractors that carry unknown-word generalization
+                    if (si + i + ep) % 5 == 0:
+                        feats = [f for f in feats
+                                 if not f.startswith(("w=", "pt+w="))]
                     scores = self._score(feats)
                     pred = max(self.tags, key=lambda t: (scores.get(t, 0.0), t))
                     if pred != g:
@@ -181,7 +225,7 @@ class AveragedPerceptronTagger:
                             upd(f, pred, -1.0)
                     # predicted history: training sees the same (possibly
                     # wrong) left context inference will see
-                    prev = pred
+                    prev2, prev = prev, pred
                     step += 1
         # average
         for f, by_tag in self.weights.items():
@@ -231,9 +275,14 @@ def _shape(w: str) -> str:
 _ORG_SUFFIX_WORDS = {"corp.", "inc.", "ltd.", "co.", "pty.", "university",
                      "school", "systems", "labs", "group", "media", "bank",
                      "institute", "foundation", "partners", "machines",
-                     "company", "association"}
+                     "company", "association", "holdings", "industries",
+                     "technologies", "enterprises", "airlines", "motors"}
 _PERSON_TITLES = {"mr.", "mrs.", "ms.", "dr.", "prof.", "president",
                   "senator", "judge", "professor"}
+# prepositions/compass words whose following capitalized token is (almost
+# always) a place — NERFeatureFactory's GeneralizedExpected cue class analog
+_LOC_CUES = {"in", "near", "at", "from", "to", "between", "outside",
+             "around", "across", "toward", "south", "north", "east", "west"}
 
 
 def _ner_sent_features(words: list[str], pos: list[str]) -> list[list[str]]:
@@ -269,6 +318,14 @@ def _ner_sent_features(words: list[str], pos: list[str]) -> list[list[str]]:
             feats.append("orgsuf+1")
         if plw in _PERSON_TITLES:
             feats.append("title-1")
+        if plw in _LOC_CUES:
+            feats.append("locprep-1")
+        # "between X and Y" / "linking X with Y": the cue carries across
+        # the conjunction to the second capitalized token
+        if i >= 3 and lws[i - 3] in _LOC_CUES and plw in ("and", "with"):
+            feats.append("locprep-2cc")
+        if i >= 2 and lws[i - 1] in ("and", "with") and shs[i - 2] == sh:
+            feats.append("cc-pair")
         out.append(feats)
     return out
 

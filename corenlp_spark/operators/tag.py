@@ -58,6 +58,11 @@ CLOSED_CLASS: dict[str, str] = {
     "about": "IN", "between": "IN", "during": "IN", "against": "IN",
     "without": "IN", "within": "IN", "through": "IN", "upon": "IN",
     "among": "IN", "since": "IN", "until": "IN", "toward": "IN",
+    "despite": "IN", "whether": "IN", "while": "IN", "than": "IN",
+    "although": "IN", "though": "IN", "unless": "IN", "because": "IN",
+    "beyond": "IN", "beneath": "IN", "across": "IN", "behind": "IN",
+    "near": "IN", "amid": "IN", "via": "IN", "per": "IN", "onto": "IN",
+    "throughout": "IN", "outside": "IN", "inside": "IN", "if": "IN",
     "is": "VBZ", "am": "VBP", "are": "VBP", "was": "VBD", "were": "VBD",
     "be": "VB", "been": "VBN", "being": "VBG",
     "'s": "POS", "'m": "VBP", "'re": "VBP", "'ve": "VBP", "'ll": "MD",
@@ -65,11 +70,23 @@ CLOSED_CLASS: dict[str, str] = {
     "has": "VBZ", "does": "VBZ", "did": "VBD",
     "will": "MD", "would": "MD", "can": "MD", "could": "MD",
     "might": "MD", "shall": "MD", "should": "MD", "must": "MD",
+    # number words: a genuinely finite class, CD in PTB
+    "one": "CD", "two": "CD", "three": "CD", "four": "CD", "five": "CD",
+    "six": "CD", "seven": "CD", "eight": "CD", "nine": "CD", "ten": "CD",
+    "eleven": "CD", "twelve": "CD", "twenty": "CD", "thirty": "CD",
+    "forty": "CD", "fifty": "CD", "hundred": "CD", "thousand": "CD",
+    "million": "CD", "billion": "CD", "dozen": "CD",
     # high-frequency adverbs with a single overwhelming PTB reading
     "then": "RB", "now": "RB", "also": "RB", "only": "RB", "just": "RB",
     "very": "RB", "really": "RB", "too": "RB", "soon": "RB", "never": "RB",
     "always": "RB", "often": "RB", "again": "RB", "still": "RB",
-    "however": "RB",
+    "however": "RB", "so": "RB", "here": "RB", "yet": "RB", "aloud": "RB",
+    # weekday / unambiguous month names: a closed set, NNP in PTB
+    "monday": "NNP", "tuesday": "NNP", "wednesday": "NNP",
+    "thursday": "NNP", "friday": "NNP", "saturday": "NNP", "sunday": "NNP",
+    "january": "NNP", "february": "NNP", "april": "NNP", "june": "NNP",
+    "july": "NNP", "september": "NNP", "october": "NNP",
+    "november": "NNP", "december": "NNP",
     # tokenizer contraction artifacts ("gonna" → "gon na", "gimme" → "gim me")
     "gon": "VBG", "na": "TO", "gim": "VB",
 }

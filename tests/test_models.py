@@ -152,6 +152,87 @@ def test_trained_arc_standard_parser():
     assert get_trained_parser().actions
 
 
+def _bio_spans(labels):
+    spans, start, typ = set(), None, None
+    for i, lab in enumerate(list(labels) + ["O"]):
+        if lab.startswith("B-"):
+            if start is not None:
+                spans.add((start, i, typ))
+            start, typ = i, lab[2:]
+        elif lab.startswith("I-") and typ == lab[2:]:
+            continue
+        else:
+            if start is not None:
+                spans.add((start, i, typ))
+            start, typ = None, None
+    return spans
+
+
+def test_pos_out_of_distribution_gate():
+    """POS accuracy ≥ 0.90 on the natural-register eval corpus
+    (data/eval_corpus.py) — text whose sentence STRUCTURE is not generated
+    by the training templates (VERDICT r2 #2; the sandbox analog of
+    NERBenchmarkSlowITest.java:79-99's corpus gate)."""
+    from corenlp_spark.data.eval_corpus import pos_eval
+    from corenlp_spark.operators.tag import pos_tag
+
+    right = total = 0
+    for words, gold in pos_eval():
+        for p, g in zip(pos_tag(words, {0}), gold):
+            total += 1
+            right += p == g
+    assert right / total >= 0.90, f"OOD POS accuracy {right/total:.4f} < 0.90"
+
+
+def test_ner_out_of_distribution_gate():
+    """NER span F1 ≥ 0.85 on natural-register sentences with entity names
+    outside every training pool (VERDICT r2 #2)."""
+    from corenlp_spark.data.eval_corpus import ner_eval
+    from corenlp_spark.operators.ner import tag_sentence_ner
+
+    tp = fp = fn = 0
+    for words, pos, gold in ner_eval():
+        pred, _ = tag_sentence_ner(words, pos)
+        bio, prev = [], "O"
+        for t in pred:
+            if t in ("PERSON", "ORGANIZATION", "LOCATION", "MISC"):
+                bio.append(("B-" if prev != t else "I-") + t)
+                prev = t
+            else:
+                bio.append("O")
+                prev = "O"
+        gs, ps = _bio_spans(gold), _bio_spans(bio)
+        tp += len(gs & ps)
+        fp += len(ps - gs)
+        fn += len(gs - ps)
+    prec = tp / max(tp + fp, 1)
+    rec = tp / max(tp + fn, 1)
+    f1 = 2 * prec * rec / max(prec + rec, 1e-9)
+    assert f1 >= 0.85, f"OOD NER span F1 {f1:.4f} < 0.85 (P={prec:.3f} R={rec:.3f})"
+
+
+def test_eval_corpus_is_disjoint_from_training():
+    """The OOD eval corpus is pure evaluation data: no eval sentence appears
+    in any training corpus, and no eval entity NAME appears in any NER
+    training name pool."""
+    from corenlp_spark.data import train_corpus as tc
+    from corenlp_spark.data.eval_corpus import ner_eval, pos_eval
+
+    train_sents = {" ".join(w) for w, _ in tc.pos_corpus()} \
+        | {" ".join(w) for w, _, _ in tc.ner_corpus()}
+    for words, _ in pos_eval():
+        assert " ".join(words) not in train_sents, words
+    for words, _, _ in ner_eval():
+        assert " ".join(words) not in train_sents, words
+    pools = set(tc.FIRST_NAMES) | set(tc.LAST_NAMES) | set(tc.ORG_BASES) \
+        | set(tc.LOCATIONS) | set(tc.HELDOUT_FIRST) | set(tc.HELDOUT_LAST) \
+        | set(tc.HELDOUT_ORG_BASES) | set(tc.HELDOUT_LOCS)
+    for words, _, bio in ner_eval():
+        for w, b in zip(words, bio):
+            if b != "O" and w not in tc.ORG_SUFFIXES:
+                assert w not in pools, f"eval entity word {w} is in a training pool"
+
+
 def test_parser_gold_uas_gate():
     """UAS/LAS of the SHIPPED parser weights against held-out HAND-GOLD
     trees (data/gold_trees.heldout — never in training, authored against the
