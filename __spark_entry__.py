@@ -632,12 +632,11 @@ def q_kg_entity_link(spark, sf_dir):
 
 
 def q_kg_kbp(spark, sf_dir):
-    from corenlp_spark.operators.kbp import kbp_relations, pattern_table
-    from corenlp_spark.operators.mentions import mention_rows
-    from corenlp_spark.plans.pipeline import annotate, triples_of
+    from corenlp_spark.operators.kbp import kbp_tokensregex_relations
+    from corenlp_spark.plans.pipeline import annotate
 
     ann = annotate(_golden_docs(spark), upto="coref")
-    rels = kbp_relations(triples_of(ann), mention_rows(ann), pattern_table(spark))
+    rels = kbp_tokensregex_relations(ann)
     return (
         rels.groupBy("subj", "relation", "obj")
         .agg(F.count("*").alias("support"))
@@ -690,15 +689,13 @@ def q_kg_kbp_ensemble(spark, sf_dir):
     ie/KBPRelationExtractor.java:119-168)."""
     from corenlp_spark.data.kbp_corpus import kbp_docs
     from corenlp_spark.operators.kbp import (
-        kbp_ensemble, kbp_relations, kbp_semgrex_relations,
-        kbp_statistical_relations, pattern_table,
+        kbp_ensemble, kbp_semgrex_relations, kbp_statistical_relations,
+        kbp_tokensregex_relations,
     )
-    from corenlp_spark.operators.mentions import mention_rows
     from corenlp_spark.plans.fused import annotate_fused
-    from corenlp_spark.plans.pipeline import triples_of
 
     ann = annotate_fused(_golden_docs(spark).unionByName(kbp_docs(spark)))
-    arm1 = kbp_relations(triples_of(ann), mention_rows(ann), pattern_table(spark))
+    arm1 = kbp_tokensregex_relations(ann)
     arm2 = kbp_semgrex_relations(ann)
     arm3 = kbp_statistical_relations(ann)
     ens = kbp_ensemble(arm1, arm2, arm3)

@@ -176,16 +176,13 @@ class Pipeline:
         if "kbp" not in self.annotators:
             raise ValueError("pipeline was not configured with 'kbp'")
         from corenlp_spark.operators.kbp import (
-            kbp_ensemble, kbp_relations, kbp_semgrex_relations,
-            kbp_statistical_relations, pattern_table,
+            kbp_ensemble, kbp_semgrex_relations, kbp_statistical_relations,
+            kbp_tokensregex_relations,
         )
-        from corenlp_spark.operators.mentions import mention_rows
         from corenlp_spark.plans.fused import annotate_fused
-        from corenlp_spark.plans.pipeline import triples_of
 
         ann = annotate_fused(docs)
-        arm1 = kbp_relations(triples_of(ann), mention_rows(ann),
-                             pattern_table(docs.sparkSession))
+        arm1 = kbp_tokensregex_relations(ann)
         arm2 = kbp_semgrex_relations(ann)
         arm3 = kbp_statistical_relations(ann)
         return kbp_ensemble(arm1, arm2, arm3)

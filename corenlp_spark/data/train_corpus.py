@@ -463,6 +463,14 @@ def pos_corpus() -> list[tuple[list[str], list[str]]]:
         # while-contrast: "Exports fell while imports climbed ."
         add([(np_.capitalize(), "NNS"), (vbd, "VBD"), ("while", "IN"),
              (np2, "NNS"), (vbd2, "VBD"), (".", ".")])
+        # fronted participle: "Trained in Vienna , Anna toured Europe ."
+        add([(vbn.capitalize(), "VBN"), ("in", "IN"), (nnp, "NNP"),
+             (",", ","), (nnp2, "NNP"), (vbd, "VBD"), ("the", "DT"),
+             (ns2, "NN"), (".", ".")])
+        # appositive title noun between names: "... Republican nominee John
+        # McCain ..." (NNP NN NNP NNP)
+        add([("He", "PRP"), (vbd, "VBD"), (nnp, "NNP"), (ns, "NN"),
+             (nnp2, "NNP"), (nnp3, "NNP"), (".", ".")])
     return out
 
 
@@ -655,6 +663,11 @@ def ner_corpus() -> list[tuple[list[str], list[str], list[str]]]:
              w(["approved", "the", nn, "."], ["VBD", "DT", "NN", "."])])
         add([w(["The", "accounts", "of"], ["DT", "NNS", "IN"]), org(i + 34),
              w(["were", "reviewed", "."], ["VBD", "VBN", "."])])
+        # passive by-agents are PERSONS ("founded by Henry Mercer")
+        add([org(i + 39), w(["was", "founded", "by"], ["VBD", "VBN", "IN"]),
+             per(i + 40), w(["."], ["."])])
+        add([org(i + 41), w(["was", "led", "by"], ["VBD", "VBN", "IN"]),
+             per(i + 42), w(["."], ["."])])
         # persons in object position after transitive verbs
         add([w(["The", nn, "blamed"], ["DT", "NN", "VBD"]), per(i + 35),
              w(["."], ["."])])

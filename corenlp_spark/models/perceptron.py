@@ -63,9 +63,12 @@ def _pos_features(words: list[str], i: int, prev_tag: str,
     w = words[i]
     lw = w.lower()
     sh = f"{'X' if w[:1].isupper() else 'x'}{'d' if any(c.isdigit() for c in w) else ''}"
+    nw = words[i + 1] if i + 1 < len(words) else ""
+    nsh = f"{'X' if nw[:1].isupper() else 'x'}" if nw else "</s>"
     feats = [
         f"w={lw}", f"pt={prev_tag}", f"pt+w={prev_tag}+{lw}",
         f"pt2={prev2_tag}+{prev_tag}",
+        f"sh2={sh}+{nsh}",
         f"suf4={lw[-4:]}", f"suf3={lw[-3:]}", f"suf2={lw[-2:]}",
         f"suf1={lw[-1:]}",
         f"pre1={lw[:1]}", f"pre2={lw[:2]}", f"shape={sh}",

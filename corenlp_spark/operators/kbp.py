@@ -176,12 +176,6 @@ KBP_PATTERNS: list[tuple[str, str, str, str]] = _expand([
 ]
 
 
-def pattern_table(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(
-        KBP_PATTERNS, "pattern string, subj_ner string, obj_ner string, relation string"
-    )
-
-
 # semgrex extractor rules: (semgrex, subj capture, obj capture, subj ner,
 # obj ner, relation) — the KBPSemgrexExtractor path of the ensemble
 KBP_SEMGREX: list[tuple[str, str, str, str, str]] = [
@@ -204,7 +198,7 @@ def kbp_semgrex_relations(annotated: DataFrame) -> DataFrame:
     """Semgrex-extractor arm of the KBP ensemble: run the broadcast semgrex
     rule set over each sentence's dependency graph (KBPSemgrexExtractor
     semantics, ``ie/KBPSemgrexExtractor.java``). Returns the same shape as
-    ``kbp_relations`` with confidence 0.9 (patterns beat the statistical arm,
+    ``kbp_tokensregex_relations`` with confidence 0.9 (patterns beat the statistical arm,
     lose to tokensregex — KBPEnsembleExtractor priority)."""
     from typing import Iterator
 
@@ -362,52 +356,79 @@ def kbp_ensemble(*arms: DataFrame) -> DataFrame:
     )
 
 
-def kbp_relations(triples: DataFrame, mentions: DataFrame, patterns: DataFrame) -> DataFrame:
-    """triples + mentions → (doc_id, sent_idx, subj, relation, obj, confidence).
+def _trx_pattern(trigger: str, s_ner: str, o_ner: str) -> str:
+    """Build the token-sequence pattern for one (trigger, signature) row —
+    the shape of the reference's per-relation rule files
+    (``ie/KBPTokensregexExtractor.java:60-120`` loading
+    ``data/edu/stanford/nlp/kbp/*``): a typed subject capture, an optional
+    auxiliary/adverb gap, the literal trigger tokens, an optional
+    determiner/modifier gap, and a typed object capture. Token-level node
+    predicates replace r2's substring-on-predicate matching, which fired on
+    accidental substrings ("is" inside "is worth")."""
+    gap = r"[pos:/DT|PRP\$/]?"
+    words = f" {gap} ".join(f"[word:{w}]" for w in trigger.split())
+    return (f"(?$subject [ner:{s_ner}]+) "
+            r"[pos:/VBD|VBZ|VBP|VBN|MD|RB|DT|PRP\$|JJ|,/]* "
+            f"{words} "
+            r"[pos:/DT|PRP\$/]* "
+            f"(?$object [ner:{o_ner}]+)")
 
-    Join discipline: mentions are joined twice on (doc_id, sent_idx) with
-    span-containment on the triple's subj/obj head tokens; the pattern/type
-    table is broadcast. Everything stays as one equi-join pipeline Catalyst
-    can reorder; AQE handles any residual skew.
-    """
-    sm = mentions.select(
-        F.col("doc_id").alias("s_doc"), F.col("sent_idx").alias("s_sent"),
-        F.col("start_tok").alias("s_start"), F.col("end_tok").alias("s_end"),
-        F.col("ner").alias("subj_ner"), F.col("text").alias("subj_text"),
-    )
-    om = mentions.select(
-        F.col("doc_id").alias("o_doc"), F.col("sent_idx").alias("o_sent"),
-        F.col("start_tok").alias("o_start"), F.col("end_tok").alias("o_end"),
-        F.col("ner").alias("obj_ner"), F.col("text").alias("obj_text"),
-    )
-    cand = (
-        triples.join(
-            sm,
-            (triples.doc_id == sm.s_doc) & (triples.sent_idx == sm.s_sent)
-            & (triples.subj_head >= sm.s_start) & (triples.subj_head < sm.s_end),
-        )
-        .join(
-            om,
-            (triples.doc_id == om.o_doc) & (triples.sent_idx == om.o_sent)
-            & (triples.obj_head >= om.o_start) & (triples.obj_head < om.o_end),
-        )
-    )
-    # ensemble: first (highest-priority) pattern whose lemma string is
-    # contained in the OpenIE predicate and whose type signature matches
-    pat = patterns.select(
-        F.col("pattern"), F.col("relation"),
-        F.col("subj_ner").alias("p_subj_ner"), F.col("obj_ner").alias("p_obj_ner"),
-    )
-    hit = cand.join(
-        F.broadcast(pat),
-        F.col("pred").contains(F.col("pattern"))
-        & (F.col("subj_ner") == F.col("p_subj_ner"))
-        & (F.col("obj_ner") == F.col("p_obj_ner")),
-        "inner",
-    )
-    return (
-        hit.groupBy("doc_id", "sent_idx", "subj_text", "relation", "obj_text")
-        .agg(F.max("confidence").alias("confidence"))
-        .withColumnRenamed("subj_text", "subj")
-        .withColumnRenamed("obj_text", "obj")
-    )
+
+def kbp_tokensregex_relations(annotated: DataFrame) -> DataFrame:
+    """TokensRegex-extractor arm of the KBP ensemble: run the compiled
+    token-sequence patterns (one per KBP_PATTERNS row) over each sentence's
+    token attributes. Same output shape as the other arms; confidence 1.0
+    (tokensregex outranks semgrex and the statistical arm —
+    KBPEnsembleExtractor priority, ``ie/KBPEnsembleExtractor.java``).
+
+    Patterns compile once on the driver; a first-trigger-word index gates
+    which patterns run per sentence (CoreMapNodePatternTrigger.java trick),
+    so the per-sentence cost is proportional to trigger hits, not to the
+    full pattern inventory."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from corenlp_spark.operators.tokensregex import compile_pattern, find_all
+
+    compiled = []  # (first_trigger_word, elems, relation)
+    for trigger, s_ner, o_ner, rel in KBP_PATTERNS:
+        elems = compile_pattern(_trx_pattern(trigger, s_ner, o_ner))
+        compiled.append((trigger.split()[0].lower(), elems, rel))
+    by_first: dict[str, list] = {}
+    for first, elems, rel in compiled:
+        by_first.setdefault(first, []).append((elems, rel))
+
+    schema = ("doc_id string, sent_idx int, subj string, relation string, "
+              "obj string, confidence double")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("doc_id", "sent_idx", "subj", "relation",
+                                    "obj", "confidence")}
+            for doc_id, toks, sents in zip(
+                pdf["doc_id"], pdf["tokens"], pdf["sentences"]
+            ):
+                for s in sents:
+                    seg = [dict(t) for t in toks[s["start_tok"]:s["end_tok"]]]
+                    lws = {t["word"].lower() for t in seg}
+                    for first in lws & by_first.keys():
+                        for elems, rel in by_first[first]:
+                            for _, _, groups in find_all(elems, seg):
+                                if "subject" not in groups or "object" not in groups:
+                                    continue
+                                sa, sb = groups["subject"]
+                                oa, ob = groups["object"]
+                                rows["doc_id"].append(doc_id)
+                                rows["sent_idx"].append(s["sent_idx"])
+                                rows["subj"].append(
+                                    " ".join(t["word"] for t in seg[sa:sb]))
+                                rows["relation"].append(rel)
+                                rows["obj"].append(
+                                    " ".join(t["word"] for t in seg[oa:ob]))
+                                rows["confidence"].append(1.0)
+            yield pd.DataFrame(rows)
+
+    cols = annotated.select("doc_id", "tokens", "sentences")
+    return cols.mapInPandas(run, schema=schema).dropDuplicates(
+        ["doc_id", "sent_idx", "subj", "relation", "obj"])

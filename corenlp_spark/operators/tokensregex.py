@@ -117,9 +117,13 @@ def match_sequence(elems: list[Elem], toks: list[dict], start: int = 0):
         e = elems[ei]
 
         def consume(n_min, n_max):
+            # the required minimum must actually match ('+' previously
+            # accepted its first token unchecked — r3 bug fix)
+            for k in range(n_min):
+                if ti + k >= len(toks) or not e.pred.matches(toks[ti + k]):
+                    return None
             # greedy: longest first
             n = n_min
-            spans = []
             while n < n_max and ti + n < len(toks) and e.pred.matches(toks[ti + n]):
                 n += 1
             for take in range(n, n_min - 1, -1):

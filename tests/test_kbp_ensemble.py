@@ -4,8 +4,8 @@ import pandas as pd
 
 from corenlp_spark.data.synth import DOCS_SCHEMA
 from corenlp_spark.operators.kbp import (
-    kbp_ensemble, kbp_relations, kbp_semgrex_relations,
-    kbp_statistical_relations, pattern_table,
+    kbp_ensemble, kbp_semgrex_relations,
+    kbp_statistical_relations, kbp_tokensregex_relations,
 )
 from corenlp_spark.operators.mentions import mention_rows
 from corenlp_spark.plans.fused import annotate_fused
@@ -52,7 +52,7 @@ def test_statistical_arm_scores_and_thresholds(spark):
 
 def test_ensemble_prefers_pattern_arm(spark):
     ann = annotate_fused(_docs(spark, TEXTS))
-    arm1 = kbp_relations(triples_of(ann), mention_rows(ann), pattern_table(spark))
+    arm1 = kbp_tokensregex_relations(ann)
     arm2 = kbp_semgrex_relations(ann)
     arm3 = kbp_statistical_relations(ann)
     ens = kbp_ensemble(arm1, arm2, arm3).collect()
@@ -61,3 +61,19 @@ def test_ensemble_prefers_pattern_arm(spark):
     assert r.relation == "per:city_of_birth"
     assert r.confidence == 1.0      # triple-pattern arm outranks the others
     assert r.n_votes >= 2           # multiple arms agreed
+
+
+def test_tokensregex_arm_rejects_substring_false_positive(spark):
+    """VERDICT r2 #3: the old arm matched trigger strings as SUBSTRINGS of
+    the OpenIE predicate gloss, so the per:age trigger 'is' fired inside
+    'is worth'. The token-sequence arm (ie/KBPTokensregexExtractor.java
+    semantics) requires the literal trigger token adjacent to the typed
+    object capture — 'is worth 30 million' is rejected, 'is 34' fires."""
+    ann = annotate_fused(_docs(spark, [
+        "Anna Keller is worth 30 million dollars.",
+        "Anna Keller is 34.",
+    ])).cache()
+    got = {(r.subj, r.relation, r.obj)
+           for r in kbp_tokensregex_relations(ann).collect()}
+    assert ("Anna Keller", "per:age", "34") in got
+    assert not any(rel == "per:age" and "30" in obj for _, rel, obj in got), got

@@ -11,8 +11,8 @@ POS/NER → depparse → OpenIE → 3-arm ensemble), not a shortcut.
 
 from corenlp_spark.data.kbp_corpus import KBP_GOLD, kbp_docs
 from corenlp_spark.operators.kbp import (
-    RELATION_TAXONOMY, kbp_ensemble, kbp_relations, kbp_semgrex_relations,
-    kbp_statistical_relations, pattern_table,
+    RELATION_TAXONOMY, kbp_ensemble, kbp_semgrex_relations,
+    kbp_statistical_relations, kbp_tokensregex_relations,
 )
 from corenlp_spark.operators.mentions import mention_rows
 from corenlp_spark.plans.fused import annotate_fused
@@ -30,7 +30,7 @@ def test_taxonomy_covers_reference_inventory():
 def test_kbp_benchmark_f1(spark):
     ann = annotate_fused(kbp_docs(spark)).cache()
     ens = kbp_ensemble(
-        kbp_relations(triples_of(ann), mention_rows(ann), pattern_table(spark)),
+        kbp_tokensregex_relations(ann),
         kbp_semgrex_relations(ann),
         kbp_statistical_relations(ann),
     )

@@ -13,7 +13,7 @@ from corenlp_spark.operators.entitylink import (
 from corenlp_spark.operators.graph import (
     canonicalize_triples, coref_chains_rows, dedup_triples,
 )
-from corenlp_spark.operators.kbp import kbp_relations, pattern_table
+from corenlp_spark.operators.kbp import kbp_tokensregex_relations
 from corenlp_spark.operators.mentions import mention_rows
 from corenlp_spark.plans.pipeline import CheckpointedPipeline, annotate, triples_of
 
@@ -66,9 +66,7 @@ def test_canonical_entities_salted(spark):
 
 def test_kbp_relations(spark):
     ann = annotate(synth_docs(spark, N), upto="coref")
-    t = triples_of(ann)
-    m = mention_rows(ann)
-    rels = kbp_relations(t, m, pattern_table(spark))
+    rels = kbp_tokensregex_relations(ann)
     got = {(r.subj, r.relation, r.obj) for r in rels.collect()}
     assert ("Barack Obama", "per:city_of_birth", "Hawaii") in got
     assert ("Chris Manning", "per:employee_of", "Stanford University") in got

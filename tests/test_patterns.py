@@ -123,3 +123,17 @@ def test_semgrex_optional_and_negated():
     assert match_semgrex(pat, g) == []
     pat = compile_semgrex("{pos:/VB./}=v !>ccomp {}")
     assert len(match_semgrex(pat, g)) == 1
+
+
+def test_plus_quantifier_requires_first_match():
+    """r3 bug fix: '+' previously accepted its first (required) token
+    unchecked, so [ner:NUMBER]+ 'matched' any token at all."""
+    from corenlp_spark.operators.tokensregex import (
+        compile_pattern, find_all, match_sequence,
+    )
+
+    elems = compile_pattern("(?$o [ner:NUMBER]+)")
+    tok = {"word": "member", "pos": "NN", "ner": "O", "lemma": "member"}
+    assert match_sequence(elems, [tok], 0) is None
+    num = {"word": "34", "pos": "CD", "ner": "NUMBER", "lemma": "34"}
+    assert find_all(elems, [tok, num]) == [(1, 2, {"o": (1, 2)})]
