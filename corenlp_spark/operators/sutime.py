@@ -48,6 +48,27 @@ _HOLIDAYS_FIXED = {
 }
 
 
+_MONTHS = {"january": 1, "february": 2, "march": 3, "april": 4, "may": 5,
+           "june": 6, "july": 7, "august": 8, "september": 9, "october": 10,
+           "november": 11, "december": 12}
+
+
+def _unit_offset(docdate: datetime.date, unit: str, k: int) -> str:
+    """Value of docdate shifted by k units, at the granularity TIMEX3 uses
+    for that unit: D → ISO date, W → ISO week (YYYY-Www), M → year-month,
+    Y → year (SUTime RelativeTime resolution)."""
+    if unit == "D":
+        return (docdate + datetime.timedelta(days=k)).isoformat()
+    if unit == "W":
+        d = docdate + datetime.timedelta(weeks=k)
+        iso = d.isocalendar()
+        return f"{iso[0]}-W{iso[1]:02d}"
+    if unit == "M":
+        m = docdate.month - 1 + k
+        return f"{docdate.year + m // 12}-{m % 12 + 1:02d}"
+    return str(docdate.year + k)
+
+
 def _easter(year: int) -> datetime.date:
     """Gauss/Anonymous computus for Western Easter (public algorithm)."""
     a = year % 19
@@ -227,14 +248,66 @@ def _resolve(words: list[str], lower: list[str], docdate: datetime.date):
             yield i, i + 2, "DATE", val
             i += 2
             continue
+        # nested compounds: "the week before last" / "the week after next"
+        # (SUTime RelativeTime composition, time/SUTime.java) — ISO-week
+        # arithmetic two steps from the docdate week
+        if (w == "the" and i + 3 < n and lower[i + 1] in _UNIT
+                and lower[i + 2] in ("before", "after")
+                and lower[i + 3] in ("last", "next")):
+            sign = -2 if lower[i + 2] == "before" else 2
+            unit = _UNIT[lower[i + 1]]
+            yield i, i + 4, "DATE", _unit_offset(docdate, unit, sign)
+            i += 4
+            continue
+        # "last March" / "next March" / "this March" → nearest year-month
+        if w in ("last", "next", "this") and i + 1 < n and lower[i + 1] in _MONTHS:
+            m = _MONTHS[lower[i + 1]]
+            if w == "this":
+                year = docdate.year
+            elif w == "next":
+                year = docdate.year + 1 if m <= docdate.month else docdate.year
+            else:
+                year = docdate.year if m < docdate.month else docdate.year - 1
+            yield i, i + 2, "DATE", f"{year}-{m:02d}"
+            i += 2
+            continue
         # durations: "<number|numword> <unit>" → ISO-8601 P<n><U>
         qty = None
         if w in NUMBER_WORDS:
             qty = NUMBER_WORDS[w]
         elif w.isascii() and w.isdigit():
             qty = int(w)
+        # duration ranges: "2-3 weeks" (one NUMRANGE token) and
+        # "two to three weeks" → interval-of-durations "P2W/P3W"
+        # (SUTime range types over durations, time/SUTime.java)
+        mrange = _re.match(r"^(\d+)[-–](\d+)$", w)
+        if mrange and i + 1 < n and lower[i + 1] in _UNIT:
+            unit = _UNIT[lower[i + 1]]
+            yield (i, i + 2, "DURATION",
+                   f"P{mrange.group(1)}{unit}/P{mrange.group(2)}{unit}")
+            i += 2
+            continue
+        if qty is not None and i + 2 < n and lower[i + 1] == "to" \
+                and (lower[i + 2] in NUMBER_WORDS
+                     or (lower[i + 2].isascii() and lower[i + 2].isdigit())) \
+                and i + 3 < n and lower[i + 3] in _UNIT:
+            q2 = NUMBER_WORDS.get(lower[i + 2]) or int(lower[i + 2])
+            unit = _UNIT[lower[i + 3]]
+            yield i, i + 4, "DURATION", f"P{qty}{unit}/P{q2}{unit}"
+            i += 4
+            continue
         if qty is not None and i + 1 < n and lower[i + 1] in _UNIT:
             unit = _UNIT[lower[i + 1]]
+            # offset resolution: "<n> weeks ago" / "in <n> weeks" resolve to
+            # a concrete value against the docdate (ISO week for W)
+            if i + 2 < n and lower[i + 2] == "ago":
+                yield i, i + 3, "DATE", _unit_offset(docdate, unit, -qty)
+                i += 3
+                continue
+            if i > 0 and lower[i - 1] == "in":
+                yield i - 1, i + 2, "DATE", _unit_offset(docdate, unit, qty)
+                i += 2
+                continue
             yield i, i + 2, "DURATION", f"P{qty}{unit}"
             i += 2
             continue

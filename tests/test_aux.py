@@ -111,6 +111,31 @@ def test_sutime_ranges_sets_holidays_weekdays_quarters(spark):
     assert {t["nner"] for t in fr} == {"2020-06-19", "2020-06-12"}
 
 
+def test_sutime_week_arithmetic_duration_ranges_months(spark):
+    """VERDICT r2 #8 (time/SUTime.java week/range types): ISO-week
+    arithmetic incl. the nested compound 'the week before last', duration
+    ranges ('2-3 weeks' → P2W/P3W), offset resolution ('two weeks ago',
+    'in three days'), and last/next <month>. Docdate 2020-06-15 = Monday of
+    ISO week 2020-W25."""
+    docs = with_docdate(_docs(spark, [
+        "It happened the week before last.",
+        "She left two weeks ago. He returns in three days.",
+        "The trial lasts 2-3 weeks. Recovery takes two to four months.",
+        "They met last March. The launch is next March. Sales rose last month.",
+    ]), fixed="2020-06-15")
+    rows = sutime_docs(annotate(docs, upto="ner")).collect()
+    maps = [_tok_map(r) for r in rows]
+    assert maps[0]["week"] == ("DATE", "2020-W23")
+    assert maps[1]["ago"] == ("DATE", "2020-W23")
+    assert maps[1]["days"] == ("DATE", "2020-06-18")
+    assert maps[2]["2-3"] == ("DURATION", "P2W/P3W")
+    assert maps[2]["four"] == ("DURATION", "P2M/P4M")
+    m3 = rows[3]["tokens"]
+    vals = [t["nner"] for t in m3 if t["word"].lower() == "march"]
+    assert vals == ["2020-03", "2021-03"]
+    assert maps[3]["month"] == ("DATE", "2020-05")
+
+
 def test_quote_attribution(spark):
     docs = _docs(spark, ['"Stop right there," Jane said loudly.'])
     out = quote_docs(annotate(docs, upto="ner")).first()
