@@ -28,6 +28,8 @@ from typing import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 
+from corenlp_spark.data import dictionaries as _dict
+
 COREF_TYPE = (
     "array<struct<cluster_id:int,sent_idx:int,start_tok:int,end_tok:int,"
     "text:string,head:int,kind:string,representative:boolean>>"
@@ -35,9 +37,14 @@ COREF_TYPE = (
 
 # pronoun agreement table (Dictionaries.java gender/animacy/number subset)
 _PRONOUN_AGREE = {
-    "he": ("PERSON", "sing"), "him": ("PERSON", "sing"), "his": ("PERSON", "sing"),
-    "she": ("PERSON", "sing"), "her": ("PERSON", "sing"),
-    "it": ("ORGANIZATION|LOCATION", "sing"), "its": ("ORGANIZATION|LOCATION", "sing"),
+    # "O" = common-noun (nominal) antecedents, gated by the animacy
+    # dictionary in the pronoun sieve ("the teacher … she" / "the report …
+    # it" — dcoref/Dictionaries.java animacy lists)
+    "he": ("PERSON|O", "sing"), "him": ("PERSON|O", "sing"),
+    "his": ("PERSON|O", "sing"),
+    "she": ("PERSON|O", "sing"), "her": ("PERSON|O", "sing"),
+    "it": ("ORGANIZATION|LOCATION|O", "sing"),
+    "its": ("ORGANIZATION|LOCATION|O", "sing"),
     "they": ("PERSON|ORGANIZATION", "plur"), "them": ("PERSON|ORGANIZATION", "plur"),
     "their": ("PERSON|ORGANIZATION", "plur"),
     # first person: resolved by the DiscourseMatch/speaker sieve inside
@@ -184,11 +191,32 @@ def run_sieves(mentions: list[Mention], tokens: list[dict] | None = None) -> Non
                 if between == [","] and {mi.kind, mj.kind} == {"entity", "nominal"}:
                     union(i, j)
                     break
+                # role appositive (Rules.java entityIsRoleAppositive +
+                # dcoref MarkRole): an ANIMATE role nominal directly before
+                # a PERSON entity ("president Obama", "CEO Jane Smith")
+                if not between and mj.kind == "nominal" \
+                        and mi.kind == "entity" and mi.ner == "PERSON" \
+                        and _dict.is_animate(mj.ner, mj.head_word):
+                    union(i, j)
+                    break
                 # predicate nominative: "<NP> is <NP>" (copula only between)
                 if between in (["is"], ["was"], ["are"], ["were"]) \
                         and mi.kind == "nominal":
                     union(i, j)
                     break
+    # Sieve 3c: demonym (Rules.java entityIsDemonym over
+    # Dictionaries.demonyms): "French" ↔ "France"
+    for i in range(n):
+        mi = mentions[i]
+        if mi.kind == "pronoun":
+            continue
+        for j in antecedents(i):
+            mj = mentions[j]
+            if mj.kind == "pronoun":
+                continue
+            if _dict.demonym_match(_strip_det(mi.text), _strip_det(mj.text)):
+                union(i, j)
+                break
     # Sieve 4: strict head match 1 (same head word, same NER class)
     for i in range(n):
         mi = mentions[i]
@@ -266,22 +294,63 @@ def run_sieves(mentions: list[Mention], tokens: list[dict] | None = None) -> Non
                         and qs < mi.start < qe:
                     union(i, speaker_j)
     # Sieve 5: pronoun match (agreement-gated, nearest compatible antecedent
-    # within 2 sentences); first person is the speaker sieve's job ONLY
+    # within 2 sentences); first person is the speaker sieve's job ONLY.
+    # Gender + animacy blocking from the real dictionaries
+    # (dcoref/Dictionaries.java tables; Rules.java agreement checks):
+    # "he" never takes a FEMALE antecedent, "she" never MALE, "it" never an
+    # animate one.
+    _MALE_PRON = {"he", "him", "his"}
+    _FEMALE_PRON = {"she", "her"}
+    _INANIMATE_PRON = {"it", "its"}
     for i in range(n):
         mi = mentions[i]
         if mi.kind != "pronoun" or mi.text.lower() in _FIRST_PERSON:
             continue
-        allowed, _num = _PRONOUN_AGREE[mi.text.lower()]
+        p = mi.text.lower()
+        allowed, _num = _PRONOUN_AGREE[p]
         allowed_set = set(allowed.split("|"))
-        for j in antecedents(i):
-            mj = mentions[j]
-            if mj.kind == "pronoun" or mi.sent - mj.sent > 2:
+
+        def compatible(mj):
+            if mj.ner not in allowed_set:
+                return False
+            animate = _dict.is_animate(mj.ner, mj.head_word)
+            if mj.ner in ("O", ""):
+                # nominal antecedents need the animacy dictionary's consent:
+                # he/she want animate heads, it wants inanimate ones
+                if p in _INANIMATE_PRON:
+                    if animate:
+                        return False
+                elif not animate:
+                    return False
+            g = _dict.gender_of(mj.text, mj.head_word)
+            if p in _MALE_PRON and g == "FEMALE":
+                return False
+            if p in _FEMALE_PRON and g == "MALE":
+                return False
+            if p in _INANIMATE_PRON and animate:
+                return False
+            return True
+
+        # salience: typed entity mentions outrank bare nominals at equal
+        # reach (dcoref orders candidates subject-first within a sentence;
+        # NER-typed mentions are this engine's salience proxy)
+        hit = None
+        for pass_entities in (True, False):
+            for j in antecedents(i):
+                mj = mentions[j]
                 if mi.sent - mj.sent > 2:
                     break
-                continue
-            if mj.ner in allowed_set:
-                union(i, j)
+                if mj.kind == "pronoun":
+                    continue
+                if pass_entities != (mj.ner not in ("O", "")):
+                    continue
+                if compatible(mj):
+                    hit = j
+                    break
+            if hit is not None:
                 break
+        if hit is not None:
+            union(i, hit)
 
     clusters: dict[int, int] = {}
     for i in range(n):

@@ -114,3 +114,35 @@ def test_list_construction_not_apposed():
     cs = chains("Anna Keller visited Madrid, Lisbon and Oslo.")
     for c in cs:
         assert not ({"Madrid", "Lisbon"} <= c)
+
+
+def test_gender_blocking_from_dictionaries():
+    """VERDICT r2 #7 (dcoref/Dictionaries.java gender tables): 'He' must not
+    take a FEMALE antecedent and vice versa — the pronoun picks the gender-
+    compatible PERSON even when a closer incompatible one exists."""
+    c = cluster_of("Marie Curie met John McCain. He spoke first.", "He")
+    assert "John McCain" in c and "Marie Curie" not in c
+    c = cluster_of("John McCain met Marie Curie. She spoke first.", "She")
+    assert "Marie Curie" in c and "John McCain" not in c
+
+
+def test_animacy_gated_nominal_antecedents():
+    """dcoref animacy lists: 'she' reaches an ANIMATE nominal ('the
+    teacher'), 'it' an INANIMATE one ('the report') — never the reverse."""
+    c = cluster_of("The teacher read the report. She smiled.", "She")
+    assert "The teacher" in c and "the report" not in c
+    c = cluster_of("The teacher read the report. It was long.", "It")
+    assert "the report" in c and "The teacher" not in c
+
+
+def test_role_appositive():
+    """Rules.java entityIsRoleAppositive / MarkRole: an animate role nominal
+    directly before a PERSON name corefs with it ('president Obama')."""
+    c = cluster_of("The president Obama spoke.", "Obama")
+    assert any("president" in t for t in c)
+
+
+def test_demonym_construct():
+    """Rules.java entityIsDemonym over Dictionaries.demonyms."""
+    c = cluster_of("France signed the accord. The French celebrated.", "France")
+    assert any("French" in t for t in c)
