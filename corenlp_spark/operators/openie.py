@@ -37,6 +37,17 @@ TRIPLES_SCHEMA = (
 _DOWNWARD_GOVERNORS = {"doubt", "deny", "refuse", "fail", "reject", "doubtful"}
 _NEG_DETS = {"no", "not", "never", "n't", "without"}
 
+# quantifier determiners: (restrictor monotonicity, scope monotonicity) —
+# the public natlog operator lexicon (``naturalli/Operator.java:29-120``);
+# "up" entries need no flip record, "flat" marks non-monotone contexts.
+_QUANT_OPS = {
+    "all": ("down", "up"), "every": ("down", "up"), "each": ("down", "up"),
+    "no": ("down", "down"), "neither": ("down", "down"),
+    "few": ("down", "down"),
+    "most": ("flat", "up"),
+}
+_NEG_ADVERBS = {"not", "n't", "never"}
+
 _NP_MODS = {"amod", "compound", "nummod", "nmod:poss", "flat"}
 _DET_LIKE = {"det", "punct", "case", "mark", "cc"}
 
@@ -118,21 +129,87 @@ class _Graph:
     def gloss(self, tokens):
         return " ".join(self.word(t) for t in sorted(tokens))
 
+    def subtree(self, t: int) -> set[int]:
+        out, stack = {t}, [t]
+        while stack:
+            x = stack.pop()
+            for d, _ in self.children.get(x, ()):
+                if d not in out:
+                    out.add(d)
+                    stack.append(d)
+        return out
+
+    def polarity(self, t: int) -> str:
+        """Per-token natlog polarity ("up"/"down"/"flat"), computed lazily
+        once per sentence (``NaturalLogicAnnotator.java:594`` setPolarity)."""
+        if not hasattr(self, "_polarity"):
+            self._polarity = compute_polarity(self)
+        return self._polarity[t - self.off]
+
+
+def compute_polarity(g: _Graph) -> list[str]:
+    """Compose operator monotonicities into one polarity mark per token.
+
+    Mirrors ``naturalli/NaturalLogicAnnotator.java:300-343,594``: each
+    operator instance (quantifier det, negation advmod, "without", a
+    downward clause governor) contributes a flip over its scope; a token's
+    polarity is "down" iff an odd number of downward scopes cover it, and
+    "flat" if any non-monotone scope does. Double negation therefore
+    restores "up" with no special-casing — the "unless negated" escape of
+    the old ancestor walk falls out of composition.
+    """
+    n = len(g.words)
+    flips: list[tuple[set[int], str]] = []
+    for t in range(g.off, g.off + n):
+        w = g.words[t - g.off].lower()
+        hr = g.parent.get(t)
+        if hr is None:
+            continue
+        h, r = hr
+        if w in _QUANT_OPS:
+            # restrictor head: the det/amod parent noun, else the adjacent
+            # following noun (guards against parser mis-attachment of
+            # degree words like "most")
+            head = None
+            if r in ("det", "amod"):
+                head = h
+            elif (t + 1 < g.off + n
+                  and g.pos[t + 1 - g.off].startswith("NN")):
+                head = t + 1
+            if head is None:
+                continue
+            rmono, smono = _QUANT_OPS[w]
+            if rmono != "up":
+                flips.append((g.subtree(head) - {t}, rmono))
+            if smono != "up":
+                vh = g.parent.get(head)
+                if vh is not None and vh[1].startswith("nsubj"):
+                    scope = g.subtree(vh[0]) - g.subtree(head)
+                    flips.append((scope, smono))
+            continue
+        elif r in ("advmod", "dep") and w in _NEG_ADVERBS:
+            flips.append((g.subtree(h) - {t}, "down"))
+        elif r == "case" and w == "without":
+            flips.append((g.subtree(h) - {t}, "down"))
+        elif r in ("ccomp", "xcomp", "acl", "advcl") and g.lemma(h) in _DOWNWARD_GOVERNORS:
+            flips.append((g.subtree(t), "down"))
+    pol = []
+    for t in range(g.off, g.off + n):
+        downs, flat = 0, False
+        for scope, mono in flips:
+            if t in scope:
+                if mono == "flat":
+                    flat = True
+                else:
+                    downs += 1
+        pol.append("flat" if flat else ("down" if downs % 2 else "up"))
+    return pol
+
 
 def _polarity_blocked(g: _Graph, verb: int) -> bool:
-    """True if ``verb`` heads a clause under a non-negated downward governor."""
-    t, seen = verb, 0
-    while t in g.parent and seen < 8:
-        h, r = g.parent[t]
-        if r in ("ccomp", "acl", "xcomp", "advcl"):
-            if g.lemma(h) in _DOWNWARD_GOVERNORS:
-                negated = any(
-                    g.word(d).lower() in _NEG_DETS for d, _ in g.children.get(h, ())
-                )
-                if not negated:
-                    return True
-        t, seen = h, seen + 1
-    return False
+    """True if ``verb`` sits in a non-upward context per the token's natlog
+    polarity mark — extraction is only sound under upward monotonicity."""
+    return g.polarity(verb) != "up"
 
 
 def _pred_words(g: _Graph, verb: int, extra: list[int]) -> str:
@@ -425,3 +502,45 @@ def openie_docs(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return df.mapInPandas(run, schema=TRIPLES_SCHEMA)
+
+
+POLARITY_SCHEMA = "doc_id string, sent_idx int, tok_idx int, word string, polarity string"
+
+
+def natlog_docs(df: DataFrame) -> DataFrame:
+    """docs → one row per token with its natlog polarity mark.
+
+    The tokens-field analog of the reference's per-token Polarity
+    annotation (``naturalli/NaturalLogicAnnotator.java:594``): downstream
+    consumers (extraction gating, monotonicity-aware rewriting) read the
+    mark instead of re-walking the tree. Narrow per-doc transform — output
+    inherits the docs partitioning, no shuffle.
+    """
+    from corenlp_spark.plans.fused import _annotate_one
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("doc_id", "sent_idx", "tok_idx", "word", "polarity")}
+            for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
+                tokens, sentences, deps, _ = _annotate_one(spans)
+                by_sent: dict[int, list] = {}
+                for e in deps:
+                    by_sent.setdefault(e["sent_idx"], []).append(
+                        (e["head"], e["dep"], e["rel"]))
+                for s in sentences:
+                    a, b = s["start_tok"], s["end_tok"]
+                    seg = tokens[a:b]
+                    g = _Graph([t["word"] for t in seg],
+                               [t["lemma"] for t in seg],
+                               by_sent.get(s["sent_idx"], []), a,
+                               [t["pos"] for t in seg])
+                    pol = compute_polarity(g)
+                    for i, (t, p) in enumerate(zip(seg, pol)):
+                        rows["doc_id"].append(doc_id)
+                        rows["sent_idx"].append(s["sent_idx"])
+                        rows["tok_idx"].append(a + i)
+                        rows["word"].append(t["word"])
+                        rows["polarity"].append(p)
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(run, schema=POLARITY_SCHEMA)

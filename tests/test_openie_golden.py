@@ -171,3 +171,69 @@ def test_entailed_amod_drop():
     got = extract("Some blue cats have tails.")
     assert ("blue cats", "have", "tails") in got
     assert ("cats", "have", "tails") in got
+
+
+def _polarity(sentence: str) -> dict[str, str]:
+    from corenlp_spark.operators.openie import compute_polarity
+
+    toks = tokenize_text(sentence)
+    words = [t[0] for t in toks]
+    pos = pos_tag(words, {0})
+    lem = [lemmatize(w, p) for w, p in zip(words, pos)]
+    ner, _ = tag_sentence_ner(words, pos)
+    edges = parse_sentence(words, pos, lem, ner)
+    g = _Graph(words, lem, edges, 0, pos)
+    return dict(zip(words, compute_polarity(g)))
+
+
+def test_polarity_tokens_universal():
+    # universal quantifier: downward restrictor, upward scope
+    p = _polarity("All rabbits eat vegetables.")
+    assert p["rabbits"] == "down"
+    assert p["eat"] == "up" and p["vegetables"] == "up"
+
+
+def test_polarity_tokens_negative_quantifier():
+    # "no": both restrictor and scope downward
+    p = _polarity("No politician likes taxes.")
+    assert p["politician"] == "down"
+    assert p["likes"] == "down" and p["taxes"] == "down"
+
+
+def test_polarity_tokens_negation_and_double_negation():
+    p = _polarity("Obama was not born in Kenya.")
+    assert p["born"] == "down" and p["Kenya"] == "down"
+    # double flip composes back to upward
+    p2 = _polarity("Nobody doubts that cats have tails.")
+    # governor flips the complement down; a second downward context over the
+    # governor (here via the negated subject "Nobody" is lexicalized — use
+    # the explicit adverb form instead)
+    p3 = _polarity("John does not doubt that cats have tails.")
+    assert p3["have"] == "up" and p3["tails"] == "up"
+    assert p3["doubt"] == "down"
+
+
+def test_polarity_tokens_non_monotone():
+    p = _polarity("Most cats have tails.")
+    assert p["cats"] == "flat"
+    assert p["have"] == "up"
+
+
+def test_polarity_blocks_negative_quantifier_scope():
+    # extraction is gated on the per-token mark: no triple under "no"-scope
+    assert extract("No politician likes taxes.") == set()
+
+
+def test_natlog_docs_operator(spark):
+    from pyspark.sql import Row
+
+    from corenlp_spark.operators.openie import natlog_docs
+
+    docs = spark.createDataFrame(
+        [Row(doc_id="d1", spans=[Row(kind="text", text="All rabbits eat vegetables.",
+                                     media_ref=None, offset=0)])],
+        schema=("doc_id string, spans array<struct<kind:string,text:string,"
+                "media_ref:string,offset:int>>"),
+    )
+    out = {r["word"]: r["polarity"] for r in natlog_docs(docs).collect()}
+    assert out["rabbits"] == "down" and out["eat"] == "up"
