@@ -846,6 +846,108 @@ def q_media_features(spark, sf_dir):
     )
 
 
+_QUOTE_POOL = [
+    '"Stop right there," Jane said.',
+    '"We will win," said John McCain.',
+    'The sign "no entry" hung there.',
+    'Mary shouted, "Run for the hills!"',
+    '"I think," said Barack Obama, "that we can win."',
+    'He wrote "hello world" on the whiteboard.',
+    '"This is fine," Susan Smith noted dryly.',
+    '"Never," he replied.',
+] * 8
+
+
+def _quote_pool_docs(spark):
+    import pandas as pd
+
+    from corenlp_spark.data.synth import DOCS_SCHEMA
+
+    return spark.createDataFrame(
+        pd.DataFrame({
+            "doc_id": [f"qq{i}" for i in range(len(_QUOTE_POOL))],
+            "spans": [[{"kind": "text", "text": t, "media_ref": None, "offset": 0}]
+                      for t in _QUOTE_POOL],
+        }),
+        schema=DOCS_SCHEMA,
+    )
+
+
+def q_kg_quotes_oracle(spark, sf_dir):
+    """The REAL quote path under a DuckDB oracle (materialized-annotation
+    pattern): annotated tokens + engine quote spans are persisted once;
+    Spark rebuilds per-doc token arrays and RERUNS the engine's quote
+    detector+attributor (operators/aux_annotators.quote_docs — QuoteAnnotator
+    + QuoteAttributionAnnotator semantics, ``quoteattribution/*``), while
+    DuckDB independently replays the span gloss (string_agg over interior
+    tokens) and the attribution rule (speech-verb-gated nearest PERSON in
+    the ±5-token edge windows) over the same bytes."""
+    import os
+
+    from corenlp_spark.operators.aux_annotators import quote_docs
+    from corenlp_spark.plans.pipeline import annotate
+
+    tpath = _ann_tokens_path() + "_qtoks"
+    spath = _ann_tokens_path() + "_qspans"
+    if not (os.path.exists(os.path.join(tpath, "_SUCCESS"))
+            and os.path.exists(os.path.join(spath, "_SUCCESS"))):
+        ann = annotate(_quote_pool_docs(spark), upto="ner")
+        flat = ann.select("doc_id", F.explode("tokens").alias("t")).select(
+            "doc_id", F.col("t.idx").alias("idx"), F.col("t.word").alias("word"),
+            F.col("t.lemma").alias("lemma"), F.col("t.ner").alias("ner"),
+        )
+        flat.write.mode("overwrite").parquet(tpath)
+        spans = quote_docs(ann).select(
+            "doc_id", F.explode("quotes").alias("q")
+        ).select("doc_id", F.col("q.start_tok").alias("start_tok"),
+                 F.col("q.end_tok").alias("end_tok"))
+        spans.write.mode("overwrite").parquet(spath)
+    docs = (
+        spark.read.parquet(tpath)
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(
+            F.struct("idx", "word", "lemma", "ner"))).alias("tokens"))
+    )
+    q = quote_docs(docs)
+    return (
+        q.select("doc_id", F.explode("quotes").alias("q"))
+        .select("doc_id",
+                F.col("q.start_tok").alias("start_tok"),
+                F.col("q.end_tok").alias("end_tok"),
+                F.col("q.text").alias("quote"),
+                F.coalesce(F.col("q.speaker"), F.lit("")).alias("speaker"))
+        .orderBy("doc_id", "start_tok", "end_tok")
+    )
+
+
+def q_media_features_oracle(spark, sf_dir):
+    """The multimodal metadata path under a DuckDB oracle: the media table
+    (synthetic binary payloads) is persisted once; Spark reruns the engine's
+    Arrow-batched decode kernel (functions/multimodal.decode_metadata) while
+    DuckDB replays the deterministic decode arithmetic (sha256 of the
+    payload bytes → dimension/duration fields) over the same bytes. The
+    kernel is the documented deterministic stand-in for a codec — the check
+    certifies the Spark plumbing (explode, batch decode, aggregation), not
+    image decoding."""
+    import os
+
+    from corenlp_spark.functions.multimodal import decode_metadata, media_table
+
+    path = _ann_tokens_path() + "_media"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        media_table(_golden_docs(spark)).write.mode("overwrite").parquet(path)
+    media = spark.read.parquet(path)
+    return (
+        decode_metadata(media)
+        .groupBy("media_type")
+        .agg(F.count("*").alias("n"),
+             F.max("meta.width").alias("max_width"),
+             F.max("meta.height").alias("max_height"),
+             F.max("meta.duration_ms").alias("max_duration_ms"))
+        .orderBy("media_type")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -883,8 +985,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_kbp": q_kg_kbp,
         "kg_kbp_ensemble": q_kg_kbp_ensemble,
         "kg_quotes": q_kg_quotes,
+        "kg_quotes_oracle": q_kg_quotes_oracle,
         "kg_sutime": q_kg_sutime,
         "media_features": q_media_features,
+        "media_features_oracle": q_media_features_oracle,
     }
 
 
@@ -895,6 +999,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # whitespace-class split (\s+) so tabs/newlines tokenize identically to the
 # Spark side's F.split(..., r"\s+") — ADVICE.md round 1
 _TOKENS = "list_filter(regexp_split_to_array(regexp_replace(lower(text), '[^a-z0-9_\\s]', ' ', 'g'), '\\s+'), t -> t <> '')"
+
+
+def _speech_verbs_sql() -> str:
+    from corenlp_spark.operators.aux_annotators import _SPEECH_VERBS
+
+    return "(" + ", ".join(f"'{v}'" for v in sorted(_SPEECH_VERBS)) + ")"
+
+
+_SPEECH_VERBS_SQL = _speech_verbs_sql()
 
 
 def _lsh_dups_oracle(dim=64, n_bands=8, band_bits=8, threshold=0.2) -> str:
@@ -1280,6 +1393,63 @@ def oracle_sql() -> dict[str, str]:
             SELECT fragment, count(*) AS n, round(max(score), 6) AS max_score
             FROM read_parquet('{_ann_tokens_path()}_entfrags/*.parquet')
             GROUP BY 1 ORDER BY n DESC, fragment LIMIT 50
+        """,
+        # quote gloss + attribution replayed over materialized tokens/spans
+        "kg_quotes_oracle": f"""
+            WITH toks AS (
+              SELECT * FROM read_parquet('{_ann_tokens_path()}_qtoks/*.parquet')),
+            spans AS (
+              SELECT * FROM read_parquet('{_ann_tokens_path()}_qspans/*.parquet')),
+            gloss AS (
+              SELECT s.doc_id, s.start_tok, s.end_tok,
+                     coalesce(string_agg(t.word, ' ' ORDER BY t.idx), '') AS quote
+              FROM spans s LEFT JOIN toks t
+                ON t.doc_id = s.doc_id
+               AND t.idx BETWEEN s.start_tok + 1 AND s.end_tok - 2
+              GROUP BY 1, 2, 3),
+            win AS (
+              SELECT s.doc_id, s.start_tok, s.end_tok, t.idx, t.word, t.lemma, t.ner
+              FROM spans s JOIN toks t
+                ON t.doc_id = s.doc_id
+               AND (t.idx BETWEEN s.start_tok - 5 AND s.start_tok - 1
+                 OR t.idx BETWEEN s.end_tok AND s.end_tok + 4)),
+            attr AS (
+              SELECT doc_id, start_tok, end_tok,
+                     bool_or(lemma IN {_SPEECH_VERBS_SQL}
+                             OR lower(word) IN {_SPEECH_VERBS_SQL}) AS has_verb,
+                     min_by(word, idx) FILTER (WHERE ner = 'PERSON') AS person
+              FROM win GROUP BY 1, 2, 3)
+            SELECT g.doc_id, g.start_tok, g.end_tok, g.quote,
+                   coalesce(CASE WHEN a.has_verb THEN a.person END, '') AS speaker
+            FROM gloss g LEFT JOIN attr a
+              ON a.doc_id = g.doc_id AND a.start_tok = g.start_tok
+             AND a.end_tok = g.end_tok
+            ORDER BY g.doc_id, g.start_tok, g.end_tok
+        """,
+        # deterministic decode arithmetic replayed over materialized payloads
+        "media_features_oracle": f"""
+            WITH b AS (
+              SELECT media_type,
+                     sha256(CAST(payload AS VARCHAR)) AS h
+              FROM read_parquet('{_ann_tokens_path()}_media/*.parquet')),
+            d AS (
+              SELECT media_type,
+                     (strpos('0123456789abcdef', h[1]) - 1) * 16
+                       + strpos('0123456789abcdef', h[2]) - 1 AS b0,
+                     (strpos('0123456789abcdef', h[3]) - 1) * 16
+                       + strpos('0123456789abcdef', h[4]) - 1 AS b1,
+                     (strpos('0123456789abcdef', h[5]) - 1) * 16
+                       + strpos('0123456789abcdef', h[6]) - 1 AS b2,
+                     (strpos('0123456789abcdef', h[7]) - 1) * 16
+                       + strpos('0123456789abcdef', h[8]) - 1 AS b3
+              FROM b)
+            SELECT media_type, count(*) AS n,
+                   CAST(max(64 + b0 % 1024) AS INTEGER) AS max_width,
+                   CAST(max(64 + b1 % 1024) AS INTEGER) AS max_height,
+                   CAST(max(CASE WHEN media_type IN ('audio', 'video')
+                            THEN (b2 * 256 + b3) * 10 ELSE 0 END) AS INTEGER)
+                     AS max_duration_ms
+            FROM d GROUP BY 1 ORDER BY 1
         """,
         # other kg_* and media_features: non-SQL-expressible (full NLP
         # pipeline / Arrow UDF stages) → rows-only driver check by design.
