@@ -126,3 +126,81 @@ def windowed_event_counts(spark: SparkSession, events_path: str) -> DataFrame:
         .groupBy(F.window("ts", "1 day"), "event_type")
         .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("total_value"))
     )
+
+
+def streaming_canonical_entities(docs_stream: DataFrame, aliases: DataFrame):
+    """Stateful streaming twin of ``entitylink.canonical_entities``:
+    cross-doc canonical entity statistics maintained incrementally across
+    micro-batches via ``applyInPandasWithState``.
+
+    Same reduce algebra as the batch two-phase aggregation — per
+    entity_key (wikidict link when resolved, else the caseless surface):
+    running mention count, canonical text = max by (length, text), max NER —
+    so availableNow over N file batches converges to exactly the batch
+    result (tests assert equality). The wikidict resolution itself is the
+    same broadcast join (stream-compatible: broadcast joins add no state).
+    """
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from corenlp_spark.operators.entitylink import link_mentions
+    from corenlp_spark.operators.mentions import chunk_mentions
+    from corenlp_spark.operators.ner import ner_docs
+    from corenlp_spark.operators.tag import tag_docs
+    from corenlp_spark.operators.tokenize import tokenize_docs
+
+    ann = ner_docs(tag_docs(tokenize_docs(docs_stream)))
+
+    def chunk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "sent_idx": [], "start_tok": [],
+                    "end_tok": [], "text": [], "ner": [], "nner": []}
+            for doc_id, toks in zip(pdf["doc_id"], pdf["tokens"]):
+                for m in chunk_mentions(list(toks)):
+                    rows["doc_id"].append(doc_id)
+                    rows["sent_idx"].append(m["sent_idx"])
+                    rows["start_tok"].append(m["start_tok"])
+                    rows["end_tok"].append(m["end_tok"])
+                    rows["text"].append(m["text"])
+                    rows["ner"].append(m["ner"])
+                    rows["nner"].append(m["nner"])
+            yield pd.DataFrame(rows)
+
+    mentions = ann.mapInPandas(
+        chunk,
+        schema=("doc_id string, sent_idx int, start_tok int, end_tok int, "
+                "text string, ner string, nner string"),
+    )
+    linked = link_mentions(mentions, aliases)
+    keyed = linked.withColumn(
+        "entity_key", F.coalesce(F.col("link"), F.lower(F.col("text")))
+    )
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            n, best_l, best_text, ner = state.get
+        else:
+            n, best_l, best_text, ner = 0, -1, "", ""
+        for pdf in pdfs:
+            n += len(pdf)
+            for text, m_ner in zip(pdf["text"], pdf["ner"]):
+                if (len(text), text) > (best_l, best_text):
+                    best_l, best_text = len(text), text
+                if (m_ner or "") > ner:
+                    ner = m_ner or ""
+        state.update((n, best_l, best_text, ner))
+        yield pd.DataFrame({
+            "entity_key": [key[0]], "canonical_text": [best_text],
+            "ner": [ner], "n_mentions": [n],
+        })
+
+    return keyed.groupBy("entity_key").applyInPandasWithState(
+        update,
+        outputStructType=("entity_key string, canonical_text string, "
+                          "ner string, n_mentions long"),
+        stateStructType="n long, best_l int, best_text string, ner string",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -77,3 +77,46 @@ def test_windowed_event_counts(spark, tmp_path):
         .count()
     )
     assert len(rows) == batch.count()
+
+
+def test_streaming_canonical_entities_matches_batch(spark, tmp_path):
+    """availableNow over two file batches converges to EXACTLY the batch
+    canonical_entities result (same reduce algebra, incrementalized)."""
+    from corenlp_spark.operators.entitylink import (
+        alias_dict, canonical_entities, link_mentions,
+    )
+    from corenlp_spark.operators.mentions import mention_rows
+    from corenlp_spark.operators.ner import ner_docs
+    from corenlp_spark.operators.tag import tag_docs
+    from corenlp_spark.operators.tokenize import tokenize_docs
+    from corenlp_spark.streaming.stream import (
+        stream_docs, streaming_canonical_entities,
+    )
+
+    path = str(tmp_path / "docs")
+    d1 = synth_docs(spark, 20)
+    d2 = synth_docs(spark, 12).selectExpr("concat(doc_id, '-b2') as doc_id", "spans")
+    d1.write.mode("overwrite").parquet(path)
+    d2.write.mode("append").parquet(path)
+    aliases = alias_dict(spark)
+
+    q = (streaming_canonical_entities(stream_docs(spark, path, max_files=1), aliases)
+         .writeStream.outputMode("update").format("memory").queryName("t_canon")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(240)
+    # last emission per key = the converged running state
+    final = spark.sql("""
+        SELECT entity_key, canonical_text, ner, n_mentions FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY entity_key ORDER BY n_mentions DESC) AS rn
+          FROM t_canon) WHERE rn = 1
+    """)
+    got = {r.entity_key: (r.canonical_text, r.ner, r.n_mentions)
+           for r in final.collect()}
+
+    docs = d1.unionByName(d2)
+    ann = ner_docs(tag_docs(tokenize_docs(docs)))
+    batch = canonical_entities(link_mentions(mention_rows(ann), aliases))
+    want = {r.entity_key: (r.canonical_text, r.ner, r.n_mentions)
+            for r in batch.collect()}
+    assert got == want
