@@ -75,3 +75,36 @@ def test_embedding_dups_has_no_nested_loop_join(spark):
               if "id_a" in a]
     assert dedups, "expected an id-pair distinct in the plan"
     assert all("v_a" not in a and "n_a" not in a for a in dedups), dedups
+
+
+def test_scaled_dict_link_shuffle_path(spark):
+    """wikidict-scale linking: the shuffle path must (a) produce the exact
+    broadcast-path output and (b) plan a ShuffledHashJoin, never a
+    broadcast of the dictionary."""
+    from pyspark.sql import functions as F
+
+    from corenlp_spark.operators.entitylink import (
+        DEFAULT_ALIASES, link_mentions_scaled,
+    )
+    from corenlp_spark.operators.ner import ner_docs
+    from corenlp_spark.operators.tag import tag_docs
+    from corenlp_spark.operators.tokenize import tokenize_docs
+
+    # synthetic 120k-surface dictionary + the real aliases
+    big = spark.range(120_000).select(
+        F.concat(F.lit("surfaceform_"), F.col("id")).alias("surface"),
+        F.concat(F.lit("Entity_"), F.col("id")).alias("link"),
+        F.lit(0.9).alias("score"),
+    ).unionByName(alias_dict(spark))
+    m = mention_rows(ner_docs(tag_docs(tokenize_docs(synth_docs(spark, 60)))))
+
+    shuf = link_mentions_scaled(m, big, strategy="shuffle")
+    p = plan_of(shuf)
+    assert "ShuffledHashJoin" in p
+    bcast = link_mentions(m, big)
+    key = lambda r: (r.doc_id, r.sent_idx, r.start_tok, r.end_tok, r.link)
+    assert sorted(map(key, shuf.collect())) == sorted(map(key, bcast.collect()))
+
+    # auto picks shuffle above the row threshold
+    auto = link_mentions_scaled(m, big, strategy="auto", broadcast_max_rows=1000)
+    assert "ShuffledHashJoin" in plan_of(auto)
