@@ -36,11 +36,15 @@ from corenlp_spark.models.perceptron import load_weights
 
 
 def _features(stack: list[int], buffer: list[int], words, pos,
-              head_of: dict[int, int], label_of: dict[int, str]) -> list[str]:
+              head_of: dict[int, int], label_of: dict[int, str],
+              kids_of: dict[int, list[int]] | None = None) -> list[str]:
     """Chen&Manning-style positions (DependencyParser.java:160-190 feature
     set re-expressed as discrete templates): s1..s3 / b1..b3 words+POS,
     leftmost/rightmost child word+POS+label of s1/s2, grandchild labels,
-    valence (child counts), s1–s2 distance bucket, and conjunctions."""
+    valence (child counts), s1–s2 distance bucket, and conjunctions.
+
+    ``kids_of`` may be passed in by a caller that maintains it
+    incrementally (parse()); derived from ``head_of`` otherwise."""
     def w(i):
         return words[i].lower() if i is not None else "<null>"
 
@@ -54,9 +58,10 @@ def _features(stack: list[int], buffer: list[int], words, pos,
     b2 = buffer[1] if len(buffer) >= 2 else None
     b3 = buffer[2] if len(buffer) >= 3 else None
 
-    kids_of: dict[int, list[int]] = {}
-    for d, hh in head_of.items():
-        kids_of.setdefault(hh, []).append(d)
+    if kids_of is None:
+        kids_of = {}
+        for d, hh in head_of.items():
+            kids_of.setdefault(hh, []).append(d)
 
     def lc(h):
         k = kids_of.get(h)
@@ -152,6 +157,7 @@ class ArcStandardParser:
     def __init__(self):
         self.weights: dict[str, dict[str, float]] = {}
         self.actions: list[str] = []
+        self._avec = None  # feature → np.ndarray(len(actions)), lazy
 
     def _score(self, feats):
         sc: dict[str, float] = defaultdict(float)
@@ -162,30 +168,70 @@ class ArcStandardParser:
                     sc[a] += wt
         return sc
 
+    def _ensure_action_vectors(self):
+        """Inference-time vectorization (training keeps the mutable dict
+        path): one weight vector per feature over the action axis, actions
+        sorted DESCENDING so np.argmax's first-max rule reproduces the dict
+        path's (score, action-string) max tie-break exactly. Per-action
+        float adds happen in the same feats order as the dict path, so the
+        sums are bitwise identical."""
+        if self._avec is not None:
+            return
+        import numpy as np
+
+        acts = sorted(self.actions, reverse=True)
+        self._acts_desc = acts
+        aidx = {a: i for i, a in enumerate(acts)}
+        A = len(acts)
+        vec = {}
+        for f, by in self.weights.items():
+            arr = np.zeros(A)
+            for a, wt in by.items():
+                i = aidx.get(a)
+                if i is not None:
+                    arr[i] += wt
+            vec[f] = arr
+        self._avec = vec
+        self._zero = np.zeros(A)
+        # additive legality masks: 0 where legal, -inf where not — one add
+        # replaces a boolean where() per step
+        arc = np.array([a[0] in ("L", "R") and a != "S|" for a in acts])
+        shift = np.array([a == "S|" for a in acts])
+        ninf = np.float64("-inf")
+        self._pen_arc_only = np.where(arc, 0.0, ninf)
+        self._pen_all = np.where(arc | shift, 0.0, ninf)
+
     def parse(self, words: list[str], pos: list[str]) -> list[tuple[int, int, str]]:
         """→ [(head, dep, rel)] with root head = -1 (greedy decode with
         legality constraints, ArcStandard.canApply)."""
+        import numpy as np
+
         n = len(words)
         if n == 0:
             return []
+        self._ensure_action_vectors()
+        avec, acts = self._avec, self._acts_desc
         stack: list[int] = []
         buffer = list(range(n))
         head_of: dict[int, int] = {}
         label_of: dict[int, str] = {}
+        kids_of: dict[int, list[int]] = {}
         steps = 0
         while (buffer or len(stack) > 1) and steps < 4 * n + 8:
             steps += 1
-            feats = _features(stack, buffer, words, pos, head_of, label_of)
-            sc = self._score(feats)
-            legal = []
-            if buffer:
-                legal.append("S|")
-            if len(stack) >= 2:
-                legal.extend(a for a in self.actions
-                             if a[0] in ("L", "R") and a != "S|")
-            if not legal:
-                break
-            act = max(legal, key=lambda a: (sc.get(a, 0.0), a))
+            if len(stack) < 2:
+                # SHIFT is the only legal action — skip scoring entirely
+                stack.append(buffer.pop(0))
+                continue
+            feats = _features(stack, buffer, words, pos, head_of, label_of,
+                              kids_of)
+            sc = self._zero.copy()
+            for f in feats:
+                arr = avec.get(f)
+                if arr is not None:
+                    sc += arr
+            sc += self._pen_all if buffer else self._pen_arc_only
+            act = acts[int(sc.argmax())]
             kind, rel = act.split("|", 1)
             if kind == "S":
                 stack.append(buffer.pop(0))
@@ -193,11 +239,13 @@ class ArcStandardParser:
                 d = stack[-2]
                 head_of[d] = stack[-1]
                 label_of[d] = rel
+                kids_of.setdefault(stack[-1], []).append(d)
                 stack.pop(-2)
             else:
                 d = stack[-1]
                 head_of[d] = stack[-2]
                 label_of[d] = rel
+                kids_of.setdefault(stack[-2], []).append(d)
                 stack.pop()
         edges = []
         root = stack[0] if stack else 0
