@@ -82,17 +82,21 @@ def _features(stack: list[int], buffer: list[int], words, pos,
     nval1 = len(kids_of.get(s1, ())) if s1 is not None else -1
     nval2 = len(kids_of.get(s2, ())) if s2 is not None else -1
 
+    # each position value computed exactly once (hot path: the per-template
+    # w()/p() recalls were ~20% of inference before)
+    ws1, ws2, wb1, wb2 = w(s1), w(s2), w(b1), w(b2)
+    ps1, ps2, ps3, pb1 = p(s1), p(s2), p(s3), p(b1)
     return [
-        f"s1w={w(s1)}", f"s1p={p(s1)}", f"s1wp={w(s1)}+{p(s1)}",
-        f"s2w={w(s2)}", f"s2p={p(s2)}", f"s2wp={w(s2)}+{p(s2)}",
-        f"s3p={p(s3)}",
-        f"b1w={w(b1)}", f"b1p={p(b1)}", f"b1wp={w(b1)}+{p(b1)}",
-        f"b2p={p(b2)}", f"b2w={w(b2)}", f"b3p={p(b3)}",
-        f"s1p+s2p={p(s1)}+{p(s2)}", f"s1p+b1p={p(s1)}+{p(b1)}",
-        f"s1w+s2w={w(s1)}+{w(s2)}", f"s1w+s2p={w(s1)}+{p(s2)}",
-        f"s1p+s2w={p(s1)}+{w(s2)}", f"s2p+b1p={p(s2)}+{p(b1)}",
-        f"s1p+s2p+b1p={p(s1)}+{p(s2)}+{p(b1)}",
-        f"s1p+s2p+s3p={p(s1)}+{p(s2)}+{p(s3)}",
+        f"s1w={ws1}", f"s1p={ps1}", f"s1wp={ws1}+{ps1}",
+        f"s2w={ws2}", f"s2p={ps2}", f"s2wp={ws2}+{ps2}",
+        f"s3p={ps3}",
+        f"b1w={wb1}", f"b1p={pb1}", f"b1wp={wb1}+{pb1}",
+        f"b2p={p(b2)}", f"b2w={wb2}", f"b3p={p(b3)}",
+        f"s1p+s2p={ps1}+{ps2}", f"s1p+b1p={ps1}+{pb1}",
+        f"s1w+s2w={ws1}+{ws2}", f"s1w+s2p={ws1}+{ps2}",
+        f"s1p+s2w={ps1}+{ws2}", f"s2p+b1p={ps2}+{pb1}",
+        f"s1p+s2p+b1p={ps1}+{ps2}+{pb1}",
+        f"s1p+s2p+s3p={ps1}+{ps2}+{ps3}",
         f"s1lcl={lab(s1lc)}", f"s1rcl={lab(s1rc)}",
         f"s2lcl={lab(s2lc)}", f"s2rcl={lab(s2rc)}",
         f"s1lcp={p(s1lc)}", f"s1rcp={p(s1rc)}",
@@ -100,9 +104,9 @@ def _features(stack: list[int], buffer: list[int], words, pos,
         f"s1lcw={w(s1lc)}", f"s2rcw={w(s2rc)}",
         f"s1lcl2={lab(lc(s1lc))}", f"s1rcl2={lab(rc(s1rc))}",
         f"s2rcl2={lab(rc(s2rc))}",
-        f"s1p+s2p+dist={p(s1)}+{p(s2)}+{dist}",
+        f"s1p+s2p+dist={ps1}+{ps2}+{dist}",
         f"s1val={nval1}", f"s2val={nval2}",
-        f"s2p+s2val={p(s2)}+{nval2}",
+        f"s2p+s2val={ps2}+{nval2}",
         "bias",
     ]
 
