@@ -53,6 +53,11 @@ _MONTHS = {"january": 1, "february": 2, "march": 3, "april": 4, "may": 5,
            "november": 11, "december": 12}
 
 
+# time-of-day → TIMEX3 suffix (english.sutime.txt TOD table)
+_TOD = {"morning": "TMO", "afternoon": "TAF", "evening": "TEV",
+        "night": "TNI"}
+
+
 def _unit_offset(docdate: datetime.date, unit: str, k: int) -> str:
     """Value of docdate shifted by k units, at the granularity TIMEX3 uses
     for that unit: D → ISO date, W → ISO week (YYYY-Www), M → year-month,
@@ -217,6 +222,37 @@ def _resolve(words: list[str], lower: list[str], docdate: datetime.date):
             continue
         if w in _REF:
             yield i, i + 1, "DATE", _REF[w]
+            i += 1
+            continue
+        # day compounds around deictic anchors: "the day after tomorrow" /
+        # "the day before yesterday" (SUTime RelativeTime composition)
+        if (w == "the" and i + 3 < n and lower[i + 1] == "day"
+                and ((lower[i + 2], lower[i + 3]) in
+                     (("after", "tomorrow"), ("before", "yesterday")))):
+            sign = 2 if lower[i + 2] == "after" else -2
+            d = docdate + datetime.timedelta(days=sign)
+            yield i, i + 4, "DATE", d.isoformat()
+            i += 4
+            continue
+        # times of day (english.sutime.txt TOD patterns): deictic anchor +
+        # morning/afternoon/evening/night → TIMEX3 date+TOD suffix
+        if (w in ("this", "yesterday", "tomorrow") and i + 1 < n
+                and lower[i + 1] in _TOD):
+            off = {"this": 0, "yesterday": -1, "tomorrow": 1}[w]
+            d = docdate + datetime.timedelta(days=off)
+            yield i, i + 2, "TIME", d.isoformat() + _TOD[lower[i + 1]]
+            i += 2
+            continue
+        if w == "tonight":
+            yield i, i + 1, "TIME", docdate.isoformat() + "TNI"
+            i += 1
+            continue
+        if w == "noon":
+            yield i, i + 1, "TIME", docdate.isoformat() + "T12:00"
+            i += 1
+            continue
+        if w == "midnight":
+            yield i, i + 1, "TIME", docdate.isoformat() + "T00:00"
             i += 1
             continue
         if w == "today":

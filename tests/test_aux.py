@@ -136,6 +136,26 @@ def test_sutime_week_arithmetic_duration_ranges_months(spark):
     assert maps[3]["month"] == ("DATE", "2020-05")
 
 
+def test_sutime_tod_and_day_compounds(spark):
+    """Times of day (english.sutime.txt TOD table) and day compounds
+    (RelativeTime composition): tonight/this morning/noon/midnight and
+    the day after tomorrow / before yesterday. Docdate 2020-06-15."""
+    docs = with_docdate(_docs(spark, [
+        "We leave the day after tomorrow. It rained the day before yesterday.",
+        "See you tonight. She ran this morning. He naps tomorrow afternoon.",
+        "Lunch is at noon. The train departs at midnight.",
+    ]), fixed="2020-06-15")
+    rows = sutime_docs(annotate(docs, upto="ner")).collect()
+    maps = [_tok_map(r) for r in rows]
+    assert maps[0]["tomorrow"] == ("DATE", "2020-06-17")
+    assert maps[0]["yesterday"] == ("DATE", "2020-06-13")
+    assert maps[1]["tonight"] == ("TIME", "2020-06-15TNI")
+    assert maps[1]["morning"] == ("TIME", "2020-06-15TMO")
+    assert maps[1]["afternoon"] == ("TIME", "2020-06-16TAF")
+    assert maps[2]["noon"] == ("TIME", "2020-06-15T12:00")
+    assert maps[2]["midnight"] == ("TIME", "2020-06-15T00:00")
+
+
 def test_quote_attribution(spark):
     docs = _docs(spark, ['"Stop right there," Jane said loudly.'])
     out = quote_docs(annotate(docs, upto="ner")).first()
