@@ -46,13 +46,21 @@ ABBREVS = {
     "jan.", "feb.", "mar.", "apr.", "jun.", "jul.", "aug.", "sep.", "sept.",
     "oct.", "nov.", "dec.", "mon.", "tue.", "wed.", "thu.", "fri.", "sat.",
     "sun.", "approx.", "appt.", "est.", "min.", "max.", "misc.",
-    "p.m.", "a.m.", "ore.", "calif.", "ave.", "blvd.", "rd.", "so.",
+    "p.m.", "a.m.", "ore.", "calif.", "ave.", "blvd.", "rd.",
 }
 
 # ambiguous abbreviations: the period belongs to the token only when a digit
 # follows ("No. 24", "Art. 53", "ca. 1300"); otherwise it ends the sentence
 # ("I like Art. And I like History.") — PTBLexer's context-gated abbrevs
-CONTEXT_ABBREVS = {"no.", "art.", "fig.", "sec.", "op.", "ch.", "ca.", "pp."}
+CONTEXT_ABBREVS = {"no.", "art.", "fig.", "sec.", "op.", "ch.", "ca.", "pp.",
+                   "so."}
+
+# direction/ordinal abbreviations also kept before a capitalized proper name
+# ("No. Korea", "So. Calif.") — but split before sentence-starter function
+# words ("No. I like…") like the reference's PTBTokenizerTest gold
+_CAP_CONTEXT_ABBREVS = {"no.", "so."}
+_CAP_CONTEXT_STOPS = {"I", "A", "An", "And", "The", "But", "Or", "He", "She",
+                      "It", "We", "They", "You", "That", "This"}
 
 # cp1252 control-range bytes inherited into text → unicode equivalents
 # (PTBLexer cp1252 normalization set; 1:1 so char offsets are preserved)
@@ -69,7 +77,7 @@ SPLIT_WORDS = {
     "gotta": ("got", "ta"),
     "lemme": ("lem", "me"),
     "outta": ("out", "ta"),
-    "dunno": ("du", "n't", "know"),
+    "dunno": ("du", "n", "no"),
     "cannot": ("can", "not"),
 }
 
@@ -80,18 +88,32 @@ _RULES = [
     # preserved positionally, forces a sentence break
     # (pipeline/CleanXmlAnnotator.java:164-240 block-element semantics)
     ("XMLTAG", r"</?[A-Za-z][\w:.\-]*(?:\s[^<>]*?)?/?>|<!--.*?-->"),
+    # angle-bracket-wrapped URIs/addresses stay whole: <mailto:…>, <x@y.z>
+    ("ANGLEURI", r"<mailto:[^\s<>]+>|<[\w.+%\-]+@[\w\-]+(?:\.[\w\-]+)+>"),
     ("URL", r"(?:(?:https?|ftp|svn(?:\+ssh)?)://|www\.|mailto:)[\w.\-@]+(?:/[\w.\-/%&?=+#~:@]*)?"),
-    ("EMAIL", r"[\w.+\-]+@[\w\-]+(?:\.[\w\-]+)+"),
+    ("EMAIL", r"[\w.+%\-]+@[\w\-]+(?:\.[\w\-]+)+"),
+    # filenames with a known extension are one token (PTBLexer FILENAME)
+    ("FILENAME", r"[\w\-]+(?:\.[\w\-]+)*\.(?:jpe?g|png|gif|bmp|tiff?|pdf|"
+                 r"html?|txt|doc|docx|xlsx?|csv|tsv|zip|tar|gz|bz2|mp[34]|"
+                 r"wav|avi|mov|mkv|py|java|cpp|js|rs|go|sh)(?![\w.])"),
     ("HANDLE", r"[@#][A-Za-z_][\w]*"),  # @Harry_Styles, #hashtag
     ("EMOTICON", r"\^_\^|<3|[<>]?[:;=8][\-o*']?[)\](\[dDpP/\\|@3]"),
+    # company/product names with a trailing bang (PTBLexer's lexical list)
+    ("BANGWORD", r"(?<![A-Za-z])(?:Yahoo|Jeopardy|OK|E)!"),
     # spaced ellipsis ". . ." normalizes to "..." (one token)
     ("SPACEDOTS", r"\.(?: \.){2,}"),
     ("ELLIPSIS", r"\.\.+|…"),
+    # leading-decimal compounds: .38-Magnum, .45
+    ("DOTNUM", r"\.\d[\d,]*(?:[-–]\w+)*"),
+    # hyphenated ranges / number compounds stay whole: 2010-2015, 20-30,
+    # 80,000-man, 1,000-1,200, 5:30-to-10, 9-to-11:45, 555-55-5555
+    # (trailing %, ., ' split off — PTBLexer hyphenated-token behavior)
+    ("NUMRANGE", r"\d[\d,.:]*(?:[-–](?:\d{1,3}(?:,\d{3})+|[\w:]+(?:\.\d+)?))+"),
     ("TIME", r"\d{1,2}:\d{2}(?::\d{2})?"),
     ("ORDINAL", r"\d+(?:st|nd|rd|th)\b"),
-    # hyphenated ranges / number-word compounds stay whole: 2010-2015,
-    # 20-30%, 80,000-man, 60-90's (PTBLexer hyphenated-token behavior)
-    ("NUMRANGE", r"\d[\d,.]*(?:[-–][\w.%'’]+)+"),
+    # negative number: sign attaches only when space-preceded and glued to
+    # the digits ("779.5 -9.5 %" vs "2 - 9.5 %")
+    ("NEGNUM", r"(?<!\S)-\d+(?:,\d{3})*(?:\.\d+)?(?![\w-])"),
     ("VERSION", r"\d+\.[A-Za-z]\w*"),  # Windows 3.x
     ("NUMBER", r"\d{1,3}(?:,\d{3})+(?:\.\d+)?|\d+\.\d+|\d+"),
     ("PROGLANG", r"[A-Za-z]#"),
@@ -100,11 +122,15 @@ _RULES = [
     ("ACRONYM", r"(?:[A-Za-z]\.){2,}"),
     # inner-dot names: Ph.D, Mesa A.B (alpha parts joined by single dots)
     ("DOTTED", r"[A-Za-z]+(?:\.[A-Za-z]+)+"),
+    # standalone leading-apostrophe clitics ('em, 'tis, 'til; bare 's after
+    # a non-word token: "60-90 's") — gated on a following non-letter so
+    # quoted words ("'email'") are untouched
+    ("CLITICTOK", r"['’](?:em|tis|twas|cause|till?|s)(?![A-Za-z])"),
     # word with optional internal hyphens/slashes/apostrophes/backquotes
     # (O'Malley, anti-acquisition, Sydney-based, Mu`ammar); soft hyphens
     # (\u00AD) ride inside and are stripped from the normalized word.
     # Trailing clitics split in post-pass.
-    ("WORD", r"[A-Za-zÀ-ɏ0-9\u00AD]+(?:[-/'’`][A-Za-zÀ-ɏ0-9\u00AD]+)*\.?"),
+    ("WORD", r"[A-Za-zÀ-ɏ0-9_\u00AD]+(?:[-/'’`][A-Za-zÀ-ɏ0-9_\u00AD]+)*\.?"),
     ("MULTIPUNCT", r"[?!]+"),
     ("DASH", r"--+|—|–"),
     ("QUOTE", r"``|''|[\"'`‘’“”]"),
@@ -246,6 +272,8 @@ def tokenize_text_with_barriers(text: str, options: dict | None = None):
             out.append(("...", raw, m.start(), m.end()))
         else:
             word = _norm_word(matched, opt)
+            if kind == "CLITICTOK":
+                word = matched.replace("\u2019", "'")
             if kind == "QUOTE" and matched == '"' and opt.get("normalize_quotes"):
                 # PTB: straight double quote → `` if opening else ''
                 prev_sp = m.start() == 0 or norm_text[m.start() - 1].isspace() \
@@ -262,7 +290,10 @@ def tokenize_text_with_barriers(text: str, options: dict | None = None):
     for i, (w, o, b, e) in enumerate(out):
         if w.lower() in CONTEXT_ABBREVS:
             nxt = out[i + 1][0] if i + 1 < len(out) else ""
-            if not nxt[:1].isdigit():
+            keep = nxt[:1].isdigit() or (
+                w.lower() in _CAP_CONTEXT_ABBREVS and nxt[:1].isupper()
+                and nxt not in _CAP_CONTEXT_STOPS)
+            if not keep:
                 gated.append((w[:-1], o[:-1], b, e - 1))
                 gated.append((".", ".", e - 1, e))
                 split_pts.append(i)

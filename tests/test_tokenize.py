@@ -57,6 +57,55 @@ GOLDEN = [
       ")", "."]),
     ("I like Art. And I like History.",
      ["I", "like", "Art", ".", "And", "I", "like", "History", "."]),
+    # r3 tranche (PTBTokenizerTest.java:24-110 gold, paren-raw variant):
+    # direction abbrevs, dunno, angle-bracket URIs, %-local emails,
+    # filenames, number ranges w/ commas+colons, negative numbers, SSN/phone
+    # compounds, standalone clitics, bang-names, .38-style decimals
+    ("We traveled from No. Korea to So. Calif. yesterday.",
+     ["We", "traveled", "from", "No.", "Korea", "to", "So.", "Calif.", "yesterday", "."]),
+    ("I dunno.", ["I", "du", "n", "no", "."]),
+    ("Email: recruiters@marvelconsultants.com <mailto:recruiters@marvelconsultants.com>",
+     ["Email", ":", "recruiters@marvelconsultants.com", "<mailto:recruiters@marvelconsultants.com>"]),
+    ("Jeremy Meier <jermeier@earthlink.net>",
+     ["Jeremy", "Meier", "<jermeier@earthlink.net>"]),
+    ("[Jgerma5@aol.com]. Danny_Jones%ENRON@eott.com",
+     ["[", "Jgerma5@aol.com", "]", ".", "Danny_Jones%ENRON@eott.com"]),
+    ("20-30%", ["20-30", "%"]),
+    ("Total Private Orders 779.5 -9.5%",
+     ["Total", "Private", "Orders", "779.5", "-9.5", "%"]),
+    ("Witt was 2-for-34 as a hitter",
+     ["Witt", "was", "2-for-34", "as", "a", "hitter"]),
+    ("An Atlanta-bound DC-9 crashed", ["An", "Atlanta-bound", "DC-9", "crashed"]),
+    ("weigh 1,000-1,200 pounds ,", ["weigh", "1,000-1,200", "pounds", ","]),
+    ("Dial 908-333-4444 to unban mox opal",
+     ["Dial", "908-333-4444", "to", "unban", "mox", "opal"]),
+    ("number 555-55-5555.", ["number", "555-55-5555", "."]),
+    ("the file thicc_antennae.jpg ?", ["the", "file", "thicc_antennae.jpg", "?"]),
+    ("the file thicc_antennae . asdf ?",
+     ["the", "file", "thicc_antennae", ".", "asdf", "?"]),
+    ("I sent 'em an ' email '", ["I", "sent", "'em", "an", "'", "email", "'"]),
+    ("60-90 's", ["60-90", "'s"]),
+    ("E! Entertainment said Jeopardy! is a game show.",
+     ["E!", "Entertainment", "said", "Jeopardy!", "is", "a", "game", "show", "."]),
+    ("read OK! Magazine.", ["read", "OK!", "Magazine", "."]),
+    ("the 5:30-to-10 a.m. show", ["the", "5:30-to-10", "a.m.", "show"]),
+    ("the 9-to-11:45 a.m. weekday shift",
+     ["the", "9-to-11:45", "a.m.", "weekday", "shift"]),
+    ("The .38-Magnum bullet, a TRS-80, and IBM OS/2 sophisticated sound/graphics",
+     ["The", ".38-Magnum", "bullet", ",", "a", "TRS-80", ",", "and", "IBM",
+      "OS/2", "sophisticated", "sound/graphics"]),
+    ("1:01-minute time", ["1:01-minute", "time"]),
+    ("438798-438804", ["438798-438804"]),
+    ("a top-35 finish.", ["a", "top-35", "finish", "."]),
+    ("i got (89.2%) in my exams",
+     ["i", "got", "(", "89.2", "%", ")", "in", "my", "exams"]),
+    ("There are, 2 days left", ["There", "are", ",", "2", "days", "left"]),
+    ("two character codepoint: \U0001F638",
+     ["two", "character", "codepoint", ":", "\U0001F638"]),
+    ("From July 23-24. Radisson Miyako Hotel.",
+     ["From", "July", "23-24", ".", "Radisson", "Miyako", "Hotel", "."]),
+    ("23 percent-2 percent higher than today",
+     ["23", "percent-2", "percent", "higher", "than", "today"]),
 ]
 
 
