@@ -137,31 +137,164 @@ def pos_tag(words: list[str], sent_starts: set[int]) -> list[str]:
 
 
 # ---------------------------------------------------------------------------
-# Lemmatizer (Morpha-subset: exceptions + suffix rules)
+# Lemmatizer (Morpha re-expressed: tag-sensitive exception tables + suffix
+# rules; behavioral reference process/Morphology.java + morpha.flex, golden
+# suite test/…/process/MorphologyTest.java ported in tests/test_morphology.py)
 # ---------------------------------------------------------------------------
-LEMMA_EXC: dict[str, str] = {
+
+# verb irregulars (apply only under verbal tags: "saw"/NN stays "saw")
+_VERB_EXC: dict[str, str] = {
     "was": "be", "were": "be", "is": "be", "are": "be", "am": "be",
-    "been": "be", "being": "be", "'s": "'s", "'m": "be", "'re": "be",
+    "been": "be", "being": "be", "'m": "be", "'re": "be", "ai": "be",
+    "art": "be", "s": "be", "re": "be", "r": "be", "hath": "have",
     "has": "have", "had": "have", "having": "have", "'ve": "have",
-    "does": "do", "did": "do", "done": "do", "n't": "not",
-    "said": "say", "spoke": "speak", "thought": "think", "grew": "grow",
-    "won": "win", "taught": "teach", "paid": "pay", "held": "hold",
-    "men": "man", "women": "woman", "children": "child", "feet": "foot",
-    "mice": "mouse", "geese": "goose", "better": "good", "best": "good",
-    "worse": "bad", "worst": "bad", "ate": "eat", "gave": "give",
-    "took": "take", "went": "go", "came": "come", "saw": "see",
-    "made": "make", "got": "get", "left": "leave", "defeated": "defeat",
-    "born": "bear", "bore": "bear", "grown": "grow", "spoken": "speak",
-    "known": "know", "seen": "see", "found": "find", "ran": "run",
+    "does": "do", "did": "do", "done": "do", "du": "do", "no": "know",
+    "said": "say", "spoke": "speak", "spoken": "speak", "thought": "think",
+    "grew": "grow", "grown": "grow", "won": "win", "taught": "teach",
+    "paid": "pay", "held": "hold", "ate": "eat", "eaten": "eat",
+    "gave": "give", "given": "give", "took": "take", "taken": "take",
+    "went": "go", "gone": "go", "came": "come", "saw": "see", "seen": "see",
+    "made": "make", "got": "get", "gotten": "get", "left": "leave",
+    "born": "bear", "bore": "bear", "borne": "bear", "known": "know",
+    "knew": "know", "found": "find", "ran": "run", "bought": "buy",
+    "brought": "bring", "built": "build", "sold": "sell", "told": "tell",
+    "felt": "feel", "kept": "keep", "led": "lead", "met": "meet",
+    "sat": "sit", "stood": "stand", "lost": "lose", "sent": "send",
+    "wrote": "write", "written": "write", "read": "read", "rode": "ride",
+    "ridden": "ride", "drove": "drive", "driven": "drive", "flew": "fly",
+    "flown": "fly", "fell": "fall", "fallen": "fall", "began": "begin",
+    "begun": "begin", "broke": "break", "broken": "break", "chose": "choose",
+    "chosen": "choose", "spent": "spend", "caught": "catch", "put": "put",
+    "gon": "go", "wan": "want", "defeated": "defeat", "decided": "decide",
 }
-_DOUBLED = set("bdgklmnprtv")
+
+# noun irregular plurals + invariants
+_NOUN_EXC: dict[str, str] = {
+    "men": "man", "women": "woman", "children": "child", "feet": "foot",
+    "mice": "mouse", "geese": "goose", "teeth": "tooth", "people": "person",
+    "graffiti": "graffito", "lives": "life", "wives": "wife",
+    "leaves": "leaf", "halves": "half", "knives": "knife",
+}
+_PLURAL_INVARIANT = {
+    "feces", "goggles", "brethren", "series", "species", "news", "olympics",
+    "scissors", "trousers", "pants", "clothes", "means", "headquarters",
+}
+
+# comparative/superlative irregulars (only under JJR/JJS/RBR/RBS)
+_GRADE_EXC: dict[str, str] = {
+    "better": "good", "best": "good", "worse": "bad", "worst": "bad",
+    "gooier": "gooey", "gooiest": "gooey", "more": "more", "most": "most",
+    "less": "less", "least": "least", "further": "far", "farther": "far",
+    "earlier": "early", "earliest": "early",
+}
+
+# closed-class tag-keyed tables
+_MD_EXC = {"wo": "will", "ca": "can", "sha": "shall", "'d": "would",
+           "d": "would", "'ll": "will", "'t": "not", "ll": "will",
+           "am": "be"}
+_PRP_EXC = {"her": "she", "them": "they", "us": "we", "i": "I",
+            "their": "they", "me": "I", "him": "he", "my": "I",
+            "his": "he", "our": "we", "your": "you", "its": "it"}
+_RB_NOT = {"n't", "n’t", "nt", "not"}
+
+# stems whose doubled final consonant undoubles ("stopped"→stop) — Morpha
+# gates this lexically (unknown "xopped" keeps "xopp"); common-verb subset
+_UNDOUBLE_STEMS = {
+    "stop", "plan", "run", "sit", "drop", "grab", "ship", "trim", "chat",
+    "clap", "beg", "hug", "jog", "nod", "pat", "pin", "plug", "rob", "rub",
+    "scan", "shop", "skip", "slam", "slip", "spot", "stir", "swap", "tap",
+    "tip", "trap", "occur", "refer", "prefer", "permit", "admit", "commit",
+    "submit", "forget", "regret", "control", "patrol", "equip", "wrap",
+    "step", "top", "map", "cap", "tan", "win", "dig", "get", "let", "cut",
+    "hit", "quit", "split", "fit", "set", "bat", "dim", "glum", "grin",
+    "knit", "mug", "nap", "rip", "snap", "strip", "stun", "swim", "travel",
+}
+_VOWELS = set("aeiou")
+
+
+def _restore_e(stem: str) -> str:
+    """mak→make, wid→wide: single-syllable C-V-C stems regain the dropped e
+    (the morpha.flex e-insertion class, lexicon-free approximation)."""
+    if (len(stem) >= 3 and stem[-1] not in _VOWELS | set("wxy")
+            and stem[-2] in _VOWELS and stem[-3] not in _VOWELS):
+        groups = 0
+        in_v = False
+        for c in stem:
+            if c in _VOWELS:
+                if not in_v:
+                    groups += 1
+                in_v = True
+            else:
+                in_v = False
+        if groups == 1:
+            return stem + "e"
+    return stem
+
+
+def _undouble(stem: str) -> str:
+    if len(stem) > 2 and stem[-1] == stem[-2] and stem[:-1] in _UNDOUBLE_STEMS:
+        return stem[:-1]
+    return stem
+
+
+def _strip_grade(lw: str, suf_len: int) -> str:
+    """Drop -er/-est with y-restoration, undoubling, and e-restoration."""
+    stem = lw[: -suf_len]
+    if stem.endswith("i"):
+        return stem[:-1] + "y"  # easier → easy
+    if len(stem) > 2 and stem[-1] == stem[-2] and stem[-1] not in _VOWELS:
+        return stem[:-1]        # glummer → glum
+    return _restore_e(stem)     # tamer → tame, quicker → quick
 
 
 def lemmatize(word: str, pos: str) -> str:
     lw = word.lower()
-    if lw in LEMMA_EXC:
-        return LEMMA_EXC[lw]
+    # unchanged categories: proper nouns keep case, symbols/numbers/foreign
+    # words/affixes pass through
+    if pos.startswith("NNP") or pos in ("SYM", "CD", "FW", "AFX", "LS"):
+        return word
+    if pos == "POS":
+        return "'s" if lw in ("'s", "’s") else lw
+    if pos == "MD":
+        return _MD_EXC.get(lw, lw)
+    if pos in ("PRP", "PRP$"):
+        return _PRP_EXC.get(lw, lw)
+    if pos.startswith("RB") and lw in _RB_NOT:
+        return "not"
+    if pos == "TO":
+        return "to"  # incl. "na" from gonna
+    if pos == "DT":
+        return "a" if lw == "an" else lw
+    # hyphenated verbs lemmatize their final segment: out-rode → out-ride
+    if pos.startswith("V") and "-" in lw[1:-1]:
+        head, _, tail = lw.rpartition("-")
+        return head + "-" + lemmatize(tail, pos)
+    if pos.startswith("V") or pos == "MD":
+        if lw in _VERB_EXC:
+            return _VERB_EXC[lw]
+    if pos in ("JJR", "JJS", "RBR", "RBS"):
+        if lw in _GRADE_EXC:
+            return _GRADE_EXC[lw]
+        if lw.endswith("est"):
+            return _strip_grade(lw, 3)
+        if lw.endswith("er"):
+            return _strip_grade(lw, 2)
+        return lw
     if pos.startswith("NNS") or pos == "VBZ":
+        if pos == "VBZ" and lw in _VERB_EXC:
+            return _VERB_EXC[lw]
+        if lw in ("'s", "’s"):
+            return "be" if pos == "VBZ" else lw
+        if lw in _NOUN_EXC:
+            return _NOUN_EXC[lw]
+        if lw == "olympics" or lw.endswith("ese"):
+            return word  # Olympics / Chinese: invariant, case preserved
+        if lw in _PLURAL_INVARIANT:
+            return lw
+        if lw.endswith(("'s", "’s")) and len(lw) <= 4:
+            return lw[:-2]  # K's → k
+        if word[:-1].isupper() and word.endswith("s"):
+            return word[:-1]  # ABCs → ABC
         if lw.endswith("ies") and len(lw) > 4:
             return lw[:-3] + "y"
         if lw.endswith(("ses", "xes", "zes", "ches", "shes")):
@@ -170,24 +303,28 @@ def lemmatize(word: str, pos: str) -> str:
             return lw[:-1]
         return lw
     if pos in ("VBD", "VBN"):
+        if lw.endswith("'d"):
+            return lw[:-2]  # ski'd → ski
         if lw.endswith("ied"):
             return lw[:-3] + "y"
         if lw.endswith("ed"):
             stem = lw[:-2]
-            if len(stem) > 2 and stem[-1] == stem[-2] and stem[-1] in _DOUBLED:
-                return stem[:-1]
-            if stem.endswith(("at", "iv", "iz", "iz", "us", "ir", "ag", "in", "ac", "qu")) \
-                    or stem.endswith("creat") or lw.endswith("ated"):
+            if len(stem) > 2 and stem[-1] == stem[-2] and stem[-1] not in _VOWELS:
+                return _undouble(stem)
+            if stem.endswith(("at", "iv", "iz", "us", "ir", "ag", "ac", "qu")) \
+                    or stem.endswith("creat"):
                 return stem + "e"
-            return stem
+            return _restore_e(stem)
         return lw
     if pos == "VBG" and lw.endswith("ing"):
         stem = lw[:-3]
-        if len(stem) > 2 and stem[-1] == stem[-2] and stem[-1] in _DOUBLED:
-            return stem[:-1]
-        return stem if stem else lw
-    if pos.startswith(("NNP",)):
-        return word  # proper nouns keep case
+        if not stem:
+            return lw
+        if len(stem) > 2 and stem[-1] == stem[-2] and stem[-1] not in _VOWELS:
+            return _undouble(stem)
+        return _restore_e(stem)
+    if lw.endswith("ese"):
+        return word  # nationality adjectives keep case (Chinese/JJ)
     return lw
 
 
