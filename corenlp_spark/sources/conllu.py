@@ -58,21 +58,56 @@ def read_conllu(spark: SparkSession, path: str) -> DataFrame:
 
 
 def to_conllu_lines(annotated: DataFrame) -> DataFrame:
-    """Annotated docs → CoNLL-U-formatted lines (token rows as TSV strings)."""
-    tok = annotated.select(
-        "doc_id", F.posexplode("tokens").alias("p", "t")
+    """Annotated docs → CoNLL-U-formatted lines (token rows as TSV strings).
+
+    Token ids are sentence-local 1-based; when a ``deps`` column is present
+    (``depparse_docs`` / ``annotate_fused`` output) the HEAD/DEPREL columns
+    carry the real parse (root → 0/root), as ``CoNLLUOutputter.java`` does.
+    Pure column algebra — token→edge resolution via a per-doc map lookup,
+    no UDF."""
+    cols = {f.name for f in annotated.schema.fields}
+    base = annotated
+    if "sentences" in cols:
+        base = base.withColumn(
+            "_sstart",
+            F.map_from_entries(F.expr(
+                "transform(sentences, s -> struct(s.sent_idx, s.start_tok))")),
+        )
+    else:
+        base = base.withColumn("_sstart", F.lit(None).cast("map<int,int>"))
+    if "deps" in cols:
+        base = base.withColumn(
+            "_edge",
+            F.map_from_entries(F.expr(
+                "transform(deps, e -> struct(e.dep, "
+                "struct(e.head AS head, e.rel AS rel)))")),
+        )
+    else:
+        base = base.withColumn(
+            "_edge",
+            F.lit(None).cast("map<int,struct<head:int,rel:string>>"),
+        )
+    tok = base.select(
+        "doc_id", "_sstart", "_edge", F.posexplode("tokens").alias("p", "t")
     ).select(
-        "doc_id",
+        "doc_id", "_sstart", "_edge",
         F.col("t.sent").alias("sent_idx"),
         F.col("t.idx").alias("idx"),
         F.col("t.word").alias("form"),
         F.col("t.lemma").alias("lemma"),
         F.col("t.pos").alias("xpos"),
     )
+    start = F.coalesce(F.col("_sstart")[F.col("sent_idx")], F.lit(0))
+    local_id = F.col("idx") - start + 1
+    edge = F.col("_edge")[F.col("idx")]
+    head = F.when(edge.isNull() | (edge["head"] < 0), F.lit(0)) \
+        .otherwise(edge["head"] - start + 1)
+    rel = F.when(edge.isNull(), F.lit("dep")) \
+        .when(edge["head"] < 0, F.lit("root")).otherwise(edge["rel"])
     line = F.concat_ws(
         "\t",
-        (F.col("idx") + 1).cast("string"), "form", "lemma",
-        F.lit("_"), "xpos", F.lit("_"), F.lit("0"), F.lit("dep"),
+        local_id.cast("string"), "form", "lemma",
+        F.lit("_"), "xpos", F.lit("_"), head.cast("string"), rel,
         F.lit("_"), F.lit("_"),
     )
     return tok.select("doc_id", "sent_idx", line.alias("line"))

@@ -80,3 +80,32 @@ def test_conllu_roundtrip(spark, tmp_path):
     back = read_conllu(spark, path).orderBy("tok_id").collect()
     assert [r.form for r in back] == ["Obama", "visited", "Paris", "."]
     assert back[0].lemma == "Obama" and back[1].lemma == "visit"
+
+
+def test_conllu_real_heads_and_sentence_local_ids(spark, tmp_path):
+    """HEAD/DEPREL carry the actual parse; multi-sentence docs restart ids
+    at 1 per sentence (CoNLLUOutputter.java semantics)."""
+    ann = annotate_fused(_docs(spark, ["Obama visited Paris. Cats sleep."]))
+    rows = to_conllu_lines(ann).orderBy("sent_idx", "line").collect()
+    by_sent = {}
+    for r in rows:
+        by_sent.setdefault(r.sent_idx, []).append(r.line.split("\t"))
+    # both sentences restart at id 1
+    assert {ls[0][0] for ls in by_sent.values()} == {"1"}
+    s0 = {ls[1]: ls for ls in by_sent[0]}
+    assert s0["visited"][7] == "root" and s0["visited"][6] == "0"
+    # Obama is the subject of visited (head = visited's local id)
+    assert s0["Obama"][6] == s0["visited"][0]
+    assert s0["Obama"][7].startswith("nsubj")
+    # heads round-trip through the reader
+    path = str(tmp_path / "heads.conllu")
+    with open(path, "w") as f:
+        prev = None
+        for r in to_conllu_lines(ann).orderBy("sent_idx", "line").collect():
+            if prev is not None and r.sent_idx != prev:
+                f.write("\n")
+            f.write(r.line + "\n")
+            prev = r.sent_idx
+        f.write("\n")
+    back = read_conllu(spark, path).collect()
+    assert {r.deprel for r in back} >= {"root", "nsubj"}
