@@ -76,6 +76,30 @@ KBP_GOLD: list[tuple[str, tuple[str, str, str]]] = [
      ("Summit Media", "org:alternate_names", "Beacon Group")),
     ("Felix Griffin is a citizen of Prague.",
      ("Felix Griffin", "per:origin", "Prague")),
+    # round-3 widening: +11 relations (fine-grained NER classes
+    # CRIMINAL_CHARGE/CAUSE_OF_DEATH/RELIGION + location-subtype refinement)
+    ("Victor Alden died on 12 March 2011.",
+     ("Victor Alden", "per:date_of_death", "12 March 2011")),
+    ("Oscar Whitman is the father of Louis Barton.",
+     ("Oscar Whitman", "per:children", "Louis Barton")),
+    ("Grace Foster is the cousin of Brian Norris.",
+     ("Grace Foster", "per:other_family", "Brian Norris")),
+    ("Petra Jensen is also known as Anna Keller.",
+     ("Petra Jensen", "per:alternate_names", "Anna Keller")),
+    ("Vertex Systems employs 2,800 people.",
+     ("Vertex Systems", "org:number_of_employees_members", "2,800")),
+    ("Marco Ruiz was charged with tax evasion.",
+     ("Marco Ruiz", "per:charges", "tax evasion")),
+    ("Elena Porter practices Buddhism.",
+     ("Elena Porter", "per:religion", "Buddhism")),
+    ("Henry Mercer died of cancer.",
+     ("Henry Mercer", "per:cause_of_death", "cancer")),
+    ("Walter Reyes lived in France.",
+     ("Walter Reyes", "per:countries_of_residence", "France")),
+    ("Karen Ingram was born in Texas.",
+     ("Karen Ingram", "per:stateorprovince_of_birth", "Texas")),
+    ("Simon Vargas was born in Portugal.",
+     ("Simon Vargas", "per:country_of_birth", "Portugal")),
 ]
 
 # distractor sentences: entity pairs with NO KBP relation (precision control)

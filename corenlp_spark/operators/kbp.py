@@ -57,9 +57,9 @@ RELATION_TAXONOMY: dict[str, tuple[str, tuple[str, ...]]] = {
     "per:age": ("PERSON", ("NUMBER", "DURATION")),
     "per:date_of_birth": ("PERSON", ("DATE",)),
     "per:date_of_death": ("PERSON", ("DATE",)),
-    "per:cause_of_death": ("PERSON", ("MISC",)),
-    "per:charges": ("PERSON", ("MISC",)),
-    "per:religion": ("PERSON", ("MISC",)),
+    "per:cause_of_death": ("PERSON", ("CAUSE_OF_DEATH", "MISC")),
+    "per:charges": ("PERSON", ("CRIMINAL_CHARGE", "MISC")),
+    "per:religion": ("PERSON", ("RELIGION", "MISC")),
     "per:title": ("PERSON", ("MISC",)),
     "org:alternate_names": ("ORGANIZATION", ("ORGANIZATION", "MISC")),
     "org:city_of_headquarters": ("ORGANIZATION", ("LOCATION",)),
@@ -79,6 +79,48 @@ RELATION_TAXONOMY: dict[str, tuple[str, tuple[str, ...]]] = {
     "org:number_of_employees_members": ("ORGANIZATION", ("NUMBER",)),
     "org:website": ("ORGANIZATION", ("URL",)),
 }
+
+
+# ---------------------------------------------------------------------------
+# Location-subtype refinement: the reference distinguishes CITY / COUNTRY /
+# STATE_OR_PROVINCE objects via fine-grained NER classes
+# (``ie/KBPRelationExtractor.java`` NERTag); this engine keeps coarse
+# LOCATION and refines the relation AFTER a match against broadcast
+# country/state tables — same observable relation labels.
+# ---------------------------------------------------------------------------
+_COUNTRIES = {
+    "france", "germany", "spain", "portugal", "canada", "japan", "china",
+    "india", "brazil", "mexico", "italy", "poland", "norway", "sweden",
+    "austria", "australia", "egypt", "kenya", "argentina", "ireland",
+    "united states", "united kingdom", "netherlands", "switzerland",
+}
+_STATES = {
+    "texas", "florida", "ohio", "nevada", "arizona", "colorado",
+    "alaska", "utah", "oregon", "ontario", "bavaria", "queensland",
+}
+_LOC_REFINE = {
+    "per:city_of_birth": ("per:country_of_birth",
+                          "per:stateorprovince_of_birth"),
+    "per:city_of_death": ("per:country_of_death",
+                          "per:stateorprovince_of_death"),
+    "per:cities_of_residence": ("per:countries_of_residence",
+                                "per:stateorprovinces_of_residence"),
+    "org:city_of_headquarters": ("org:country_of_headquarters",
+                                 "org:stateorprovince_of_headquarters"),
+}
+
+
+def refine_location_relation(rel: str, obj_text: str) -> str:
+    """city-level relation + country/state object → the subtype relation."""
+    alt = _LOC_REFINE.get(rel)
+    if alt is None:
+        return rel
+    lo = obj_text.lower()
+    if lo in _COUNTRIES:
+        return alt[0]
+    if lo in _STATES:
+        return alt[1]
+    return rel
 
 
 def _expand(patterns: list[tuple[str, str]]) -> list[tuple[str, str, str, str]]:
@@ -158,6 +200,9 @@ KBP_PATTERNS: list[tuple[str, str, str, str]] = _expand([
     ("shareholder of", "org:shareholders"),
     ("invested in", "org:shareholders"),
     ("won", "per:title"),
+    ("died of", "per:cause_of_death"),
+    ("reached at", "org:website"),
+    ("member of", "org:member_of"),
 ]) + [
     # signature-specific rows that don't come from the taxonomy expansion
     ("born in", "PERSON", "DATE", "per:date_of_birth"),
@@ -246,9 +291,11 @@ def kbp_semgrex_relations(annotated: DataFrame) -> DataFrame:
                             if "s" in m and "o" in m:
                                 rows["doc_id"].append(doc_id)
                                 rows["sent_idx"].append(s["sent_idx"])
+                                obj_t = span_text(m["o"])
                                 rows["subj"].append(span_text(m["s"]))
-                                rows["relation"].append(rel)
-                                rows["obj"].append(span_text(m["o"]))
+                                rows["relation"].append(
+                                    refine_location_relation(rel, obj_t))
+                                rows["obj"].append(obj_t)
                                 rows["confidence"].append(0.9)
             yield pd.DataFrame(rows)
 
@@ -326,11 +373,13 @@ def kbp_statistical_relations(annotated: DataFrame, threshold: float = 0.5) -> D
                             if sig is not None and (sner != sig[0] or oner not in sig[1]):
                                 continue
                             if rel != model.NONE and conf >= threshold:
+                                obj_t = " ".join(t["word"] for t in seg[o0:o1])
                                 rows["doc_id"].append(doc_id)
                                 rows["sent_idx"].append(s["sent_idx"])
                                 rows["subj"].append(" ".join(t["word"] for t in seg[s0:s1]))
-                                rows["relation"].append(rel)
-                                rows["obj"].append(" ".join(t["word"] for t in seg[o0:o1]))
+                                rows["relation"].append(
+                                    refine_location_relation(rel, obj_t))
+                                rows["obj"].append(obj_t)
                                 rows["confidence"].append(conf)
             yield pd.DataFrame(rows)
 
@@ -421,11 +470,12 @@ def kbp_tokensregex_relations(annotated: DataFrame) -> DataFrame:
                                 oa, ob = groups["object"]
                                 rows["doc_id"].append(doc_id)
                                 rows["sent_idx"].append(s["sent_idx"])
-                                rows["subj"].append(
-                                    " ".join(t["word"] for t in seg[sa:sb]))
-                                rows["relation"].append(rel)
-                                rows["obj"].append(
-                                    " ".join(t["word"] for t in seg[oa:ob]))
+                                subj_t = " ".join(t["word"] for t in seg[sa:sb])
+                                obj_t = " ".join(t["word"] for t in seg[oa:ob])
+                                rows["subj"].append(subj_t)
+                                rows["relation"].append(
+                                    refine_location_relation(rel, obj_t))
+                                rows["obj"].append(obj_t)
                                 rows["confidence"].append(1.0)
             yield pd.DataFrame(rows)
 

@@ -67,6 +67,24 @@ GAZETTEER: dict[str, list[tuple[tuple[str, ...], float]]] = {
         (("Nobel", "Prize"), 1.5), (("Republican",), 1.0),
         (("African", "American"), 1.0),
     ],
+    # fine-grained KBP classes — the reference types these via regexner
+    # gazetteer files (kbp_regexner_mapping: CRIMINAL_CHARGE,
+    # CAUSE_OF_DEATH, RELIGION), feeding the KBP signature gates
+    "CRIMINAL_CHARGE": [
+        (("tax", "evasion"), 1.2), (("fraud",), 1.0), (("murder",), 1.0),
+        (("bribery",), 1.0), (("money", "laundering"), 1.2),
+        (("perjury",), 1.0), (("embezzlement",), 1.0), (("arson",), 1.0),
+        (("racketeering",), 1.0),
+    ],
+    "CAUSE_OF_DEATH": [
+        (("cancer",), 1.0), (("heart", "attack"), 1.2), (("stroke",), 1.0),
+        (("pneumonia",), 1.0), (("heart", "failure"), 1.2),
+        (("lung", "cancer"), 1.2),
+    ],
+    "RELIGION": [
+        (("Buddhism",), 1.0), (("Islam",), 1.0), (("Christianity",), 1.0),
+        (("Judaism",), 1.0), (("Hinduism",), 1.0), (("Catholicism",), 1.0),
+    ],
 }
 
 # first-token trigger index: word → list[(label, phrase, weight)]
