@@ -157,6 +157,68 @@ NUMBER_WORDS = {"one": 1, "two": 2, "three": 3, "four": 4, "five": 5,
                 "hundred": 100, "thousand": 1000, "million": 10**6,
                 "billion": 10**9}
 
+# compositional written numbers (QuantifiableEntityNormalizer re-expressed:
+# edu/stanford/nlp/ie/QuantifiableEntityNormalizer.java wordsToValues)
+_NUM_UNITS = dict(NUMBER_WORDS, **{
+    "eleven": 11, "twelve": 12, "thirteen": 13, "fourteen": 14,
+    "fifteen": 15, "sixteen": 16, "seventeen": 17, "eighteen": 18,
+    "nineteen": 19, "twenty": 20, "thirty": 30, "forty": 40, "fifty": 50,
+    "sixty": 60, "seventy": 70, "eighty": 80, "ninety": 90,
+})
+_NUM_SCALES = {"hundred": 100, "thousand": 1000, "million": 10**6,
+               "billion": 10**9, "trillion": 10**12}
+_ORD_WORDS = {
+    "first": 1, "second": 2, "third": 3, "fourth": 4, "fifth": 5,
+    "sixth": 6, "seventh": 7, "eighth": 8, "ninth": 9, "tenth": 10,
+    "eleventh": 11, "twelfth": 12, "thirteenth": 13, "twentieth": 20,
+    "thirtieth": 30, "fortieth": 40, "fiftieth": 50, "hundredth": 100,
+    "thousandth": 1000, "millionth": 10**6,
+}
+_CURRENCY_UNITS = {"dollar", "dollars", "euro", "euros", "pound", "pounds",
+                   "cent", "cents", "yen", "francs", "franc"}
+
+
+def _unit_value(lw: str):
+    """unit word or hyphenated tens-unit ("forty-five") → value, else None."""
+    if lw in _NUM_UNITS and lw not in _NUM_SCALES:
+        return _NUM_UNITS[lw]
+    if "-" in lw:
+        a, _, b = lw.partition("-")
+        if a in _NUM_UNITS and b in _NUM_UNITS                 and _NUM_UNITS[a] % 10 == 0 and _NUM_UNITS[b] < 10:
+            return _NUM_UNITS[a] + _NUM_UNITS[b]
+    return None
+
+
+def _word_number_span(words: list[str], t: int):
+    """Greedy parse of a written-number run starting at ``t`` →
+    (end, value) or None. "two hundred and five" → 205, "three million" →
+    3e6, "forty-five" → 45."""
+    n = len(words)
+    total, current = 0.0, 0.0
+    k, seen = t, False
+    while k < n:
+        lw = words[k].lower()
+        u = _unit_value(lw)
+        if u is not None:
+            current += u
+        elif lw == "hundred" and seen:
+            current = (current or 1) * 100
+        elif lw in _NUM_SCALES and lw != "hundred":
+            if not seen:
+                break
+            total += (current or 1) * _NUM_SCALES[lw]
+            current = 0.0
+        elif lw == "and" and seen and k + 1 < n                 and _unit_value(words[k + 1].lower()) is not None:
+            k += 1
+            continue
+        else:
+            break
+        seen = True
+        k += 1
+    if not seen or k == t + 1 and _unit_value(words[t].lower()) is None:
+        return None
+    return (k, total + current) if k > t else None
+
 
 def _day_of(w: str) -> int | None:
     """1-31 day number or None. str.isdigit() alone is a trap: unicode
@@ -252,13 +314,39 @@ def numeric_pass(words: list[str], ner: list[str], nner: list[str]) -> None:
             t += 1
             continue
         if _RE_NUM.match(w) and w[0].isdigit():
-            ner[t], nner[t] = "NUMBER", f"{float(w.replace(',', '')):.1f}"
+            val = float(w.replace(",", ""))
+            if t + 1 < n and words[t + 1].lower() in _CURRENCY_UNITS:
+                ner[t] = ner[t + 1] = "MONEY"
+                nner[t] = nner[t + 1] = f"${val:.1f}"
+                t += 2
+                continue
+            ner[t], nner[t] = "NUMBER", f"{val:.1f}"
             t += 1
             continue
-        if lw in NUMBER_WORDS:
-            ner[t], nner[t] = "NUMBER", f"{float(NUMBER_WORDS[lw]):.1f}"
+        # written-number runs: "two hundred [and five]" → one span, one
+        # value; a following currency unit upgrades the span to MONEY
+        span = _word_number_span(words, t)
+        if span is not None:
+            end, val = span
+            cls, v = "NUMBER", f"{float(val):.1f}"
+            if end < n and words[end].lower() in _CURRENCY_UNITS:
+                cls, v = "MONEY", f"${float(val):.1f}"
+                end += 1
+            for k in range(t, end):
+                ner[k], nner[k] = cls, v
+            t = end
+            continue
+        if lw in _ORD_WORDS:
+            ner[t], nner[t] = "ORDINAL", f"{float(_ORD_WORDS[lw]):.1f}"
             t += 1
             continue
+        if "-" in lw:
+            a, _, b = lw.partition("-")
+            if a in _NUM_UNITS and b in _ORD_WORDS and _NUM_UNITS[a] % 10 == 0:
+                ner[t], nner[t] = "ORDINAL", \
+                    f"{float(_NUM_UNITS[a] + _ORD_WORDS[b]):.1f}"
+                t += 1
+                continue
         t += 1
 
 

@@ -407,7 +407,8 @@ def sutime_docs(df: DataFrame) -> DataFrame:
                     # ("Q3 2020" absorbs the bare-year DATE); force=True
                     # spans (holidays) also outrank statistical NER tags
                     if force or all(
-                        toks[k].get("ner", "O") in ("O", "NUMBER", "DATE")
+                        toks[k].get("ner", "O") in ("O", "NUMBER", "ORDINAL",
+                                                    "DATE")
                         or str(toks[k].get("nner", "")).startswith("OFFSET")
                         for k in range(s, e)
                     ):

@@ -69,3 +69,26 @@ def test_url_email_ner():
     by_word = {w: (t, n) for w, t, n in ner("Visit http://acme.example or mail sue@google.com now.")}
     assert by_word["http://acme.example"] == ("URL", "http://acme.example")
     assert by_word["sue@google.com"] == ("EMAIL", "sue@google.com")
+
+
+def test_written_number_spans_and_money():
+    """QuantifiableEntityNormalizer composition: multi-word written numbers
+    form one span with the combined value; a currency unit upgrades the
+    span to MONEY; ordinal words and hyphenated compounds normalize."""
+    from corenlp_spark.operators.tag import pos_tag
+
+    def run(s):
+        w = s.split()
+        ner, nner = tag_sentence_ner(w, pos_tag(w, {0}))
+        return list(zip(w, ner, nner))
+
+    out = run("He paid two hundred dollars .")
+    assert [(x[1], x[2]) for x in out[2:5]] == [("MONEY", "$200.0")] * 3
+    out = run("Three million people live there .")
+    assert out[0][1:] == ("NUMBER", "3000000.0") and out[1][1:] == ("NUMBER", "3000000.0")
+    out = run("two hundred and five cats")
+    assert {x[2] for x in out[:4]} == {"205.0"}
+    assert run("He is forty-five years old .")[2][1:] == ("NUMBER", "45.0")
+    assert run("the fifth time")[1][1:] == ("ORDINAL", "5.0")
+    assert run("the twenty-first century")[1][1:] == ("ORDINAL", "21.0")
+    assert run("He paid 200 dollars .")[2][1:] == ("MONEY", "$200.0")
