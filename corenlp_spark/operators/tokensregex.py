@@ -47,15 +47,42 @@ class NodePred:
 @dataclass
 class Elem:
     pred: NodePred
-    quant: str = ""          # '', '?', '*', '+'
+    quant: str = ""          # '', '?', '*', '+', '{n}', '{n,m}'
     group: str | None = None  # capture-group name this elem belongs to
+
+    def bounds(self, remaining: int) -> tuple[int, int]:
+        """(min, max) repetitions for this element's quantifier."""
+        q = self.quant
+        if q == "":
+            return 1, 1
+        if q == "?":
+            return 0, 1
+        if q == "*":
+            return 0, remaining
+        if q == "+":
+            return 1, remaining
+        body = q[1:-1]
+        if "," in body:
+            a, b = body.split(",", 1)
+            return int(a), int(b)
+        return int(body), int(body)
+
+
+@dataclass
+class AltPattern:
+    """Top-level / group alternation, expanded at compile time into
+    alternative element lists; the longest-matching alternative wins
+    (TokensRegex maximal-match semantics)."""
+    alts: list[list[Elem]]
 
 
 _NODE_RE = re.compile(
     r"(!?)\[\s*([^\]]*)\s*\]|(!?)\{\s*([^}]*)\s*\}"
 )
 _TOKEN_RE = re.compile(
-    r"\(\?\$(?P<gopen>\w+)|(?P<gclose>\))|(?P<node>!?[\[{][^\]}]*[\]}])(?P<quant>[?*+]?)"
+    r"\(\?\$(?P<gopen>\w+)|\(\?:|(?P<gclose>\))"
+    r"|(?P<node>!?[\[{][^\]}]*[\]}])"
+    r"(?P<quant>[?*+]|\{\d+(?:,\d+)?\})?"
 )
 
 
@@ -82,7 +109,85 @@ def _parse_pred(body: str, negated: bool) -> NodePred:
     return NodePred(checks, negated)
 
 
-def compile_pattern(pattern: str) -> list[Elem]:
+def _split_top(pattern: str) -> list[str]:
+    """Split on ``|`` at paren depth 0, ignoring bars inside [] / {} nodes."""
+    parts, depth, node, cur = [], 0, None, []
+    for ch in pattern:
+        if node:
+            cur.append(ch)
+            if ch == node:
+                node = None
+            continue
+        if ch in "[{":
+            node = "]" if ch == "[" else "}"
+            cur.append(ch)
+        elif ch == "(":
+            depth += 1
+            cur.append(ch)
+        elif ch == ")":
+            depth -= 1
+            cur.append(ch)
+        elif ch == "|" and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur))
+    return parts
+
+
+def _expand_alternation(pattern: str, cap: int = 64) -> list[str]:
+    """Expand every group containing a top-level ``|`` into alternative
+    pattern strings (cross product, bounded by ``cap``)."""
+    out, work = [], list(_split_top(pattern))
+    while work:
+        pat = work.pop(0)
+        # find first paren group (outside nodes) whose body has a top bar
+        depth, node, start = 0, None, None
+        expanded = False
+        for i, ch in enumerate(pat):
+            if node:
+                if ch == node:
+                    node = None
+                continue
+            if ch in "[{":
+                node = "]" if ch == "[" else "}"
+            elif ch == "(":
+                if depth == 0:
+                    start = i
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0 and start is not None:
+                    body = pat[start + 1:i]
+                    prefix_m = re.match(r"\?\$(\w+)\s*|\?:", body)
+                    inner = body[prefix_m.end():] if prefix_m else body
+                    wrap = body[:prefix_m.end()] if prefix_m else ""
+                    branches = _split_top(inner)
+                    if len(branches) > 1:
+                        for b in branches:
+                            work.append(pat[:start] + "(" + wrap + b + ")"
+                                        + pat[i + 1:])
+                        expanded = True
+                        break
+                    start = None
+        if not expanded:
+            out.append(pat)
+        if len(out) + len(work) > cap:
+            raise ValueError(f"alternation expansion exceeds {cap}: {pattern!r}")
+    return out
+
+
+def compile_pattern(pattern: str):
+    """Compile a TokensRegex string; returns an element list, or an
+    ``AltPattern`` when the pattern contains alternation."""
+    alts = _expand_alternation(pattern)
+    if len(alts) > 1:
+        return AltPattern([_compile_one(a) for a in alts])
+    return _compile_one(alts[0])
+
+
+def _compile_one(pattern: str) -> list[Elem]:
     """Compile a TokensRegex string into an element list (linear NFA)."""
     elems: list[Elem] = []
     group_stack: list[str] = []
@@ -108,8 +213,17 @@ def compile_pattern(pattern: str) -> list[Elem]:
     return elems
 
 
-def match_sequence(elems: list[Elem], toks: list[dict], start: int = 0):
-    """Greedy backtracking match at ``start`` → (end, {group: (s, e)}) or None."""
+def match_sequence(elems, toks: list[dict], start: int = 0):
+    """Greedy backtracking match at ``start`` → (end, {group: (s, e)}) or
+    None. Accepts an element list or an ``AltPattern`` (longest alternative
+    wins)."""
+    if isinstance(elems, AltPattern):
+        best = None
+        for alt in elems.alts:
+            r = match_sequence(alt, toks, start)
+            if r and (best is None or r[0] > best[0]):
+                best = r
+        return best
 
     def bt(ei: int, ti: int, groups):
         if ei == len(elems):
@@ -146,18 +260,13 @@ def match_sequence(elems: list[Elem], toks: list[dict], start: int = 0):
                     g2[e.group] = (min(s0, ti), ti + 1)
                 return bt(ei + 1, ti + 1, g2)
             return None
-        if e.quant == "?":
-            return consume(0, 1)
-        if e.quant == "*":
-            return consume(0, len(toks) - ti)
-        if e.quant == "+":
-            return consume(1, len(toks) - ti)
-        return None
+        lo, hi = e.bounds(len(toks) - ti)
+        return consume(lo, hi)
 
     return bt(0, start, {})
 
 
-def find_all(elems: list[Elem], toks: list[dict]):
+def find_all(elems, toks: list[dict]):
     """Non-overlapping left-to-right matches → [(start, end, groups)]."""
     out = []
     i = 0

@@ -137,3 +137,39 @@ def test_plus_quantifier_requires_first_match():
     assert match_sequence(elems, [tok], 0) is None
     num = {"word": "34", "pos": "CD", "ner": "NUMBER", "lemma": "34"}
     assert find_all(elems, [tok, num]) == [(1, 2, {"o": (1, 2)})]
+
+
+def _toks(ws):
+    return [{"word": w, "pos": "NN", "ner": "O", "lemma": w, "nner": ""}
+            for w in ws]
+
+
+def test_tokensregex_alternation_and_bounded_repeats():
+    """Alternation (group + top-level, longest alternative wins) and {n,m}
+    bounded quantifiers (TokensRegex SequencePattern alternation/repeat
+    semantics)."""
+    from corenlp_spark.operators.tokensregex import (
+        AltPattern, compile_pattern, find_all,
+    )
+
+    pat = compile_pattern("[word:likes] (?:[word:red]|[word:blue]) [word:cats]")
+    assert isinstance(pat, AltPattern)
+    assert find_all(pat, _toks(["likes", "red", "cats"]))
+    assert find_all(pat, _toks(["likes", "blue", "cats"]))
+    assert not find_all(pat, _toks(["likes", "green", "cats"]))
+
+    assert find_all(compile_pattern("[word:cat]|[word:dog]"), _toks(["dog"]))
+
+    pat3 = compile_pattern("[word:very]{2,3} [word:good]")
+    assert not find_all(pat3, _toks(["very", "good"]))
+    assert find_all(pat3, _toks(["very", "very", "good"]))
+
+    # capture group survives branch expansion
+    r = find_all(compile_pattern("[word:the] (?$x [word:cat]|[word:dog])"),
+                 _toks(["the", "dog"]))
+    assert r and r[0][2]["x"] == (1, 2)
+
+    # longest alternative wins at the same start
+    pat5 = compile_pattern("(?:[word:a]|[word:a] [word:b])")
+    s, e, _ = find_all(pat5, _toks(["a", "b"]))[0]
+    assert (s, e) == (0, 2)
