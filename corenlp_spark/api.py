@@ -50,6 +50,7 @@ _REQUIRES: dict[str, tuple[str, ...]] = {
     "quote": ("ner",),
     "truecase": ("tokenize",),
     "gender": ("entitymentions",),
+    "sentiment": ("depparse",),  # polarity-aware lexicon scorer
 }
 
 # execution order of the real stages backing the annotator names
@@ -186,6 +187,12 @@ class Pipeline:
         arm2 = kbp_semgrex_relations(ann)
         arm3 = kbp_statistical_relations(ann)
         return kbp_ensemble(arm1, arm2, arm3)
+
+    def sentiments(self, docs: DataFrame) -> DataFrame:
+        """Per-sentence 5-class sentiment rows (SentimentAnnotator analog)."""
+        from corenlp_spark.operators.sentiment import sentiment_docs
+
+        return sentiment_docs(docs)
 
     def json(self, docs: DataFrame) -> DataFrame:
         """CoreNLP-JSON outputter over the annotated docs."""
