@@ -948,6 +948,114 @@ def q_media_features_oracle(spark, sf_dir):
     )
 
 
+_SENTIMENT_POOL = [
+    "This film is absolutely wonderful and the acting is excellent.",
+    "The plot was terrible and the ending was awful.",
+    "The meeting starts at noon.",
+    "The film is not good.",
+    "No critic liked the film.",
+    "Every critic liked the film.",
+    "The very best performance I have seen.",
+    "A slightly disappointing sequel with a dull script.",
+    "I really enjoyed the charming story.",
+    "The service was poor and the food was mediocre.",
+    "It rained on Tuesday.",
+    "What a brilliant, beautiful ride.",
+] * 5
+
+
+def q_kg_sentiment_oracle(spark, sf_dir):
+    """The sentiment path under a DuckDB oracle: per-token (word, natlog
+    polarity) rows are materialized once (the natlog_docs column);
+    Spark reruns the ENGINE's sentiment scorer end-to-end from raw docs
+    while DuckDB replays the scoring algebra — valence join, lag-based
+    intensifier scaling, polarity/negation-window flip, threshold labels —
+    over the same bytes. Any tokenizer/polarity drift vs the snapshot
+    surfaces as a hash mismatch."""
+    import os
+
+    import pandas as pd
+
+    from corenlp_spark.data.synth import DOCS_SCHEMA
+    from corenlp_spark.operators.openie import natlog_docs
+    from corenlp_spark.operators.sentiment import sentiment_docs
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({
+            "doc_id": [f"sn{i:03d}" for i in range(len(_SENTIMENT_POOL))],
+            "spans": [[{"kind": "text", "text": t, "media_ref": None,
+                        "offset": 0}] for t in _SENTIMENT_POOL],
+        }),
+        schema=DOCS_SCHEMA,
+    )
+    path = _ann_tokens_path() + "_senttoks"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        natlog_docs(docs).write.mode("overwrite").parquet(path)
+    return (
+        sentiment_docs(docs)
+        .select("doc_id", "sent_idx", "sentiment",
+                F.round("score", 6).alias("score"))
+        .orderBy("doc_id", "sent_idx")
+    )
+
+
+def _sentiment_oracle_sql() -> str:
+    val, inten, dim, neg = _sentiment_sql_tables()
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, sent_idx, tok_idx, lower(word) AS lw, polarity
+          FROM read_parquet('{_ann_tokens_path()}_senttoks/*.parquet')),
+        ctx AS (
+          SELECT *,
+                 lag(lw, 1) OVER w AS p1,
+                 bool_or(lw IN {neg}) OVER
+                   (PARTITION BY doc_id, sent_idx ORDER BY tok_idx
+                    ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS negwin
+          FROM toks
+          WINDOW w AS (PARTITION BY doc_id, sent_idx ORDER BY tok_idx)),
+        scored AS (
+          SELECT c.doc_id, c.sent_idx,
+                 v.val
+                 * coalesce(i.mult, d.mult, 1.0)
+                 * (CASE WHEN c.polarity = 'down'
+                          OR coalesce(c.negwin, false)
+                         THEN -0.6 ELSE 1.0 END) AS contrib
+          FROM ctx c
+          JOIN (VALUES {val}) v(w, val) ON v.w = c.lw
+          LEFT JOIN (VALUES {inten}) i(w, mult) ON i.w = c.p1
+          LEFT JOIN (VALUES {dim}) d(w, mult) ON d.w = c.p1),
+        sents AS (SELECT DISTINCT doc_id, sent_idx FROM toks),
+        agg AS (
+          SELECT s.doc_id, s.sent_idx,
+                 round(coalesce(sum(contrib), 0.0), 6) AS score
+          FROM sents s LEFT JOIN scored sc
+            ON sc.doc_id = s.doc_id AND sc.sent_idx = s.sent_idx
+          GROUP BY 1, 2)
+        SELECT doc_id, sent_idx,
+               CASE WHEN score <= -1.5 THEN 'Very negative'
+                    WHEN score < -0.3 THEN 'Negative'
+                    WHEN score < 0.3 THEN 'Neutral'
+                    WHEN score < 1.5 THEN 'Positive'
+                    ELSE 'Very positive' END AS sentiment,
+               score
+        FROM agg ORDER BY doc_id, sent_idx
+    """
+
+
+def _sentiment_sql_tables() -> tuple[str, str, str, str]:
+    from corenlp_spark.operators.sentiment import (
+        DIMINISHERS, INTENSIFIERS, VALENCE, _NEG_WORDS,
+    )
+
+    q = lambda w: "'" + w.replace("'", "''") + "'"
+    val = ", ".join(f"({q(w)}, {v})" for w, v in sorted(VALENCE.items()))
+    inten = ", ".join(f"({q(w)}, {v})" for w, v in sorted(INTENSIFIERS.items()))
+    dim = ", ".join(f"({q(w)}, {v})" for w, v in sorted(DIMINISHERS.items())
+                    if w != "a")
+    neg = "(" + ", ".join(q(w) for w in sorted(_NEG_WORDS)) + ")"
+    return val, inten, dim, neg
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -989,6 +1097,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sutime": q_kg_sutime,
         "media_features": q_media_features,
         "media_features_oracle": q_media_features_oracle,
+        "kg_sentiment_oracle": q_kg_sentiment_oracle,
     }
 
 
@@ -1451,6 +1560,8 @@ def oracle_sql() -> dict[str, str]:
                      AS max_duration_ms
             FROM d GROUP BY 1 ORDER BY 1
         """,
+        # sentiment scoring replayed over materialized (word, polarity) rows
+        "kg_sentiment_oracle": _sentiment_oracle_sql(),
         # other kg_* and media_features: non-SQL-expressible (full NLP
         # pipeline / Arrow UDF stages) → rows-only driver check by design.
     }
