@@ -89,7 +89,9 @@ def detect_mentions(tokens: list[dict], sentences: list[dict]) -> list[Mention]:
                                         tokens[j - 1]["word"], "entity", t["ner"]))
                 i = j
                 continue
-            if t["pos"] == "PRP" and t["word"].lower() in _PRONOUN_AGREE:
+            if t["pos"] in ("PRP", "PRP$") and t["word"].lower() in _PRONOUN_AGREE:
+                # possessive pronouns are mentions too (dcoref
+                # MentionExtractor includes PRP$: "His successor" → His)
                 mentions.append(Mention(s["sent_idx"], i, i + 1, t["word"], i,
                                         t["word"], "pronoun", "O"))
                 i += 1
@@ -197,6 +199,21 @@ def run_sieves(mentions: list[Mention], tokens: list[dict] | None = None) -> Non
                 if not between and mj.kind == "nominal" \
                         and mi.kind == "entity" and mi.ner == "PERSON" \
                         and _dict.is_animate(mj.ner, mj.head_word):
+                    union(i, j)
+                    break
+                # role appositive across an of-PP: "The president of
+                # Meridian Institute, Hugo Ellison," — the role NP's PP
+                # complement (dcoref's role NPs include modifiers; the PP
+                # interior must be one capitalized complement, then comma)
+                if (len(between) >= 3 and between[0] == "of"
+                        and between[-1] == ","
+                        and mj.kind == "nominal" and mi.kind == "entity"
+                        and mi.ner == "PERSON"
+                        and _dict.is_animate(mj.ner, mj.head_word)
+                        and all(w[:1].isupper() or w in ("the", "of")
+                                for w in (tokens[k]["word"]
+                                          for k in range(mj.end + 1,
+                                                         mi.start - 1)))):
                     union(i, j)
                     break
                 # predicate nominative: "<NP> is <NP>" (copula only between)

@@ -28,7 +28,7 @@ EVAL_DOCS = [
      [{(0, "John McCain"), (1, "McCain")}]),
     ("The president of Meridian Institute, Hugo Ellison, resigned. "
      "His successor arrived on Monday.",
-     [{(0, "The president"), (0, "Hugo Ellison")}]),
+     [{(0, "The president"), (0, "Hugo Ellison"), (1, "His")}]),
 ]
 
 
