@@ -139,6 +139,23 @@ def q_quality(spark, sf_dir):
                     quality_score(F.col("text")).alias("quality"))
 
 
+def q_gopher_quality(spark, sf_dir):
+    """Gopher rule-set aggregate over the documents table: per-rule pass
+    counts (integer sums — order-independent, engine-portable)."""
+    from corenlp_spark.functions.textstats import gopher_quality
+
+    d = _t(spark, sf_dir, "documents")
+    g = d.select(gopher_quality(F.col("text")).alias("g"))
+    c = lambda name: F.sum(F.col(f"g.{name}").cast("long")).alias(name)
+    return g.agg(
+        F.count("*").alias("n_docs"),
+        c("ok_word_count"), c("ok_mean_word_len"), c("ok_symbol_ratio"),
+        c("ok_bullets"), c("ok_ellipsis"), c("ok_alpha"),
+        c("ok_required_stops"), c("passes"),
+        F.sum(F.col("g.n_required_stops").cast("long")).alias("total_req_stops"),
+    )
+
+
 def q_langid(spark, sf_dir):
     from corenlp_spark.functions.textstats import lang_id
 
@@ -1068,6 +1085,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_fingerprints": q_rolling_fingerprints,
         "token_count": q_token_count,
         "quality_score": q_quality,
+        "gopher_quality": q_gopher_quality,
         "lang_id": q_langid,
         "ann_cosine_topk": q_ann_topk,
         "embedding_dups": q_embedding_dups,
@@ -1204,6 +1222,59 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_docs,
                    CAST(max(len({_TOKENS})) AS BIGINT) AS max_tokens
             FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "gopher_quality": f"""
+            WITH d AS (
+              SELECT text,
+                     list_filter(regexp_split_to_array(text, '\\s+'),
+                                 w -> w <> '') AS words,
+                     list_filter(regexp_split_to_array(text, '\\n'),
+                                 l -> trim(l) <> '') AS lines,
+                     {_TOKENS} AS toks
+              FROM documents),
+            m AS (
+              SELECT
+                len(words) AS n_words,
+                greatest(len(words), 1) AS safe_n,
+                CAST(list_sum(list_transform(words, w -> length(w)))
+                     AS DOUBLE) / greatest(len(words), 1) AS mean_wlen,
+                (len(regexp_split_to_array(text, '#')) - 1)
+                  + (len(regexp_split_to_array(text, '\\.\\.\\.')) - 1)
+                  + (len(regexp_split_to_array(text, '…')) - 1) AS n_sym,
+                greatest(len(lines), 1) AS n_lines,
+                len(list_filter(lines,
+                    l -> regexp_matches(trim(l), '^[-*•‣◦]'))) AS n_bullet,
+                len(list_filter(lines,
+                    l -> regexp_matches(trim(l), '(\\.\\.\\.|…)$'))) AS n_ell,
+                len(list_filter(words,
+                    w -> regexp_matches(w, '[A-Za-z]'))) AS n_alpha,
+                len(list_intersect(list_distinct(toks),
+                    ['the','be','to','of','and','that','have','with'])) AS n_req
+              FROM d),
+            r AS (
+              SELECT *,
+                n_words >= 50 AND n_words <= 100000 AS ok_word_count,
+                mean_wlen >= 3.0 AND mean_wlen <= 10.0 AS ok_mean_word_len,
+                CAST(n_sym AS DOUBLE) / safe_n <= 0.1 AS ok_symbol_ratio,
+                CAST(n_bullet AS DOUBLE) / n_lines < 0.9 AS ok_bullets,
+                CAST(n_ell AS DOUBLE) / n_lines < 0.3 AS ok_ellipsis,
+                CAST(n_alpha AS DOUBLE) / safe_n >= 0.8 AS ok_alpha,
+                n_req >= 2 AS ok_required_stops
+              FROM m)
+            SELECT count(*) AS n_docs,
+                   CAST(sum(ok_word_count::int) AS BIGINT) AS ok_word_count,
+                   CAST(sum(ok_mean_word_len::int) AS BIGINT) AS ok_mean_word_len,
+                   CAST(sum(ok_symbol_ratio::int) AS BIGINT) AS ok_symbol_ratio,
+                   CAST(sum(ok_bullets::int) AS BIGINT) AS ok_bullets,
+                   CAST(sum(ok_ellipsis::int) AS BIGINT) AS ok_ellipsis,
+                   CAST(sum(ok_alpha::int) AS BIGINT) AS ok_alpha,
+                   CAST(sum(ok_required_stops::int) AS BIGINT) AS ok_required_stops,
+                   CAST(sum((ok_word_count AND ok_mean_word_len AND
+                             ok_symbol_ratio AND ok_bullets AND ok_ellipsis
+                             AND ok_alpha AND ok_required_stops)::int) AS BIGINT)
+                     AS passes,
+                   CAST(sum(n_req) AS BIGINT) AS total_req_stops
+            FROM r
         """,
         "quality_score": f"""
             WITH t AS (

@@ -103,3 +103,60 @@ def rolling_fingerprints(col, window: int = 16) -> Column:
     return F.transform(
         idx, lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i * stride + 1, window)))
     )
+
+
+# the 8 Gopher "required" English words (Rae et al. 2021, Appendix A)
+GOPHER_STOPS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality(col) -> Column:
+    """The published Gopher document-quality rules (Rae et al. 2021,
+    Appendix A — the rule set most large-corpus pipelines start from) as
+    one struct column of measurements + per-rule booleans + overall pass.
+
+    Rules over raw whitespace words and lines:
+      1. 50 ≤ word count ≤ 100,000
+      2. 3 ≤ mean word length ≤ 10
+      3. symbol-to-word ratio (# or …) ≤ 0.1
+      4. < 90% of lines start with a bullet
+      5. < 30% of lines end with an ellipsis
+      6. ≥ 80% of words contain ≥ 1 alphabetic character
+      7. ≥ 2 of the 8 required English words present
+
+    Pure column algebra (no UDF) — filters push into the scan, the struct
+    prunes to whatever fields downstream selects."""
+    words = F.filter(F.split(col, r"\s+"), lambda x: x != "")
+    n_words = F.size(words)
+    safe_n = F.greatest(n_words, F.lit(1))
+    mean_wlen = F.aggregate(
+        words, F.lit(0), lambda a, w: a + F.length(w)) / safe_n
+    n_sym = F.regexp_count(col, F.lit(r"#")) + F.regexp_count(col, F.lit(r"\.\.\.")) \
+        + F.regexp_count(col, F.lit("…"))
+    lines = F.filter(F.split(col, r"\n"), lambda x: F.trim(x) != "")
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+    bullet_frac = F.size(F.filter(
+        lines, lambda l: F.trim(l).rlike(r"^[-*•‣◦]"))) / n_lines
+    ellipsis_frac = F.size(F.filter(
+        lines, lambda l: F.trim(l).rlike(r"(\.\.\.|…)$"))) / n_lines
+    alpha_frac = F.size(F.filter(words, lambda w: w.rlike(r"[A-Za-z]"))) / safe_n
+    lower_toks = tokens(col)
+    stops_arr = F.array(*[F.lit(w) for w in GOPHER_STOPS])
+    n_req = F.size(F.array_intersect(F.array_distinct(lower_toks), stops_arr))
+    r1 = (n_words >= 50) & (n_words <= 100_000)
+    r2 = (mean_wlen >= 3.0) & (mean_wlen <= 10.0)
+    r3 = (n_sym / safe_n) <= 0.1
+    r4 = bullet_frac < 0.9
+    r5 = ellipsis_frac < 0.3
+    r6 = alpha_frac >= 0.8
+    r7 = n_req >= 2
+    return F.struct(
+        n_words.alias("n_words"),
+        F.round(mean_wlen, 6).alias("mean_word_len"),
+        F.round(alpha_frac, 6).alias("alpha_frac"),
+        n_req.alias("n_required_stops"),
+        r1.alias("ok_word_count"), r2.alias("ok_mean_word_len"),
+        r3.alias("ok_symbol_ratio"), r4.alias("ok_bullets"),
+        r5.alias("ok_ellipsis"), r6.alias("ok_alpha"),
+        r7.alias("ok_required_stops"),
+        (r1 & r2 & r3 & r4 & r5 & r6 & r7).alias("passes"),
+    )

@@ -150,3 +150,26 @@ def test_decode_uses_real_pil_when_available(spark):
     row = mm.decode_metadata(media).collect()[0]
     assert (row.meta["width"], row.meta["height"]) == (320, 200)
     assert row.meta["codec"] == "png"
+
+
+def test_gopher_quality_rules(spark):
+    """Gopher rule behavior on crafted docs: short doc fails word count,
+    symbol-heavy doc fails symbol ratio, bullet doc fails bullet rule,
+    normal prose passes."""
+    from corenlp_spark.functions.textstats import gopher_quality
+
+    prose = ("the quick brown fox jumps over the lazy dog and runs to be "
+             "with the other foxes that have come from the north " * 3)
+    docs = spark.createDataFrame(
+        [("short", "too short"),
+         ("symbols", "# " * 60),
+         ("bullets", "\n".join("• item %d word word word" % i for i in range(20))
+          + "\nthe be to of and that have with " + "word " * 40),
+         ("prose", prose)],
+        "doc_id string, text string")
+    out = {r.doc_id: r.g.asDict()
+           for r in docs.select("doc_id", gopher_quality(F.col("text")).alias("g")).collect()}
+    assert not out["short"]["ok_word_count"] and not out["short"]["passes"]
+    assert not out["symbols"]["ok_symbol_ratio"] and not out["symbols"]["ok_alpha"]
+    assert not out["bullets"]["ok_bullets"]
+    assert out["prose"]["passes"], out["prose"]
