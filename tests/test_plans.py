@@ -108,3 +108,39 @@ def test_scaled_dict_link_shuffle_path(spark):
     # auto picks shuffle above the row threshold
     auto = link_mentions_scaled(m, big, strategy="auto", broadcast_max_rows=1000)
     assert "ShuffledHashJoin" in plan_of(auto)
+
+
+def test_bucketed_join_is_exchange_free(spark, tmp_path):
+    """Both sides bucketed+sorted on the join key → SortMergeJoin with NO
+    Exchange (the write-once-shuffle-never layout for stable keys at
+    100 TB). Contrast plan: the same join over plain parquet exchanges."""
+    from pyspark.sql import functions as F
+
+    from corenlp_spark.sources.bucketing import colocated_join, save_bucketed
+
+    docs = spark.range(2000).select(
+        F.concat(F.lit("d"), F.col("id")).alias("doc_id"),
+        (F.col("id") % 97).alias("f"))
+    stats = spark.range(2000).select(
+        F.concat(F.lit("d"), F.col("id")).alias("doc_id"),
+        (F.col("id") * 7 % 101).alias("g"))
+    save_bucketed(docs, "b_docs", "doc_id", n_buckets=4)
+    save_bucketed(stats, "b_stats", "doc_id", n_buckets=4)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = colocated_join(spark, "b_docs", "b_stats", "doc_id")
+        p = plan_of(j)
+        assert "SortMergeJoin" in p
+        assert "Exchange" not in p, p
+        assert j.count() == 2000
+        # contrast: un-bucketed parquet of the same data does exchange
+        docs.write.mode("overwrite").parquet(str(tmp_path / "pd"))
+        stats.write.mode("overwrite").parquet(str(tmp_path / "ps"))
+        pj = spark.read.parquet(str(tmp_path / "pd")).join(
+            spark.read.parquet(str(tmp_path / "ps")).hint("merge"), "doc_id")
+        assert "Exchange" in plan_of(pj)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_docs")
+        spark.sql("DROP TABLE IF EXISTS b_stats")
