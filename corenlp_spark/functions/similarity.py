@@ -86,26 +86,63 @@ def _planes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     return out
 
 
+def train_centroids(
+    emb: DataFrame, dim: int, k: int = 16, iters: int = 5,
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Distributed Lloyd k-means for the IVF coarse quantizer: assignment
+    and per-dimension means run as DataFrame aggregations (one shuffle per
+    iteration, map-side partial means); only the k×dim centroid table ever
+    reaches the driver — the standard k-means-on-Spark shape that holds at
+    any corpus size. Deterministic: seeded-unit-vector init, fixed
+    iteration count, no RNG."""
+    from pyspark.sql import functions as F
+
+    cents = _planes(dim, k)
+    for _ in range(iters):
+        celed = emb.withColumn("cell", _cell_expr(F.col(vec_col), cents))
+        means = (
+            celed.select("cell", F.posexplode(vec_col).alias("pos", "x"))
+            .groupBy("cell", "pos").agg(F.avg("x").alias("m"))
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("ms"))
+            .collect()
+        )
+        new_cents = list(cents)
+        for r in means:
+            v = [float(s["m"]) for s in r["ms"]]
+            norm = sum(x * x for x in v) ** 0.5
+            if norm > 1e-9:
+                new_cents[r["cell"]] = [x / norm for x in v]
+        cents = new_cents
+    return cents
+
+
+def _cell_expr(v, cents):
+    from pyspark.sql import functions as F
+
+    pairs = [
+        F.struct(_dot(v, F.array(*[F.lit(x) for x in c])).alias("s"),
+                 F.lit(i).alias("c"))
+        for i, c in enumerate(cents)
+    ]
+    return F.array_max(F.array(*pairs)).getField("c")
+
+
 def ivf_ann_pairs(
     emb: DataFrame, dim: int, n_cells: int = 16, threshold: float = 0.7,
     id_col: str = "vec_id", vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
-    """IVF-style ANN: assign each vector to its nearest deterministic
-    centroid (coarse quantizer), generate candidates within a cell, verify
-    exactly. The centroids are seeded unit vectors (a trained k-means table
-    drops in via the same broadcast literal array). Scale path: the per-cell
-    equi-join replaces the O(n²) cross product; cell skew is AQE-splittable."""
-    cents = _planes(dim, n_cells)  # deterministic unit centroids
-
-    def cell_expr(v):
-        pairs = [
-            F.struct(_dot(v, F.array(*[F.lit(x) for x in c])).alias("s"),
-                     F.lit(i).alias("c"))
-            for i, c in enumerate(cents)
-        ]
-        return F.array_max(F.array(*pairs)).getField("c")
-
-    celed = emb.withColumn("cell", cell_expr(F.col(vec_col)))
+    """IVF-style ANN: assign each vector to its nearest centroid (coarse
+    quantizer), generate candidates within a cell, verify exactly. Default
+    centroids are seeded unit vectors; pass ``centroids=train_centroids(…)``
+    for the Lloyd-trained quantizer. Scale path: the per-cell equi-join
+    replaces the O(n²) cross product; cell skew is AQE-splittable."""
+    # deterministic seeded centroids by default; a train_centroids() table
+    # drops in via the ``centroids`` parameter (same broadcast literal path)
+    cents = centroids if centroids is not None else _planes(dim, n_cells)
+    celed = emb.withColumn("cell", _cell_expr(F.col(vec_col), cents))
     a = celed.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"), "cell")
     b = celed.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"), "cell")
     return (

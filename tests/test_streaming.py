@@ -164,3 +164,28 @@ def test_stateful_state_survives_checkpoint_restart(spark, tmp_path):
     for k, n in second.items():
         if k in first:
             assert n > first[k], (k, n, first[k])
+
+
+def test_trained_ivf_centroids_recover_clusters(spark):
+    """Lloyd-trained coarse quantizer: on 4-direction clustered vectors the
+    trained centroids separate the clusters (every same-direction pair
+    shares a cell → full recall at k=4), deterministically."""
+    from corenlp_spark.functions.similarity import (
+        ivf_ann_pairs, pairwise_topk, train_centroids,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [1.0 if j == i % 4 else 0.05 * ((i + j) % 3) for j in range(16)])
+         for i in range(48)],
+        "vec_id long, embedding array<float>",
+    )
+    cents = train_centroids(emb, dim=16, k=4, iters=4)
+    assert len(cents) == 4 and all(len(c) == 16 for c in cents)
+    # deterministic: retraining gives identical centroids
+    assert cents == train_centroids(emb, dim=16, k=4, iters=4)
+    exact = {(min(r.id_a, r.id_b), max(r.id_a, r.id_b))
+             for r in pairwise_topk(emb, k=1).filter("score >= 0.9").collect()}
+    ivf = {(r.id_a, r.id_b)
+           for r in ivf_ann_pairs(emb, dim=16, threshold=0.9,
+                                  centroids=cents).collect()}
+    assert exact <= ivf
