@@ -142,8 +142,10 @@ def _expand_alternation(pattern: str, cap: int = 64) -> list[str]:
     out, work = [], list(_split_top(pattern))
     while work:
         pat = work.pop(0)
-        # find first paren group (outside nodes) whose body has a top bar
-        depth, node, start = 0, None, None
+        # innermost-first: at each ')' the innermost open group closes —
+        # expanding there handles nested alternation inside-out
+        node = None
+        stack: list[int] = []
         expanded = False
         for i, ch in enumerate(pat):
             if node:
@@ -153,24 +155,20 @@ def _expand_alternation(pattern: str, cap: int = 64) -> list[str]:
             if ch in "[{":
                 node = "]" if ch == "[" else "}"
             elif ch == "(":
-                if depth == 0:
-                    start = i
-                depth += 1
-            elif ch == ")":
-                depth -= 1
-                if depth == 0 and start is not None:
-                    body = pat[start + 1:i]
-                    prefix_m = re.match(r"\?\$(\w+)\s*|\?:", body)
-                    inner = body[prefix_m.end():] if prefix_m else body
-                    wrap = body[:prefix_m.end()] if prefix_m else ""
-                    branches = _split_top(inner)
-                    if len(branches) > 1:
-                        for b in branches:
-                            work.append(pat[:start] + "(" + wrap + b + ")"
-                                        + pat[i + 1:])
-                        expanded = True
-                        break
-                    start = None
+                stack.append(i)
+            elif ch == ")" and stack:
+                start = stack.pop()
+                body = pat[start + 1:i]
+                prefix_m = re.match(r"\?\$(\w+)\s*|\?:", body)
+                inner = body[prefix_m.end():] if prefix_m else body
+                wrap = body[:prefix_m.end()] if prefix_m else ""
+                branches = _split_top(inner)
+                if len(branches) > 1:
+                    for b in branches:
+                        work.append(pat[:start] + "(" + wrap + b + ")"
+                                    + pat[i + 1:])
+                    expanded = True
+                    break
         if not expanded:
             out.append(pat)
         if len(out) + len(work) > cap:

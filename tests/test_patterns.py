@@ -173,3 +173,13 @@ def test_tokensregex_alternation_and_bounded_repeats():
     pat5 = compile_pattern("(?:[word:a]|[word:a] [word:b])")
     s, e, _ = find_all(pat5, _toks(["a", "b"]))[0]
     assert (s, e) == (0, 2)
+
+
+def test_tokensregex_nested_alternation():
+    from corenlp_spark.operators.tokensregex import compile_pattern, find_all
+
+    pat = compile_pattern("((?:[word:a]|[word:b]) [word:c])|[word:d]")
+    assert find_all(pat, _toks(["a", "c"]))
+    assert find_all(pat, _toks(["b", "c"]))
+    assert find_all(pat, _toks(["d"]))
+    assert not find_all(pat, _toks(["c"]))
