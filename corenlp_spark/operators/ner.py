@@ -201,11 +201,9 @@ def _word_number_span(words: list[str], t: int):
         u = _unit_value(lw)
         if u is not None:
             current += u
-        elif lw == "hundred" and seen:
-            current = (current or 1) * 100
+        elif lw == "hundred":
+            current = (current or 1) * 100  # bare "hundred people" = 100
         elif lw in _NUM_SCALES and lw != "hundred":
-            if not seen:
-                break
             total += (current or 1) * _NUM_SCALES[lw]
             current = 0.0
         elif lw == "and" and seen and k + 1 < n                 and _unit_value(words[k + 1].lower()) is not None:

@@ -188,9 +188,12 @@ def compute_polarity(g: _Graph) -> list[str]:
                     flips.append((scope, smono))
             continue
         elif r in ("advmod", "dep") and w in _NEG_ADVERBS:
-            flips.append((g.subtree(h) - {t}, "down"))
+            # negation scope is the clause material AFTER the operator
+            # (the reference's scopes are token spans): the subject of
+            # "John did not sleep" stays upward
+            flips.append(({x for x in g.subtree(h) if x > t}, "down"))
         elif r == "case" and w == "without":
-            flips.append((g.subtree(h) - {t}, "down"))
+            flips.append(({x for x in g.subtree(h) if x > t}, "down"))
         elif r in ("ccomp", "xcomp", "acl", "advcl") and g.lemma(h) in _DOWNWARD_GOVERNORS:
             flips.append((g.subtree(t), "down"))
     pol = []

@@ -237,3 +237,10 @@ def test_natlog_docs_operator(spark):
     )
     out = {r["word"]: r["polarity"] for r in natlog_docs(docs).collect()}
     assert out["rabbits"] == "down" and out["eat"] == "up"
+
+
+def test_polarity_negation_scope_excludes_subject():
+    # operator scope is the material AFTER it: subject stays upward
+    p = _polarity("Obama was not born in Kenya.")
+    assert p["Obama"] == "up"
+    assert p["born"] == "down" and p["Kenya"] == "down"
