@@ -100,6 +100,8 @@ KBP_GOLD: list[tuple[str, tuple[str, str, str]]] = [
      ("Karen Ingram", "per:stateorprovince_of_birth", "Texas")),
     ("Simon Vargas was born in Portugal.",
      ("Simon Vargas", "per:country_of_birth", "Portugal")),
+    ("Henry Mercer is a shareholder of Orion Bank.",
+     ("Orion Bank", "org:shareholders", "Henry Mercer")),
 ]
 
 # distractor sentences: entity pairs with NO KBP relation (precision control)

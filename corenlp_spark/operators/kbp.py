@@ -218,6 +218,11 @@ KBP_PATTERNS: list[tuple[str, str, str, str]] = _expand([
     ("is", "PERSON", "NUMBER", "per:age"),
     ("turned", "PERSON", "NUMBER", "per:age"),
     ("aged", "PERSON", "NUMBER", "per:age"),
+    # inverse-direction rows ("~rel"): surface order is (holder, company)
+    # but the KBP relation anchors on the swapped pair
+    ("shareholder of", "PERSON", "ORGANIZATION", "~org:shareholders"),
+    ("shareholder of", "ORGANIZATION", "ORGANIZATION", "~org:shareholders"),
+    ("owned by", "ORGANIZATION", "ORGANIZATION", "~org:subsidiaries"),
 ]
 
 
@@ -440,13 +445,15 @@ def kbp_tokensregex_relations(annotated: DataFrame) -> DataFrame:
 
     from corenlp_spark.operators.tokensregex import compile_pattern, find_all
 
-    compiled = []  # (first_trigger_word, elems, relation)
+    compiled = []  # (first_trigger_word, elems, relation, inverse?)
     for trigger, s_ner, o_ner, rel in KBP_PATTERNS:
+        inv = rel.startswith("~")
         elems = compile_pattern(_trx_pattern(trigger, s_ner, o_ner))
-        compiled.append((trigger.split()[0].lower(), elems, rel))
+        compiled.append((trigger.split()[0].lower(), elems,
+                         rel.lstrip("~"), inv))
     by_first: dict[str, list] = {}
-    for first, elems, rel in compiled:
-        by_first.setdefault(first, []).append((elems, rel))
+    for first, elems, rel, inv in compiled:
+        by_first.setdefault(first, []).append((elems, rel, inv))
 
     schema = ("doc_id string, sent_idx int, subj string, relation string, "
               "obj string, confidence double")
@@ -462,7 +469,7 @@ def kbp_tokensregex_relations(annotated: DataFrame) -> DataFrame:
                     seg = [dict(t) for t in toks[s["start_tok"]:s["end_tok"]]]
                     lws = {t["word"].lower() for t in seg}
                     for first in lws & by_first.keys():
-                        for elems, rel in by_first[first]:
+                        for elems, rel, inv in by_first[first]:
                             for _, _, groups in find_all(elems, seg):
                                 if "subject" not in groups or "object" not in groups:
                                     continue
@@ -472,6 +479,8 @@ def kbp_tokensregex_relations(annotated: DataFrame) -> DataFrame:
                                 rows["sent_idx"].append(s["sent_idx"])
                                 subj_t = " ".join(t["word"] for t in seg[sa:sb])
                                 obj_t = " ".join(t["word"] for t in seg[oa:ob])
+                                if inv:
+                                    subj_t, obj_t = obj_t, subj_t
                                 rows["subj"].append(subj_t)
                                 rows["relation"].append(
                                     refine_location_relation(rel, obj_t))
