@@ -153,9 +153,14 @@ DEFAULT_OPTIONS = {
     "normalize_quotes": True,
     "normalize_dashes": True,
     "normalize_ellipsis": True,
+    "normalize_parentheses": False,  # ( → -LRB- etc. (PTB3 token forms)
     "split_hyphenated": False,
     "strict_treebank3": False,
 }
+
+# PTB3 bracket token forms (PTBLexer normalizeParentheses/normalizeOtherBrackets)
+_PAREN_NORM = {"(": "-LRB-", ")": "-RRB-", "[": "-LSB-", "]": "-RSB-",
+               "{": "-LCB-", "}": "-RCB-"}
 
 _SENT_END = re.compile(r"^[.!?]+$|^[。！？]+$")
 _FOLLOWER = re.compile(r"^[\"'`)\]}’”]+$|^''$")
@@ -272,6 +277,9 @@ def tokenize_text_with_barriers(text: str, options: dict | None = None):
             out.append(("...", raw, m.start(), m.end()))
         else:
             word = _norm_word(matched, opt)
+            if kind == "PUNCT" and opt.get("normalize_parentheses") \
+                    and matched in _PAREN_NORM:
+                word = _PAREN_NORM[matched]
             if kind == "CLITICTOK":
                 word = matched.replace("\u2019", "'")
             if kind == "QUOTE" and matched == '"' and opt.get("normalize_quotes"):

@@ -89,9 +89,20 @@ def encode_token(t: dict, polarity: str | None = None) -> bytes:
 def encode_sentence(sent: dict, tokens: list[dict],
                     edges: list[tuple[int, int, str]]) -> bytes:
     """edges: (head, dep, rel) with SENTENCE-LOCAL 0-based indices,
-    head -1 = root (converted to proto's 1-based indices + root list)."""
+    head -1 = root (converted to proto's 1-based indices + root list).
+    When edges exist, each token also carries its natlog polarity mark
+    (proto field 39 polarity_dir — the reference's Polarity annotation)."""
     sidx = int(sent["sent_idx"])
-    out = [_msg(1, encode_token(t)) for t in tokens]
+    pol = None
+    if edges:
+        from corenlp_spark.operators.openie import _Graph, compute_polarity
+
+        g = _Graph([t["word"] for t in tokens],
+                   [t.get("lemma") or t["word"] for t in tokens],
+                   edges, 0, [t.get("pos") or "" for t in tokens])
+        pol = compute_polarity(g)
+    out = [_msg(1, encode_token(t, pol[i] if pol else None))
+           for i, t in enumerate(tokens)]
     out.append(_u32(2, int(sent["start_tok"])))
     out.append(_u32(3, int(sent["end_tok"])))
     out.append(_u32(4, sidx))

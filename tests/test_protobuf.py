@@ -64,3 +64,11 @@ def test_roundtrip_spark(spark):
                          for e in s_dec["edges"]}
             assert dec_edges == orig_edges
             assert len(s_dec["roots"]) == 1
+
+
+def test_polarity_field_roundtrips(spark):
+    ann = annotate_fused(_docs(spark, ["No politician likes taxes."]))
+    buf = bytes(to_protobuf(ann).first().proto)
+    doc = decode_document(buf)
+    pol = {t["word"]: t.get("polarity") for t in doc["sentences"][0]["tokens"]}
+    assert pol["politician"] == "down" and pol["likes"] == "down"

@@ -233,3 +233,18 @@ def test_media_span_is_sentence_barrier():
     assert len(sents) == 2
     assert [t["word"] for t in toks[sents[0]["start_tok"]:sents[0]["end_tok"]]] == ["Obama", "visited"]
     assert [t["word"] for t in toks[sents[1]["start_tok"]:sents[1]["end_tok"]]] == ["Paris", "is", "nice", "."]
+
+
+def test_normalize_parentheses_option():
+    """PTB3 bracket forms behind the normalizeParentheses option
+    (PTBLexer normalizeParentheses/normalizeOtherBrackets)."""
+    text = "Diamond (the chair) lives in {1. A trade:} [sic]."
+    norm = [t[0] for t in tokenize_text(text, {"normalize_parentheses": True})]
+    assert "-LRB-" in norm and "-RRB-" in norm
+    assert "-LCB-" in norm and "-RCB-" in norm
+    assert "-LSB-" in norm and "-RSB-" in norm
+    # default stays raw and invertible
+    raw = tokenize_text(text)
+    assert "(" in [t[0] for t in raw]
+    for w, o, b, e in tokenize_text(text, {"normalize_parentheses": True}):
+        assert text[b:e] == o  # originals still reconstruct the input
