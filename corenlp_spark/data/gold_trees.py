@@ -1134,6 +1134,108 @@ _SENTS: list[str] = [
     have VBP 0 root
     tails NNS 3 obj
     . . 3 punct""",
+    # ------------------------------------------------------------------
+    # r3 tranche: quantifier determiners, negation, temporal NPs,
+    # possessive pronouns, passives with by-agents, of-PP appositives
+    # ------------------------------------------------------------------
+    """Most cats have tails .
+    Most JJS 2 det
+    cats NNS 3 nsubj
+    have VBP 0 root
+    tails NNS 3 obj
+    . . 3 punct""",
+    """No politician likes taxes .
+    No DT 2 det
+    politician NN 3 nsubj
+    likes VBZ 0 root
+    taxes NNS 3 obj
+    . . 3 punct""",
+    """Every critic liked the film .
+    Every DT 2 det
+    critic NN 3 nsubj
+    liked VBD 0 root
+    the DT 5 det
+    film NN 3 obj
+    . . 3 punct""",
+    """John did not sleep .
+    John NNP 4 nsubj
+    did VBD 4 aux
+    not RB 4 advmod
+    sleep VB 0 root
+    . . 4 punct""",
+    """Obama was not born in Kenya .
+    Obama NNP 4 nsubj:pass
+    was VBD 4 aux:pass
+    not RB 4 advmod
+    born VBN 0 root
+    in IN 6 case
+    Kenya NNP 4 nmod:in
+    . . 4 punct""",
+    """She ran this morning .
+    She PRP 2 nsubj
+    ran VBD 0 root
+    this DT 4 det
+    morning NN 2 nmod:tmod
+    . . 2 punct""",
+    """We leave the day after tomorrow .
+    We PRP 2 nsubj
+    leave VBP 0 root
+    the DT 4 det
+    day NN 2 nmod:tmod
+    after IN 6 case
+    tomorrow NN 4 nmod:after
+    . . 2 punct""",
+    """The firm employs two hundred people .
+    The DT 2 det
+    firm NN 3 nsubj
+    employs VBZ 0 root
+    two CD 5 compound
+    hundred CD 6 nummod
+    people NNS 3 obj
+    . . 3 punct""",
+    """His successor arrived on Monday .
+    His PRP$ 2 nmod:poss
+    successor NN 3 nsubj
+    arrived VBD 0 root
+    on IN 5 case
+    Monday NNP 3 nmod:on
+    . . 3 punct""",
+    """Stellar Group is owned by Acme Corp. today .
+    Stellar NNP 2 compound
+    Group NNP 4 nsubj:pass
+    is VBZ 4 aux:pass
+    owned VBN 0 root
+    by IN 7 case
+    Acme NNP 7 compound
+    Corp. NNP 4 nmod:by
+    today NN 4 nmod:tmod
+    . . 4 punct""",
+    """Few students read the newspaper .
+    Few JJ 2 amod
+    students NNS 3 nsubj
+    read VBD 0 root
+    the DT 5 det
+    newspaper NN 3 obj
+    . . 3 punct""",
+    """Most students read long books .
+    Most JJS 2 det
+    students NNS 3 nsubj
+    read VBP 0 root
+    long JJ 5 amod
+    books NNS 3 obj
+    . . 3 punct""",
+    """The president of Meridian Institute , Hugo Ellison , resigned .
+    The DT 2 det
+    president NN 10 nsubj
+    of IN 5 case
+    Meridian NNP 5 compound
+    Institute NNP 2 nmod:of
+    , , 8 punct
+    Hugo NNP 8 compound
+    Ellison NNP 2 appos
+    , , 8 punct
+    resigned VBD 0 root
+    . . 10 punct""",
 ]
 
 # ---------------------------------------------------------------------------

@@ -163,16 +163,14 @@ def compute_polarity(g: _Graph) -> list[str]:
     for t in range(g.off, g.off + n):
         w = g.words[t - g.off].lower()
         hr = g.parent.get(t)
-        if hr is None:
-            continue
-        h, r = hr
         if w in _QUANT_OPS:
             # restrictor head: the det/amod parent noun, else the adjacent
             # following noun (guards against parser mis-attachment of
-            # degree words like "most")
+            # degree words like "most" — including when the quantifier
+            # ends up parentless/root)
             head = None
-            if r in ("det", "amod"):
-                head = h
+            if hr is not None and hr[1] in ("det", "amod"):
+                head = hr[0]
             elif (t + 1 < g.off + n
                   and g.pos[t + 1 - g.off].startswith("NN")):
                 head = t + 1
@@ -187,7 +185,10 @@ def compute_polarity(g: _Graph) -> list[str]:
                     scope = g.subtree(vh[0]) - g.subtree(head)
                     flips.append((scope, smono))
             continue
-        elif r in ("advmod", "dep") and w in _NEG_ADVERBS:
+        if hr is None:
+            continue
+        h, r = hr
+        if r in ("advmod", "dep") and w in _NEG_ADVERBS:
             # negation scope is the clause material AFTER the operator
             # (the reference's scopes are token spans): the subject of
             # "John did not sleep" stays upward

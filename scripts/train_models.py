@@ -132,9 +132,9 @@ def main():
         ner, _ = tag_sentence_ner(words, tags)
         anchors.extend([(words, tags,
                          parse_sentence(words, tags, lem, ner,
-                                        model="rule"))] * 5)
+                                        model="rule"))] * 3)
     ap = ArcStandardParser()
-    ap.train(gold_trees.train() * 7 + gold_trees.dep_corpus() + anchors,
+    ap.train(gold_trees.train() * 10 + gold_trees.dep_corpus() + anchors,
              epochs=12, explore_after=3)
     # UAS/LAS gate on held-out HAND-GOLD trees (never in training, authored
     # independently of any parser in this repo — can detect teacher errors)
