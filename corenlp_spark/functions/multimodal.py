@@ -58,6 +58,56 @@ def _fake_decode(ref: str, payload: bytes) -> tuple[int, int, int, str]:
     return 64 + h[0] % 1024, 64 + h[1] % 1024, (h[2] << 8 | h[3]) * 10, "fake"
 
 
+def _header_decode(b: bytes):
+    """REAL container-header metadata decode in pure Python — no codec
+    library needed for dimensions/duration (the fields the 100 TB metadata
+    pass actually extracts; pixel/PCM decode still needs the codec libs):
+
+      PNG  — IHDR width/height (big-endian at offset 16);
+      GIF  — logical-screen width/height (little-endian at offset 6);
+      BMP  — BITMAPINFOHEADER width/height (little-endian at offset 18);
+      JPEG — first SOF0-SOF3 frame header scan;
+      WAV  — fmt chunk byte rate + data chunk size → duration in ms.
+
+    Returns (width, height, duration_ms, codec) or None if the payload is
+    not one of these containers (the deterministic fake then applies)."""
+    import struct
+
+    try:
+        if b.startswith(b"\x89PNG\r\n\x1a\n") and len(b) >= 24:
+            w, h = struct.unpack(">II", b[16:24])
+            return w, h, 0, "png"
+        if b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 10:
+            w, h = struct.unpack("<HH", b[6:10])
+            return w, h, 0, "gif"
+        if b.startswith(b"BM") and len(b) >= 26:
+            w, h = struct.unpack("<ii", b[18:26])
+            return abs(w), abs(h), 0, "bmp"
+        if b.startswith(b"\xff\xd8"):
+            i = 2
+            while i + 9 < len(b) and b[i] == 0xFF:
+                marker, seglen = b[i + 1], struct.unpack(">H", b[i + 2:i + 4])[0]
+                if 0xC0 <= marker <= 0xC3:
+                    h, w = struct.unpack(">HH", b[i + 5:i + 9])
+                    return w, h, 0, "jpeg"
+                i += 2 + seglen
+            return None
+        if b.startswith(b"RIFF") and b[8:12] == b"WAVE":
+            i, byte_rate, data_len = 12, None, None
+            while i + 8 <= len(b):
+                cid, clen = b[i:i + 4], struct.unpack("<I", b[i + 4:i + 8])[0]
+                if cid == b"fmt " and i + 16 <= len(b):
+                    byte_rate = struct.unpack("<I", b[i + 16:i + 20])[0]
+                elif cid == b"data":
+                    data_len = clen
+                i += 8 + clen + (clen & 1)
+            if byte_rate and data_len is not None:
+                return 0, 0, int(data_len * 1000 / byte_rate), "wav"
+        return None
+    except (struct.error, IndexError):
+        return None
+
+
 def _pil_decode(payload: bytes):
     """Real image decode via PIL when available; None if the payload is not a
     decodable image (synthetic hash payloads fall back to _fake_decode)."""
@@ -86,7 +136,11 @@ def decode_metadata(media: DataFrame) -> DataFrame:
             metas = []
             for ref, mt, payload in zip(pdf["media_ref"], pdf["media_type"], pdf["payload"]):
                 raw = bytes(payload) if payload is not None else b""
-                decoded = _pil_decode(raw) if (_HAVE_PIL and mt == "img") else None
+                # dispatch: real container-header parse (pure Python),
+                # then PIL when importable, then the deterministic fake
+                decoded = _header_decode(raw)
+                if decoded is None and _HAVE_PIL and mt == "img":
+                    decoded = _pil_decode(raw)
                 if decoded is not None:
                     w, h, dur, codec = decoded
                 else:

@@ -173,3 +173,40 @@ def test_gopher_quality_rules(spark):
     assert not out["symbols"]["ok_symbol_ratio"] and not out["symbols"]["ok_alpha"]
     assert not out["bullets"]["ok_bullets"]
     assert out["prose"]["passes"], out["prose"]
+
+
+def test_real_header_metadata_decode(spark):
+    """Container-header metadata decode is REAL (pure-Python header parse,
+    no codec lib): crafted PNG/GIF/WAV/JPEG payloads yield their true
+    dimensions/duration; non-container payloads fall to the documented
+    deterministic fake."""
+    import struct
+
+    from corenlp_spark.functions.multimodal import _header_decode, decode_metadata
+
+    png = (b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\rIHDR"
+           + struct.pack(">II", 640, 480) + b"\x08\x02\x00\x00\x00")
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00" * 4
+    sof = b"\xff\xc0" + struct.pack(">H", 11) + b"\x08" + struct.pack(">HH", 768, 1024) + b"\x03" + b"\x00" * 6
+    jpg = b"\xff\xd8" + b"\xff\xe0" + struct.pack(">H", 4) + b"\x00\x00" + sof
+    pcm = b"\x00" * 32000
+    wav = (b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE"
+           + b"fmt " + struct.pack("<I", 16)
+           + struct.pack("<HHIIHH", 1, 1, 16000, 32000, 2, 16)
+           + b"data" + struct.pack("<I", len(pcm)) + pcm)
+    assert _header_decode(png) == (640, 480, 0, "png")
+    assert _header_decode(gif) == (320, 200, 0, "gif")
+    assert _header_decode(jpg) == (1024, 768, 0, "jpeg")
+    w, h, dur, codec = _header_decode(wav)
+    assert codec == "wav" and dur == 1000
+    assert _header_decode(b"not a container") is None
+
+    media = spark.createDataFrame(
+        [("d1", "img://a", 0, png, "img"),
+         ("d1", "audio://b", 1, wav, "audio"),
+         ("d1", "img://c", 2, b"garbagepayload", "img")],
+        "doc_id string, media_ref string, offset int, payload binary, media_type string")
+    out = {r.media_ref: r.meta.asDict() for r in decode_metadata(media).collect()}
+    assert out["img://a"]["width"] == 640 and out["img://a"]["codec"] == "png"
+    assert out["audio://b"]["duration_ms"] == 1000 and out["audio://b"]["codec"] == "wav"
+    assert out["img://c"]["codec"] == "fake"  # honest fallback
