@@ -1,6 +1,13 @@
-"""Multimodal columns: opaque binary payloads + typed metadata, with the
-Spark-side plumbing (schema, partitioning, Arrow batch shape) real and the
-codec kernels stubbed (image/audio libraries are not in this container).
+"""Multimodal columns: opaque binary payloads + typed metadata.
+
+The Spark-side plumbing (schema, partitioning, Arrow batch shape) is real,
+and since r3 the decode kernels are REAL for self-describing containers
+without any codec library: header metadata for PNG/GIF/BMP/JPEG/WAV, full
+PNG pixel decode (stdlib zlib inflate + scanline unfilter), and WAV PCM
+decode. Payloads that decode get real feature vectors (pixel statistics /
+RMS energy windows); everything else falls to a clearly-marked
+deterministic fake (the stand-in for learned encoders and the codecs this
+container doesn't ship).
 
 Pattern: media rides as ``binary`` columns with a typed metadata struct;
 decode / feature-extract / resize / frame-sample run as ``mapInPandas``
@@ -158,8 +165,13 @@ def decode_metadata(media: DataFrame) -> DataFrame:
 
 
 def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
-    """+ feature vector column (array<float>): deterministic fake embedding
-    (STUB for a real vision/audio encoder) — batch shape + schema are real."""
+    """+ feature vector column (array<float>).
+
+    REAL kernels when the payload decodes without codec libs — PNG pixels
+    (stdlib zlib inflate + unfilter) → channel means + luminance grid;
+    WAV PCM → per-window RMS energies — else the deterministic fake
+    embedding (STUB for a learned vision/audio encoder). Batch shape and
+    schema are identical on every path."""
     out_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in media.schema.fields)
     out_schema += ", features array<float>"
 
@@ -168,6 +180,10 @@ def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
             feats = []
             for payload in pdf["payload"]:
                 b = bytes(payload) if payload is not None else b""
+                real = _real_features(b, dim)
+                if real is not None:
+                    feats.append(real)
+                    continue
                 h = hashlib.sha512(b).digest()
                 v = np.frombuffer(h[: dim * 4], dtype=np.uint32).astype(np.float32)
                 v = (v / np.float32(2 ** 32)) * 2.0 - 1.0
@@ -194,3 +210,116 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     return with_meta.select(
         "doc_id", "media_ref", F.posexplode(ts).alias("frame_idx", "ts_ms")
     )
+
+
+def _png_pixels(b: bytes):
+    """REAL PNG pixel decode in pure stdlib Python (zlib inflate + scanline
+    unfilter per the PNG spec, filters 0-4 incl. Paeth): supports 8-bit
+    truecolor (color type 2) and truecolor+alpha (6), non-interlaced.
+    Returns (height, width, channels) uint8 numpy array or None."""
+    import struct
+    import zlib
+
+    if not b.startswith(b"\x89PNG\r\n\x1a\n"):
+        return None
+    i, w = 8, None
+    idat = bytearray()
+    try:
+        while i + 8 <= len(b):
+            clen, ctype = struct.unpack(">I4s", b[i:i + 8])
+            data = b[i + 8:i + 8 + clen]
+            if ctype == b"IHDR":
+                w, h, depth, color, _, _, interlace = struct.unpack(
+                    ">IIBBBBB", data[:13])
+                if depth != 8 or color not in (2, 6) or interlace:
+                    return None
+                ch = 3 if color == 2 else 4
+            elif ctype == b"IDAT":
+                idat.extend(data)
+            elif ctype == b"IEND":
+                break
+            i += 12 + clen
+        if w is None or not idat:
+            return None
+        raw = zlib.decompress(bytes(idat))
+        stride = w * ch
+        out = np.zeros((h, stride), dtype=np.uint8)
+        pos = 0
+        prev = np.zeros(stride, dtype=np.uint8)
+        for row in range(h):
+            ftype = raw[pos]
+            line = np.frombuffer(raw, dtype=np.uint8,
+                                 count=stride, offset=pos + 1).copy()
+            pos += 1 + stride
+            if ftype == 1:  # Sub
+                for x in range(ch, stride):
+                    line[x] = (int(line[x]) + int(line[x - ch])) & 0xFF
+            elif ftype == 2:  # Up
+                line = (line.astype(np.uint16) + prev) .astype(np.uint8)
+            elif ftype == 3:  # Average
+                for x in range(stride):
+                    a = int(line[x - ch]) if x >= ch else 0
+                    line[x] = (int(line[x]) + ((a + int(prev[x])) >> 1)) & 0xFF
+            elif ftype == 4:  # Paeth
+                for x in range(stride):
+                    a = int(line[x - ch]) if x >= ch else 0
+                    bb = int(prev[x])
+                    c = int(prev[x - ch]) if x >= ch else 0
+                    p = a + bb - c
+                    pa, pb, pc = abs(p - a), abs(p - bb), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (bb if pb <= pc else c)
+                    line[x] = (int(line[x]) + pred) & 0xFF
+            out[row] = line
+            prev = out[row]
+        return out.reshape(h, w, ch)
+    except (struct.error, zlib.error, IndexError, ValueError):
+        return None
+
+
+def _wav_pcm(b: bytes):
+    """REAL WAV PCM decode (16-bit little-endian mono/stereo) → float array
+    in [-1, 1], or None."""
+    import struct
+
+    if not (b.startswith(b"RIFF") and b[8:12] == b"WAVE"):
+        return None
+    i, bits, data = 12, None, None
+    try:
+        while i + 8 <= len(b):
+            cid, clen = b[i:i + 4], struct.unpack("<I", b[i + 4:i + 8])[0]
+            if cid == b"fmt ":
+                bits = struct.unpack("<H", b[i + 22:i + 24])[0]
+            elif cid == b"data":
+                data = b[i + 8:i + 8 + clen]
+            i += 8 + clen + (clen & 1)
+        if bits != 16 or not data:
+            return None
+        pcm = np.frombuffer(data[: len(data) // 2 * 2], dtype="<i2")
+        return pcm.astype(np.float32) / 32768.0
+    except (struct.error, IndexError):
+        return None
+
+
+def _real_features(payload: bytes, dim: int):
+    """Feature kernel dispatch: PNG → per-channel means + luminance grid;
+    WAV → per-window RMS energies; None when neither decodes (the
+    deterministic fake then applies)."""
+    px = _png_pixels(payload)
+    if px is not None:
+        h, w, ch = px.shape
+        f = [float(px[..., c].mean()) / 255.0 for c in range(min(ch, 3))]
+        lum = px[..., :3].mean(axis=2)
+        g = max(1, int((dim - len(f)) ** 0.5))
+        ys = np.array_split(np.arange(h), g)
+        xs = np.array_split(np.arange(w), g)
+        for yb in ys:
+            for xb in xs:
+                f.append(float(lum[np.ix_(yb, xb)].mean()) / 255.0)
+        f = (f + [0.0] * dim)[:dim]
+        return [float(x) for x in f]
+    pcm = _wav_pcm(payload)
+    if pcm is not None and len(pcm):
+        wins = np.array_split(pcm, dim)
+        return [float(np.sqrt(np.mean(wn * wn))) if len(wn) else 0.0
+                for wn in wins]
+    return None
