@@ -83,6 +83,11 @@ def gender_of(text: str, head_word: str | None = None) -> str:
         return "MALE"
     if first in FEMALE_NAMES:
         return "FEMALE"
+    # leading gendered title/noun: "Mr. Smith", "Mrs. Jones"
+    if first in MALE_NOUNS:
+        return "MALE"
+    if first in FEMALE_NOUNS:
+        return "FEMALE"
     hw = (head_word or (text.split()[-1] if text else "")).lower()
     if hw in MALE_NOUNS:
         return "MALE"

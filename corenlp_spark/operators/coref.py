@@ -113,6 +113,15 @@ def detect_mentions(tokens: list[dict], sentences: list[dict]) -> list[Mention]:
     return mentions
 
 
+def _genders_agree(mi, mj) -> bool:
+    """Rules.entityAttributesAgree gender component: a MALE/FEMALE conflict
+    blocks a merge ("John Smith" never head-matches "Mary Smith");
+    UNKNOWN is compatible with anything."""
+    gi = _dict.gender_of(mi.text, mi.head_word)
+    gj = _dict.gender_of(mj.text, mj.head_word)
+    return "UNKNOWN" in (gi, gj) or gi == gj
+
+
 def _strip_det(text: str) -> str:
     ws = text.lower().split()
     while ws and ws[0] in _STOP_DETS:
@@ -243,7 +252,8 @@ def run_sieves(mentions: list[Mention], tokens: list[dict] | None = None) -> Non
             mj = mentions[j]
             if mj.kind == "pronoun":
                 continue
-            if mi.head_word.lower() == mj.head_word.lower() and mi.ner == mj.ner:
+            if mi.head_word.lower() == mj.head_word.lower() and mi.ner == mj.ner \
+                    and _genders_agree(mi, mj):
                 union(i, j)
                 break
     # Sieve 4b: strict head match 2-4 — same head + word inclusion (the
@@ -261,7 +271,8 @@ def run_sieves(mentions: list[Mention], tokens: list[dict] | None = None) -> Non
             if mi.head_word.lower() != mj.head_word.lower():
                 continue
             wj = set(_strip_det(mj.text).split())
-            if wi and wj and (wi <= wj or wj <= wi):
+            if wi and wj and (wi <= wj or wj <= wi) \
+                    and _genders_agree(mi, mj):
                 union(i, j)
                 break
     # Sieve 4c: relaxed head match — the mention's head word appears inside
@@ -276,7 +287,7 @@ def run_sieves(mentions: list[Mention], tokens: list[dict] | None = None) -> Non
             mj = mentions[j]
             if mj.kind != "entity" or mi.ner != mj.ner or mj.end - mj.start < 2:
                 continue
-            if hw in _strip_det(mj.text).split():
+            if hw in _strip_det(mj.text).split() and _genders_agree(mi, mj):
                 union(i, j)
                 break
     # Sieve 4d: DiscourseMatch/SpeakerMatch (dcoref discourse processing):

@@ -29,6 +29,24 @@ EVAL_DOCS = [
     ("The president of Meridian Institute, Hugo Ellison, resigned. "
      "His successor arrived on Monday.",
      [{(0, "The president"), (0, "Hugo Ellison"), (1, "His")}]),
+    ('"We will not lose," said Maria Quinn. She smiled.',
+     [{(0, "Maria Quinn"), (1, "She")}]),
+    # distinct people sharing a surname must NOT merge; the set-denoting
+    # plural pronoun stays unlinked under gold-mentions-given
+    ("John Smith and Mary Smith arrived. They sat down. Mr. Smith spoke first.",
+     [{(0, "John Smith"), (2, "Mr. Smith")}]),
+    ("Google acquired the startup. Google kept its employees.",
+     [{(0, "Google"), (1, "Google"), (1, "its")}]),
+    ("The report was finished on Friday. The report cited three studies. "
+     "It was long.",
+     [{(0, "The report"), (1, "The report"), (2, "It")}]),
+    ("Anna Keller met Clara Draper in Berlin. Keller thanked her host.",
+     [{(0, "Anna Keller"), (1, "Keller"), (1, "her")}]),
+    ("The teacher praised the students. She gave them high marks.",
+     [{(0, "The teacher"), (1, "She")}, {(0, "the students"), (1, "them")}]),
+    ("Stanford University opened a laboratory. The university funded it fully.",
+     [{(0, "Stanford University"), (1, "The university")},
+      {(0, "a laboratory"), (1, "it")}]),
 ]
 
 
@@ -82,7 +100,7 @@ def test_conll_coref_gate():
     msg = f"MUC={m:.3f} B3={b:.3f} CEAFe={c:.3f} CoNLL={score:.3f}"
     # floor: the current sieves miss the definite-NP org link and the
     # role-appositive in this set; regressions below the floor fail
-    assert score >= 0.80, msg
+    assert score >= 0.82, msg
     # and the metric must actually register the known misses (no gaming)
     assert score < 1.0, msg
 
