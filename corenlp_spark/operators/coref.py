@@ -338,8 +338,26 @@ def run_sieves(mentions: list[Mention], tokens: list[dict] | None = None) -> Non
         allowed, _num = _PRONOUN_AGREE[p]
         allowed_set = set(allowed.split("|"))
 
+        _PLUR_INVARIANT = {"people", "children", "men", "women", "police"}
+
+        def _plural_nominal(mj):
+            hw = mj.head_word.lower()
+            return mj.kind == "nominal" and (
+                hw in _PLUR_INVARIANT
+                or (hw.endswith("s") and not hw.endswith("ss")))
+
         def compatible(mj):
             if mj.ner not in allowed_set:
+                return False
+            # number agreement (Rules.entityAttributesAgree number
+            # component): plural pronouns need plural nominals or ORG
+            # entities; singular pronouns reject plural nominals
+            if _num == "plur":
+                if mj.kind == "entity" and mj.ner == "PERSON":
+                    return False
+                if mj.kind == "nominal" and not _plural_nominal(mj):
+                    return False
+            elif _plural_nominal(mj):
                 return False
             animate = _dict.is_animate(mj.ner, mj.head_word)
             if mj.ner in ("O", ""):
@@ -360,14 +378,25 @@ def run_sieves(mentions: list[Mention], tokens: list[dict] | None = None) -> Non
             return True
 
         # salience: typed entity mentions outrank bare nominals at equal
-        # reach (dcoref orders candidates subject-first within a sentence;
-        # NER-typed mentions are this engine's salience proxy)
+        # reach; candidate order follows dcoref (Lee et al. 2013): same
+        # sentence nearest-first, PREVIOUS sentences left-to-right (the
+        # subject — the most salient mention — comes first)
+        same = [j for j in range(i - 1, -1, -1)
+                if mentions[j].sent == mi.sent]
+        by_dist: dict[int, list[int]] = {}
+        for j in range(i - 1, -1, -1):
+            d = mi.sent - mentions[j].sent
+            if d <= 0:
+                continue
+            if d > 2:
+                break
+            by_dist.setdefault(d, []).append(j)
+        ordered = same + [j for d in sorted(by_dist)
+                          for j in sorted(by_dist[d])]
         hit = None
         for pass_entities in (True, False):
-            for j in antecedents(i):
+            for j in ordered:
                 mj = mentions[j]
-                if mi.sent - mj.sent > 2:
-                    break
                 if mj.kind == "pronoun":
                     continue
                 if pass_entities != (mj.ner not in ("O", "")):

@@ -100,7 +100,7 @@ def test_conll_coref_gate():
     msg = f"MUC={m:.3f} B3={b:.3f} CEAFe={c:.3f} CoNLL={score:.3f}"
     # floor: the current sieves miss the definite-NP org link and the
     # role-appositive in this set; regressions below the floor fail
-    assert score >= 0.82, msg
+    assert score >= 0.85, msg
     # and the metric must actually register the known misses (no gaming)
     assert score < 1.0, msg
 
