@@ -80,7 +80,7 @@ def detect_mentions(tokens: list[dict], sentences: list[dict]) -> list[Mention]:
         i = a
         while i < b:
             t = tokens[i]
-            if t["ner"] not in ("O", "") and t["ner"] not in ("NUMBER", "ORDINAL", "MONEY", "TIME", "DATE"):
+            if t["ner"] not in ("O", "") and t["ner"] not in ("NUMBER", "ORDINAL", "MONEY", "TIME", "DATE", "PERCENT"):
                 j = i
                 while j < b and tokens[j]["ner"] == t["ner"]:
                     j += 1

@@ -318,6 +318,13 @@ def numeric_pass(words: list[str], ner: list[str], nner: list[str]) -> None:
                 nner[t] = nner[t + 1] = f"${val:.1f}"
                 t += 2
                 continue
+            if t + 1 < n and words[t + 1] in ("%", "percent"):
+                # PERCENT class with the reference's %-prefixed value
+                # (QuantifiableEntityNormalizer PERCENT normalization)
+                ner[t] = ner[t + 1] = "PERCENT"
+                nner[t] = nner[t + 1] = f"%{val:.1f}"
+                t += 2
+                continue
             ner[t], nner[t] = "NUMBER", f"{val:.1f}"
             t += 1
             continue

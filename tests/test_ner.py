@@ -92,3 +92,13 @@ def test_written_number_spans_and_money():
     assert run("the fifth time")[1][1:] == ("ORDINAL", "5.0")
     assert run("the twenty-first century")[1][1:] == ("ORDINAL", "21.0")
     assert run("He paid 200 dollars .")[2][1:] == ("MONEY", "$200.0")
+
+
+def test_percent_class():
+    from corenlp_spark.operators.tag import pos_tag
+
+    w = "Revenue rose 40 % and then 12 percent .".split()
+    ner, nner = tag_sentence_ner(w, pos_tag(w, {0}))
+    assert (ner[2], nner[2]) == ("PERCENT", "%40.0")
+    assert (ner[3], nner[3]) == ("PERCENT", "%40.0")
+    assert (ner[6], nner[6]) == ("PERCENT", "%12.0")
