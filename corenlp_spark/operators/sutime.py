@@ -56,6 +56,13 @@ _MONTHS = {"january": 1, "february": 2, "march": 3, "april": 4, "may": 5,
 # time-of-day → TIMEX3 suffix (english.sutime.txt TOD table)
 _TOD = {"morning": "TMO", "afternoon": "TAF", "evening": "TEV",
         "night": "TNI"}
+# seasons → TIMEX3 season codes; decade / mod-year patterns
+_SEASONS = {"spring": "SP", "summer": "SU", "autumn": "FA", "fall": "FA",
+            "winter": "WI"}
+import re as _re
+
+_RE_DECADE = _re.compile(r"^(1[6-9]\d|20\d)0s$")
+_RE_MODYEAR = _re.compile(r"^(early|mid|late)-((?:1[6-9]|20)\d\d)$")
 
 
 def _unit_offset(docdate: datetime.date, unit: str, k: int) -> str:
@@ -243,6 +250,52 @@ def _resolve(words: list[str], lower: list[str], docdate: datetime.date):
             yield i, i + 2, "TIME", d.isoformat() + _TOD[lower[i + 1]]
             i += 2
             continue
+        # decades: "the 1990s" → TIMEX3 decade value 199X
+        m_dec = _RE_DECADE.match(w)
+        if m_dec:
+            yield i, i + 1, "DATE", m_dec.group(1) + "X"
+            i += 1
+            continue
+        # approximate year compounds: mid-2015 / early-1990 / late-2008
+        m_mid = _RE_MODYEAR.match(w)
+        if m_mid:
+            yield i, i + 1, "DATE", m_mid.group(2)
+            i += 1
+            continue
+        # clock hour + meridiem: "7 pm" → T19:00
+        if (w.isdigit() and 1 <= int(w) <= 12 and i + 1 < n
+                and lower[i + 1] in ("pm", "p.m.", "am", "a.m.")):
+            hh = int(w) % 12 + (12 if lower[i + 1].startswith("p") else 0)
+            yield i, i + 2, "TIME", f"T{hh:02d}:00"
+            i += 2
+            continue
+        # weekends: "next weekend" → ISO week + -WE (SUTime week-part value)
+        if (w in ("last", "next", "this") and i + 1 < n
+                and lower[i + 1] == "weekend"):
+            off = {"last": -1, "next": 1, "this": 0}[w]
+            d = docdate + datetime.timedelta(weeks=off)
+            iso = d.isocalendar()
+            yield i, i + 2, "DATE", f"{iso[0]}-W{iso[1]:02d}-WE"
+            i += 2
+            continue
+        # seasons: "summer of 1969" / "the winter" → <year>-SU / -WI —
+        # context-gated ("prices fall" / "spring to action" must not fire:
+        # SUTime's season rules are similarly determiner/PP-gated)
+        if w in _SEASONS:
+            has_of_year = (i + 2 < n and lower[i + 1] == "of"
+                           and words[i + 2].isdigit()
+                           and len(words[i + 2]) == 4)
+            det_before = i > 0 and lower[i - 1] in (
+                "the", "this", "last", "next", "during", "in", "every")
+            if has_of_year or det_before:
+                year = docdate.year
+                end = i + 1
+                if has_of_year:
+                    year = int(words[i + 2])
+                    end = i + 3
+                yield i, end, "DATE", f"{year}-{_SEASONS[w]}"
+                i = end
+                continue
         if w == "tonight":
             yield i, i + 1, "TIME", docdate.isoformat() + "TNI"
             i += 1

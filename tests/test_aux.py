@@ -156,6 +156,25 @@ def test_sutime_tod_and_day_compounds(spark):
     assert maps[2]["midnight"] == ("TIME", "2020-06-15T00:00")
 
 
+def test_sutime_decades_seasons_meridiem_weekend(spark):
+    """Decades (199X), mod-year compounds (mid-2015), clock+meridiem
+    (7 pm -> T19:00), weekend week-parts, season values with verb-use
+    gating (english.sutime.txt season/decade rules). Docdate 2020-06-15."""
+    docs = with_docdate(_docs(spark, [
+        "He grew up in the 1990s. The firm was built in mid-2015.",
+        "The show airs at 7 pm. See you next weekend.",
+        "They met during the summer of 1969. Prices fall quickly.",
+    ]), fixed="2020-06-15")
+    rows = sutime_docs(annotate(docs, upto="ner")).collect()
+    maps = [_tok_map(r) for r in rows]
+    assert maps[0]["1990s"] == ("DATE", "199X")
+    assert maps[0]["mid-2015"] == ("DATE", "2015")
+    assert maps[1]["pm"] == ("TIME", "T19:00")
+    assert maps[1]["weekend"] == ("DATE", "2020-W26-WE")
+    assert maps[2]["summer"] == ("DATE", "1969-SU")
+    assert maps[2]["fall"][0] != "DATE"  # verb use never fires
+
+
 def test_quote_attribution(spark):
     docs = _docs(spark, ['"Stop right there," Jane said loudly.'])
     out = quote_docs(annotate(docs, upto="ner")).first()
