@@ -403,7 +403,8 @@ def _ann_tokens_path() -> str:
     h = hashlib.md5(("ann-v19" + "".join(GOLDEN_SENTENCES)).encode())
     import os
 
-    for name in ("pos.json.gz", "ner.json.gz"):
+    for name in ("pos.json.gz", "ner.json.gz", "parser.json.gz",
+                 "kbp.json.gz"):
         p = os.path.join(WEIGHTS_DIR, name)
         if os.path.exists(p):
             with open(p, "rb") as f:

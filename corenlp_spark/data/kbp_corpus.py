@@ -173,6 +173,12 @@ _LR_TEMPLATES: list[tuple[str, str, str, str]] = [
     ("and", "PERSON", "PERSON", "NONE"),
     ("meet", "PERSON", "PERSON", "NONE"),
     ("announce", "ORGANIZATION", "ORGANIZATION", "NONE"),
+    # inverse-direction surface contexts: the forward (surface-order) pair
+    # carries NO forward relation — the tokensregex inverse rows emit the
+    # swapped-anchor triple instead
+    ("be a shareholder of", "PERSON", "ORGANIZATION", "NONE"),
+    ("be a shareholder of", "ORGANIZATION", "ORGANIZATION", "NONE"),
+    ("be own by", "ORGANIZATION", "ORGANIZATION", "NONE"),
     ("discuss", "ORGANIZATION", "ORGANIZATION", "NONE"),
     ("travel to", "PERSON", "LOCATION", "NONE"),
     ("arrive in", "PERSON", "LOCATION", "NONE"),
