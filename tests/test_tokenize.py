@@ -248,3 +248,24 @@ def test_normalize_parentheses_option():
     assert "(" in [t[0] for t in raw]
     for w, o, b, e in tokenize_text(text, {"normalize_parentheses": True}):
         assert text[b:e] == o  # originals still reconstruct the input
+
+
+def test_ssplit_reference_cases():
+    """WordToSentenceProcessorTest.java:66-110 ported: multi-terminator
+    runs, incomplete finals, paren/quote followers, newline non-breaks,
+    leading-follower attachment, abbreviation non-breaks."""
+    def sents(text):
+        spans = [{"kind": "text", "text": text, "media_ref": None, "offset": 0}]
+        tokens, sentences = annotate_doc(spans)
+        return len(sentences)
+
+    assert sents("This should only be one sentence.") == 1
+    assert sents("This should be two sentences.  There is a split.") == 2
+    assert sents("This should be two sentences!!!?!!  There is a split.") == 2
+    assert sents("This should be two sentences.  Second one incomplete") == 2
+    assert sents("One incomplete sentence") == 1
+    assert sents('(Break after a parenthesis.)  (Or after "quoted stuff!")') == 2
+    assert sents("  ") == 0
+    assert sents("This should be\n one sentence.") == 1
+    assert sents("'') Funny stuff joined on.") == 1
+    assert sents("Mr. White got a loaf of bread") == 1
