@@ -37,14 +37,37 @@ GENDER_FIRST_NAMES = {
 }
 
 # canonical casings (truecase dictionary; in production: model-derived table)
-TRUECASE = {
-    "obama": "Obama", "barack": "Barack", "ibm": "IBM", "paris": "Paris",
-    "hawaii": "Hawaii", "google": "Google", "apple": "Apple",
-    "stanford": "Stanford", "university": "University", "berlin": "Berlin",
-    "california": "California", "armonk": "Armonk", "honolulu": "Honolulu",
-    "mccain": "McCain", "curie": "Curie", "february": "February",
-    "january": "January", "i": "I",
-}
+def _build_truecase() -> dict[str, str]:
+    """Most-frequent-casing table (the MFC baseline the reference's CRF
+    truecaser is evaluated against) DERIVED from the engine's own proper-
+    noun inventories — gazetteer phrases, training-corpus name pools,
+    months/days — instead of a hand list. Lowercase-only keys; identity
+    casings are skipped (the annotator only rewrites mismatches)."""
+    table: dict[str, str] = {"i": "I"}
+    try:
+        from corenlp_spark.data.train_corpus import PROPER
+        for name in PROPER:
+            for w in str(name).split():
+                if w[:1].isupper():
+                    table.setdefault(w.lower(), w)
+    except Exception:
+        pass
+    from corenlp_spark.operators.ner import GAZETTEER
+    for phrases in GAZETTEER.values():
+        for ph, wt in phrases:
+            if wt <= 0:
+                continue
+            for w in ph:
+                if w[:1].isupper():
+                    table.setdefault(w.lower(), w)
+    for m in ("January February March April May June July August September "
+              "October November December Monday Tuesday Wednesday Thursday "
+              "Friday Saturday Sunday").split():
+        table.setdefault(m.lower(), m)
+    return table
+
+
+TRUECASE = _build_truecase()
 
 
 def quote_docs(df: DataFrame) -> DataFrame:
