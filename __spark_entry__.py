@@ -1302,22 +1302,43 @@ def oracle_sql() -> dict[str, str]:
             FROM m
         """,
         "lang_id": f"""
-            WITH t AS (SELECT {_TOKENS} AS toks FROM documents),
+            WITH t AS (SELECT text, {_TOKENS} AS toks FROM documents),
             s AS (
-              SELECT
+              SELECT text,
                 len(list_filter(toks, x -> list_contains(['the','and','of','is','with','this'], x))) * 1.0 / greatest(len(toks),1) AS s_en,
                 len(list_filter(toks, x -> list_contains(['der','die','und','ist','mit','das'], x))) * 1.0 / greatest(len(toks),1) AS s_de,
                 len(list_filter(toks, x -> list_contains(['le','la','et','est','avec','les'], x))) * 1.0 / greatest(len(toks),1) AS s_fr,
                 len(list_filter(toks, x -> list_contains(['el','la','y','es','con','los'], x))) * 1.0 / greatest(len(toks),1) AS s_es
               FROM t),
+            sc AS (
+              SELECT *,
+                length(regexp_replace(text, '[^\u3040-\u30ff]', '', 'g')) * 1.0
+                  / greatest(length(regexp_replace(text, '\s', '', 'g')), 1) AS r_ja,
+                length(regexp_replace(text, '[^\uac00-\ud7af]', '', 'g')) * 1.0
+                  / greatest(length(regexp_replace(text, '\s', '', 'g')), 1) AS r_ko,
+                length(regexp_replace(text, '[^\u4e00-\u9fff]', '', 'g')) * 1.0
+                  / greatest(length(regexp_replace(text, '\s', '', 'g')), 1) AS r_zh,
+                length(regexp_replace(text, '[^\u0400-\u04ff]', '', 'g')) * 1.0
+                  / greatest(length(regexp_replace(text, '\s', '', 'g')), 1) AS r_ru,
+                length(regexp_replace(text, '[^\u0600-\u06ff]', '', 'g')) * 1.0
+                  / greatest(length(regexp_replace(text, '\s', '', 'g')), 1) AS r_ar,
+                length(regexp_replace(text, '[^\u0370-\u03ff]', '', 'g')) * 1.0
+                  / greatest(length(regexp_replace(text, '\s', '', 'g')), 1) AS r_el
+              FROM s),
             p AS (
               SELECT CASE
+                WHEN r_ja > 0.2 THEN 'ja'
+                WHEN r_ko > 0.2 THEN 'ko'
+                WHEN r_zh > 0.2 THEN 'zh'
+                WHEN r_ru > 0.2 THEN 'ru'
+                WHEN r_ar > 0.2 THEN 'ar'
+                WHEN r_el > 0.2 THEN 'el'
                 WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
                 WHEN s_es >= s_fr AND s_es >= s_en AND s_es >= s_de THEN 'es'
                 WHEN s_fr >= s_en AND s_fr >= s_de THEN 'fr'
                 WHEN s_en >= s_de THEN 'en'
                 ELSE 'de' END AS pred_lang
-              FROM s)
+              FROM sc)
             SELECT pred_lang, count(*) AS n FROM p GROUP BY 1 ORDER BY 1
         """,
         "ann_cosine_topk": """

@@ -56,8 +56,28 @@ def lang_scores(col) -> list[Column]:
 _LANG_PRIORITY = {"es": 3, "fr": 2, "en": 1, "de": 0}
 
 
+# non-Latin script ranges → language (checked BEFORE the Latin marker
+# argmax; kana before Han so Japanese text with kanji classifies ja)
+SCRIPT_LANGS: list[tuple[str, str, str]] = [
+    ("ja", "\u3040", "\u30ff"),   # hiragana + katakana
+    ("ko", "\uac00", "\ud7af"),   # hangul syllables
+    ("zh", "\u4e00", "\u9fff"),   # CJK unified ideographs
+    ("ru", "\u0400", "\u04ff"),   # cyrillic
+    ("ar", "\u0600", "\u06ff"),   # arabic
+    ("el", "\u0370", "\u03ff"),   # greek
+]
+
+
+def _script_ratio(col, lo: str, hi: str) -> Column:
+    nonspace = F.length(F.regexp_replace(col, r"\s", ""))
+    hits = F.length(F.regexp_replace(col, f"[^{lo}-{hi}]", ""))
+    return hits / F.greatest(nonspace, F.lit(1))
+
+
 def lang_id(col) -> Column:
-    """argmax language with an explicit deterministic tie-break priority."""
+    """Two-stage language id: dominant non-Latin script wins outright
+    (>20% of non-space characters), else the Latin marker-word argmax with
+    a deterministic tie-break priority."""
     toks = tokens(col)
     pairs = [
         F.struct(
@@ -68,7 +88,12 @@ def lang_id(col) -> Column:
         for lang, ws in LANG_MARKERS.items()
     ]
     best = F.array_max(F.array(*pairs))
-    return F.when(best.getField("s") > 0, best.getField("l")).otherwise(F.lit("und"))
+    latin = F.when(best.getField("s") > 0, best.getField("l")).otherwise(F.lit("und"))
+    # script check first: any SCRIPT_LANGS hit short-circuits the markers
+    out = latin
+    for lang, lo, hi in reversed(SCRIPT_LANGS):
+        out = F.when(_script_ratio(col, lo, hi) > 0.2, F.lit(lang)).otherwise(out)
+    return out
 
 
 def quality_score(col) -> Column:

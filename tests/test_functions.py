@@ -258,3 +258,21 @@ def test_real_png_and_wav_feature_kernels(spark):
     f_wav = out["audio://w"]
     assert all(abs(x - 0.5 / 2 ** 0.5) < 0.05 for x in f_wav)  # sine RMS
     assert any(x < 0 for x in out["img://junk"])     # fake path: in [-1,1]
+
+
+def test_lang_id_scripts(spark):
+    """Non-Latin script detection precedes the Latin marker argmax (kana
+    before Han so Japanese-with-kanji is ja, not zh)."""
+    from corenlp_spark.functions.textstats import lang_id
+
+    df = spark.createDataFrame(
+        [("zh", "这是中文文本测试，用于语言识别。"),
+         ("ja", "これは日本語のテストです。漢字もあります。"),
+         ("ko", "한국어 텍스트 샘플입니다"),
+         ("ru", "Это русский текст для теста"),
+         ("ar", "هذا نص عربي للاختبار"),
+         ("el", "Αυτό είναι ελληνικό κείμενο"),
+         ("en", "the cat and the dog with this hat")],
+        "want string, text string")
+    rows = df.select("want", lang_id(F.col("text")).alias("got")).collect()
+    assert all(r.want == r.got for r in rows), [(r.want, r.got) for r in rows]
