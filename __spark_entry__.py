@@ -156,6 +156,27 @@ def q_gopher_quality(spark, sf_dir):
     )
 
 
+def q_dedup_components(spark, sf_dir):
+    """Near-dup CONNECTED COMPONENTS over the minhash pair graph — the
+    operation that turns pair output into dedup decisions (one
+    representative per component). Spark runs iterative min-label
+    propagation (functions/dedup.dup_components); DuckDB replays it as a
+    recursive CTE reachability min — exact agreement required."""
+    from corenlp_spark.functions.dedup import dup_components, minhash_dup_pairs
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text")
+    pairs = minhash_dup_pairs(d, n_bands=4, k=3, threshold=0.5).select(
+        F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b"))
+    comp = dup_components(pairs)
+    return (
+        comp.groupBy("component")
+        .agg(F.count("*").alias("n_members"),
+             F.max("id").alias("max_id"))
+        .orderBy("component")
+    )
+
+
 def q_langid(spark, sf_dir):
     from corenlp_spark.functions.textstats import lang_id
 
@@ -1088,6 +1109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality,
         "gopher_quality": q_gopher_quality,
         "lang_id": q_langid,
+        "dedup_components": q_dedup_components,
         "ann_cosine_topk": q_ann_topk,
         "embedding_dups": q_embedding_dups,
         "events_sessions": q_events_sessions,
@@ -1448,6 +1470,43 @@ def oracle_sql() -> dict[str, str]:
             SELECT band, count(*) AS n_buckets,
                    CAST(sum(bucket_size) AS BIGINT) AS n_docs
             FROM buckets GROUP BY band ORDER BY band
+        """,
+        "dedup_components": f"""
+            WITH toks AS (
+              SELECT doc_id, {_TOKENS} AS tk FROM documents),
+            sh AS (
+              SELECT doc_id, list_distinct(list_transform(
+                       range(0, greatest(len(tk) - 3, 0) + 1),
+                       i -> array_to_string(tk[i+1:i+3], ' '))) AS shingles
+              FROM toks),
+            sig AS (
+              SELECT doc_id, b.band,
+                     list_min(list_transform(shingles,
+                       s -> md5(s || '#' || b.band))) AS mh
+              FROM sh, (SELECT unnest(range(0, 4)) AS band) b),
+            cand AS (
+              SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+              FROM sig x JOIN sig y
+                ON x.band = y.band AND x.mh = y.mh AND x.doc_id < y.doc_id),
+            verified AS (
+              SELECT c.a, c.b
+              FROM cand c
+              JOIN sh sa ON sa.doc_id = c.a
+              JOIN sh sb ON sb.doc_id = c.b
+              WHERE len(list_intersect(sa.shingles, sb.shingles)) * 1.0
+                    / len(list_distinct(sa.shingles || sb.shingles)) >= 0.5),
+            edges AS (
+              SELECT a AS src, b AS dst FROM verified
+              UNION SELECT b, a FROM verified),
+            walk AS (
+              WITH RECURSIVE r(id, label) AS (
+                SELECT src, src FROM edges
+                UNION
+                SELECT e.dst, r.label FROM r JOIN edges e ON e.src = r.id)
+              SELECT id, min(label) AS component FROM r GROUP BY id)
+            SELECT component, count(*) AS n_members,
+                   max(id) AS max_id
+            FROM walk GROUP BY component ORDER BY component
         """,
         "dedup_ngram_jaccard": f"""
             WITH toks AS (

@@ -196,3 +196,52 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
     )
+
+
+def dup_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
+                   max_iter: int = 15) -> DataFrame:
+    """Connected components over a duplicate-pair table → (id, component)
+    with component = min id reachable — the step that turns pair output
+    into actual dedup decisions (keep one representative per component).
+
+    Iterative min-label propagation in pure DataFrame ops: each round is
+    one join + aggregation (shuffle on id), and the loop exits as soon as
+    no label changes — the standard large-graph components recipe when a
+    graph library isn't part of the stack. Near-dup graphs are
+    shallow-diameter (duplicates of a page form cliques through the
+    banding), so convergence is a handful of rounds; ``max_iter`` bounds
+    adversarial chains. Deterministic."""
+    from pyspark.sql import functions as F
+
+    fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.id)
+            .groupBy(F.col("dst").alias("id2"))
+            .agg(F.min("component").alias("nmin"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.id == neighbor_min.id2, "left")
+            .select(
+                "id",
+                F.least(F.col("component"),
+                        F.coalesce(F.col("nmin"), F.col("component"))
+                        ).alias("component"),
+                (F.coalesce(F.col("nmin"), F.col("component"))
+                 < F.col("component")).alias("_changed"),
+            )
+        )
+        updated = updated.localCheckpoint(eager=True)
+        n_changed = updated.filter(F.col("_changed")).count()
+        labels = updated.drop("_changed")
+        if n_changed == 0:
+            break
+    return labels

@@ -276,3 +276,16 @@ def test_lang_id_scripts(spark):
         "want string, text string")
     rows = df.select("want", lang_id(F.col("text")).alias("got")).collect()
     assert all(r.want == r.got for r in rows), [(r.want, r.got) for r in rows]
+
+
+def test_dup_components(spark):
+    """Min-label propagation finds connected components of the dup graph:
+    chains collapse to one component, singletons absent from pairs are
+    untouched, convergence is early-exit deterministic."""
+    from corenlp_spark.functions.dedup import dup_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (7, 8), (8, 9), (9, 7)],
+        "id_a long, id_b long")
+    got = {r.id: r.component for r in dup_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 7: 7, 8: 7, 9: 7}
