@@ -289,3 +289,37 @@ def test_dup_components(spark):
         "id_a long, id_b long")
     got = {r.id: r.component for r in dup_components(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 7: 7, 8: 7, 9: 7}
+
+
+def test_real_png_resize_roundtrip(spark):
+    """resize_images really resizes PNG payloads: the output is a valid
+    PNG of the target dimensions whose pixels came from the source
+    (nearest neighbor); non-PNG payloads pass through untouched."""
+    import struct
+    import zlib
+
+    from corenlp_spark.functions.multimodal import (
+        _png_pixels, resize_images,
+    )
+
+    def make_png(w, h, rgb):
+        raw = b"".join(b"\x00" + bytes(rgb) * w for _ in range(h))
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        def chunk(typ, data):
+            return (struct.pack(">I", len(data)) + typ + data
+                    + struct.pack(">I", zlib.crc32(typ + data)))
+        return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+    png = make_png(16, 12, (30, 180, 90))
+    media = spark.createDataFrame(
+        [("d1", "img://big", 0, png, "img"),
+         ("d1", "img://junk", 1, b"junk", "img")],
+        "doc_id string, media_ref string, offset int, payload binary, media_type string")
+    out = {r.media_ref: r for r in resize_images(media, 4, 3).collect()}
+    assert out["img://big"].resized
+    px = _png_pixels(bytes(out["img://big"].resized_payload))
+    assert px.shape == (3, 4, 3)
+    assert tuple(int(x) for x in px[0, 0]) == (30, 180, 90)
+    assert not out["img://junk"].resized
+    assert bytes(out["img://junk"].resized_payload) == b"junk"
