@@ -241,6 +241,27 @@ KBP_SEMGREX: list[tuple[str, str, str, str, str]] = [
      "ORGANIZATION", "ORGANIZATION", "org:subsidiaries", "semgrex"),
     ("{lemma:locate} >nsubj {ner:ORGANIZATION}=s >nmod:in {ner:LOCATION}=o",
      "ORGANIZATION", "LOCATION", "org:city_of_headquarters", "semgrex"),
+    # r3 widening: death/charge/study/marriage/employment frames
+    ("{lemma:die} >nsubj {ner:PERSON}=s >nmod:of {ner:CAUSE_OF_DEATH}=o",
+     "PERSON", "CAUSE_OF_DEATH", "per:cause_of_death", "semgrex"),
+    ("{lemma:die} >nsubj {ner:PERSON}=s >nmod:on {ner:DATE}=o",
+     "PERSON", "DATE", "per:date_of_death", "semgrex"),
+    ("{lemma:charge} >nsubj {ner:PERSON}=s >nmod:with {ner:CRIMINAL_CHARGE}=o",
+     "PERSON", "CRIMINAL_CHARGE", "per:charges", "semgrex"),
+    ("{lemma:marry} >nsubj {ner:PERSON}=s >obj {ner:PERSON}=o",
+     "PERSON", "PERSON", "per:spouse", "semgrex"),
+    ("{lemma:attend} >nsubj {ner:PERSON}=s >obj {ner:ORGANIZATION}=o",
+     "PERSON", "ORGANIZATION", "per:schools_attended", "semgrex"),
+    ("{lemma:graduate} >nsubj {ner:PERSON}=s >nmod:from {ner:ORGANIZATION}=o",
+     "PERSON", "ORGANIZATION", "per:schools_attended", "semgrex"),
+    ("{lemma:employ} >nsubj {ner:ORGANIZATION}=s >obj ({} >nummod {ner:NUMBER}=o)",
+     "ORGANIZATION", "NUMBER", "org:number_of_employees_members", "semgrex"),
+    ("{lemma:hire} >nsubj {ner:ORGANIZATION}=s >obj {ner:PERSON}=o",
+     "ORGANIZATION", "PERSON", "org:top_members_employees", "semgrex"),
+    ("{lemma:found} >nsubj:pass {ner:ORGANIZATION}=s >nmod:by {ner:PERSON}=o",
+     "ORGANIZATION", "PERSON", "org:founded_by", "semgrex"),
+    ("{lemma:live} >nsubj {ner:PERSON}=s >nmod:in {ner:LOCATION}=o",
+     "PERSON", "LOCATION", "per:cities_of_residence", "semgrex"),
 ]
 
 

@@ -285,12 +285,14 @@ def lemmatize(word: str, pos: str) -> str:
             return _VERB_EXC[lw]
         if lw in ("'s", "’s"):
             return "be" if pos == "VBZ" else lw
-        if lw in _NOUN_EXC:
-            return _NOUN_EXC[lw]
-        if lw == "olympics" or lw.endswith("ese"):
-            return word  # Olympics / Chinese: invariant, case preserved
-        if lw in _PLURAL_INVARIANT:
-            return lw
+        if pos.startswith("NNS"):
+            # noun-only exceptions: "lives"/VBZ must stay the verb live
+            if lw in _NOUN_EXC:
+                return _NOUN_EXC[lw]
+            if lw == "olympics" or lw.endswith("ese"):
+                return word  # Olympics / Chinese: invariant, case preserved
+            if lw in _PLURAL_INVARIANT:
+                return lw
         if lw.endswith(("'s", "’s")) and len(lw) <= 4:
             return lw[:-2]  # K's → k
         if word[:-1].isupper() and word.endswith("s"):
@@ -306,12 +308,14 @@ def lemmatize(word: str, pos: str) -> str:
         if lw.endswith("'d"):
             return lw[:-2]  # ski'd → ski
         if lw.endswith("ied"):
-            return lw[:-3] + "y"
+            # short stems keep the ie: died→die, lied→lie; else tried→try
+            return lw[:-1] if len(lw) <= 4 else lw[:-3] + "y"
         if lw.endswith("ed"):
             stem = lw[:-2]
             if len(stem) > 2 and stem[-1] == stem[-2] and stem[-1] not in _VOWELS:
                 return _undouble(stem)
-            if stem.endswith(("at", "iv", "iz", "us", "ir", "ag", "ac", "qu")) \
+            if stem.endswith(("at", "iv", "iz", "us", "ir", "ag", "ac", "qu",
+                              "rg", "dg", "nc", "rs", "ns")) \
                     or stem.endswith("creat"):
                 return stem + "e"
             return _restore_e(stem)

@@ -80,3 +80,25 @@ def test_stem_statics():
     assert lemmatize("John", "NNP") == "John"
     assert lemmatize("hunting", "VBG") == "hunt"
     assert lemmatize("hunted", "VBD") == "hunt"
+
+
+def test_ied_and_consonant_e_stems():
+    # r3 regression pins: short -ied keeps ie; rg/dg/nc stems regain e
+    assert lemmatize("died", "VBD") == "die"
+    assert lemmatize("lied", "VBD") == "lie"
+    assert lemmatize("tried", "VBD") == "try"
+    assert lemmatize("studied", "VBD") == "study"
+    assert lemmatize("charged", "VBN") == "charge"
+    assert lemmatize("merged", "VBD") == "merge"
+    assert lemmatize("judged", "VBD") == "judge"
+    assert lemmatize("danced", "VBD") == "dance"
+    assert lemmatize("urged", "VBD") == "urge"
+    assert lemmatize("licensed", "VBN") == "license"
+    assert lemmatize("cleansed", "VBD") == "cleanse"
+
+
+def test_verb_vs_noun_s_forms():
+    assert lemmatize("lives", "VBZ") == "live"
+    assert lemmatize("lives", "NNS") == "life"
+    assert lemmatize("leaves", "VBZ") == "leave"
+    assert lemmatize("leaves", "NNS") == "leaf"
