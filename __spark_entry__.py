@@ -1335,17 +1335,17 @@ def oracle_sql() -> dict[str, str]:
             sc AS (
               SELECT *,
                 length(regexp_replace(text, '[^\u3040-\u30ff]', '', 'g')) * 1.0
-                  / greatest(length(regexp_replace(text, '\s', '', 'g')), 1) AS r_ja,
+                  / greatest(length(regexp_replace(text, '[ \\t\\n]', '', 'g')), 1) AS r_ja,
                 length(regexp_replace(text, '[^\uac00-\ud7af]', '', 'g')) * 1.0
-                  / greatest(length(regexp_replace(text, '\s', '', 'g')), 1) AS r_ko,
+                  / greatest(length(regexp_replace(text, '[ \\t\\n]', '', 'g')), 1) AS r_ko,
                 length(regexp_replace(text, '[^\u4e00-\u9fff]', '', 'g')) * 1.0
-                  / greatest(length(regexp_replace(text, '\s', '', 'g')), 1) AS r_zh,
+                  / greatest(length(regexp_replace(text, '[ \\t\\n]', '', 'g')), 1) AS r_zh,
                 length(regexp_replace(text, '[^\u0400-\u04ff]', '', 'g')) * 1.0
-                  / greatest(length(regexp_replace(text, '\s', '', 'g')), 1) AS r_ru,
+                  / greatest(length(regexp_replace(text, '[ \\t\\n]', '', 'g')), 1) AS r_ru,
                 length(regexp_replace(text, '[^\u0600-\u06ff]', '', 'g')) * 1.0
-                  / greatest(length(regexp_replace(text, '\s', '', 'g')), 1) AS r_ar,
+                  / greatest(length(regexp_replace(text, '[ \\t\\n]', '', 'g')), 1) AS r_ar,
                 length(regexp_replace(text, '[^\u0370-\u03ff]', '', 'g')) * 1.0
-                  / greatest(length(regexp_replace(text, '\s', '', 'g')), 1) AS r_el
+                  / greatest(length(regexp_replace(text, '[ \\t\\n]', '', 'g')), 1) AS r_el
               FROM s),
             p AS (
               SELECT CASE
