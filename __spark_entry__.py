@@ -806,6 +806,35 @@ def q_events_pivot(spark, sf_dir):
     )
 
 
+def q_events_funnel(spark, sf_dir):
+    """Ordered funnel: per user, did a view precede a click that preceded a
+    purchase (first-occurrence ordering — the sequential-pattern relational
+    shape)? Window mins per event type, then staged boolean algebra."""
+    ev = _t(spark, sf_dir, "events")
+    firsts = (
+        ev.filter(F.col("event_type").isin("view", "click", "purchase"))
+        .groupBy("user_id")
+        .pivot("event_type", ["view", "click", "purchase"])
+        .agg(F.min("ts"))
+    )
+    staged = firsts.select(
+        "user_id",
+        F.col("view").isNotNull().alias("s_view"),
+        (F.col("view").isNotNull() & F.col("click").isNotNull()
+         & (F.col("click") >= F.col("view"))).alias("s_click"),
+        (F.col("view").isNotNull() & F.col("click").isNotNull()
+         & F.col("purchase").isNotNull()
+         & (F.col("click") >= F.col("view"))
+         & (F.col("purchase") >= F.col("click"))).alias("s_purchase"),
+    )
+    return staged.agg(
+        F.count("*").alias("n_users"),
+        F.sum(F.col("s_view").cast("long")).alias("reached_view"),
+        F.sum(F.col("s_click").cast("long")).alias("reached_click"),
+        F.sum(F.col("s_purchase").cast("long")).alias("reached_purchase"),
+    )
+
+
 def q_kg_kbp_ensemble(spark, sf_dir):
     """3-arm KBP ensemble over the golden pool PLUS the widened KBP pool
     (data/kbp_corpus.py — ~20 distinct relations of the reference taxonomy,
@@ -1116,6 +1145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_daily": q_events_daily,
         "events_asof": q_events_asof,
         "events_pivot": q_events_pivot,
+        "events_funnel": q_events_funnel,
         "mention_chunks": q_mention_chunks_sql,
         "entity_link_dict": q_entity_link_sql,
         "kg_triples": q_kg_triples,
@@ -1470,6 +1500,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT band, count(*) AS n_buckets,
                    CAST(sum(bucket_size) AS BIGINT) AS n_docs
             FROM buckets GROUP BY band ORDER BY band
+        """,
+        "events_funnel": """
+            WITH firsts AS (
+              SELECT user_id,
+                     min(CASE WHEN event_type = 'view' THEN ts END) AS v,
+                     min(CASE WHEN event_type = 'click' THEN ts END) AS c,
+                     min(CASE WHEN event_type = 'purchase' THEN ts END) AS p
+              FROM events
+              WHERE event_type IN ('view', 'click', 'purchase')
+              GROUP BY user_id)
+            SELECT count(*) AS n_users,
+                   CAST(sum((v IS NOT NULL)::int) AS BIGINT) AS reached_view,
+                   CAST(sum((v IS NOT NULL AND c IS NOT NULL AND c >= v)::int)
+                        AS BIGINT) AS reached_click,
+                   CAST(sum((v IS NOT NULL AND c IS NOT NULL AND p IS NOT NULL
+                             AND c >= v AND p >= c)::int) AS BIGINT)
+                     AS reached_purchase
+            FROM firsts
         """,
         "dedup_components": f"""
             WITH toks AS (

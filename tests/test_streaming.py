@@ -189,3 +189,26 @@ def test_trained_ivf_centroids_recover_clusters(spark):
            for r in ivf_ann_pairs(emb, dim=16, threshold=0.9,
                                   centroids=cents).collect()}
     assert exact <= ivf
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: duplicate events arriving inside the
+    watermark window are emitted once — the streaming dedup primitive for
+    at-least-once sources."""
+    import shutil
+
+    d = tmp_path / "ev"
+    d.mkdir()
+    shutil.copy("/root/testdata/sf0.001/events.parquet", d / "a.parquet")
+    shutil.copy("/root/testdata/sf0.001/events.parquet", d / "b.parquet")  # dup batch
+    schema = ("event_id long, ts timestamp, user_id long, event_type string, "
+              "value double, props string")
+    ev = (spark.readStream.schema(schema).parquet(str(d))
+          .withWatermark("ts", "1 hour")
+          .dropDuplicatesWithinWatermark(["event_id"]))
+    q = (ev.writeStream.outputMode("append").format("memory")
+         .queryName("t_dedup_wm").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    n = spark.sql("select count(*) from t_dedup_wm").first()[0]
+    base = spark.read.parquet("/root/testdata/sf0.001/events.parquet").count()
+    assert n == base  # each duplicated event emitted exactly once
