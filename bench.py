@@ -71,8 +71,9 @@ def main() -> None:
         "dedup_minhash", "dedup_simhash", "dedup_ngram_jaccard",
         "doc_fingerprint", "rolling_fingerprints", "token_count",
         "quality_score", "lang_id", "ann_cosine_topk", "embedding_dups",
-        "events_sessions", "events_daily", "mention_chunks",
-        "entity_link_dict",
+        "events_sessions", "events_daily", "events_funnel",
+        "mention_chunks", "entity_link_dict", "gopher_quality",
+        "dedup_components",
     ]
     qfns = em.queries()
     # untimed per-query warm-up at the smallest sf: first execution of each
