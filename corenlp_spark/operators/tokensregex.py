@@ -17,6 +17,10 @@ Patterns compile once on the driver into an NFA; matching runs inside
 Arrow-batched UDFs (the multi-pattern annotator below broadcasts the compiled
 rules and gates them with a first-token trigger index, the
 ``CoreMapNodePatternTrigger.java`` trick).
+
+Scope note: alternation and {n,m} repeats are
+supported; QUANTIFIED GROUPS ((…)+ / (…)*) are not — none of the KBP /
+regexner rule inventories need them (SURVEY §2.3 subset-by-design).
 """
 
 from __future__ import annotations
