@@ -110,6 +110,26 @@ def detect_mentions(tokens: list[dict], sentences: list[dict]) -> list[Mention]:
                     i = j
                     continue
             i += 1
+    # coordination NPs: adjacent entity mentions joined by "and" form a
+    # plural mention spanning both conjuncts (dcoref's MentionExtractor
+    # emits coordination NPs; "John Smith and Mary Smith … They")
+    by_sent_pos = {(m.sent, m.start): m for m in mentions}
+    coords = []
+    for m in mentions:
+        if m.kind != "entity":
+            continue
+        # token at m.end must be "and", next mention starts at m.end+1
+        nxt = by_sent_pos.get((m.sent, m.end + 1))
+        if nxt is None or nxt.kind != "entity":
+            continue
+        if tokens[m.end]["word"].lower() != "and":
+            continue
+        text = " ".join(tokens[k]["word"] for k in range(m.start, nxt.end))
+        coords.append(Mention(m.sent, m.start, nxt.end, text,
+                              nxt.head_idx, nxt.head_word, "coordination",
+                              m.ner if m.ner == nxt.ner else "MISC"))
+    mentions.extend(coords)
+    mentions.sort(key=lambda m: (m.sent, m.start, -(m.end)))
     return mentions
 
 
@@ -162,10 +182,10 @@ def run_sieves(mentions: list[Mention], tokens: list[dict] | None = None) -> Non
 
     # Sieve 1-2: exact / relaxed (determiner-stripped) string match, non-pronoun
     for i in range(n):
-        if mentions[i].kind == "pronoun":
+        if mentions[i].kind in ("pronoun", "coordination"):
             continue
         for j in antecedents(i):
-            if mentions[j].kind == "pronoun":
+            if mentions[j].kind in ("pronoun", "coordination"):
                 continue
             if mentions[i].text.lower() == mentions[j].text.lower() or \
                     _strip_det(mentions[i].text) == _strip_det(mentions[j].text):
@@ -188,11 +208,11 @@ def run_sieves(mentions: list[Mention], tokens: list[dict] | None = None) -> Non
     if tokens is not None:
         for i in range(n):
             mi = mentions[i]
-            if mi.kind == "pronoun":
+            if mi.kind in ("pronoun", "coordination"):
                 continue
             for j in antecedents(i, 10):
                 mj = mentions[j]
-                if mj.kind == "pronoun" or mj.sent != mi.sent or mj.end > mi.start:
+                if mj.kind in ("pronoun", "coordination") or mj.sent != mi.sent or mj.end > mi.start:
                     continue
                 between = [tokens[k]["word"].lower()
                            for k in range(mj.end, mi.start)]
@@ -234,11 +254,11 @@ def run_sieves(mentions: list[Mention], tokens: list[dict] | None = None) -> Non
     # Dictionaries.demonyms): "French" ↔ "France"
     for i in range(n):
         mi = mentions[i]
-        if mi.kind == "pronoun":
+        if mi.kind in ("pronoun", "coordination"):
             continue
         for j in antecedents(i):
             mj = mentions[j]
-            if mj.kind == "pronoun":
+            if mj.kind in ("pronoun", "coordination"):
                 continue
             if _dict.demonym_match(_strip_det(mi.text), _strip_det(mj.text)):
                 union(i, j)
@@ -246,11 +266,11 @@ def run_sieves(mentions: list[Mention], tokens: list[dict] | None = None) -> Non
     # Sieve 4: strict head match 1 (same head word, same NER class)
     for i in range(n):
         mi = mentions[i]
-        if mi.kind == "pronoun":
+        if mi.kind in ("pronoun", "coordination"):
             continue
         for j in antecedents(i):
             mj = mentions[j]
-            if mj.kind == "pronoun":
+            if mj.kind in ("pronoun", "coordination"):
                 continue
             if mi.head_word.lower() == mj.head_word.lower() and mi.ner == mj.ner \
                     and _genders_agree(mi, mj):
@@ -261,12 +281,12 @@ def run_sieves(mentions: list[Mention], tokens: list[dict] | None = None) -> Non
     # Rules.java:216-248 entityWordsIncluded)
     for i in range(n):
         mi = mentions[i]
-        if mi.kind == "pronoun":
+        if mi.kind in ("pronoun", "coordination"):
             continue
         wi = set(_strip_det(mi.text).split())
         for j in antecedents(i):
             mj = mentions[j]
-            if mj.kind == "pronoun":
+            if mj.kind in ("pronoun", "coordination"):
                 continue
             if mi.head_word.lower() != mj.head_word.lower():
                 continue
@@ -353,6 +373,8 @@ def run_sieves(mentions: list[Mention], tokens: list[dict] | None = None) -> Non
             # component): plural pronouns need plural nominals or ORG
             # entities; singular pronouns reject plural nominals
             if _num == "plur":
+                if mj.kind == "coordination":
+                    return True  # conjoined NP is inherently plural
                 if mj.kind == "entity" and mj.ner == "PERSON":
                     return False
                 if mj.kind == "nominal" and not _plural_nominal(mj):

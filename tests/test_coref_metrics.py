@@ -31,10 +31,11 @@ EVAL_DOCS = [
      [{(0, "The president"), (0, "Hugo Ellison"), (1, "His")}]),
     ('"We will not lose," said Maria Quinn. She smiled.',
      [{(0, "Maria Quinn"), (1, "She")}]),
-    # distinct people sharing a surname must NOT merge; the set-denoting
-    # plural pronoun stays unlinked under gold-mentions-given
+    # distinct people sharing a surname must NOT merge; the plural pronoun
+    # resolves to the coordination NP spanning both conjuncts
     ("John Smith and Mary Smith arrived. They sat down. Mr. Smith spoke first.",
-     [{(0, "John Smith"), (2, "Mr. Smith")}]),
+     [{(0, "John Smith"), (2, "Mr. Smith")},
+      {(0, "John Smith and Mary Smith"), (1, "They")}]),
     ("Google acquired the startup. Google kept its employees.",
      [{(0, "Google"), (1, "Google"), (1, "its")}]),
     ("The report was finished on Friday. The report cited three studies. "
