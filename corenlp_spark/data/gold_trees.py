@@ -1224,6 +1224,98 @@ _SENTS: list[str] = [
     long JJ 5 amod
     books NNS 3 obj
     . . 3 punct""",
+    """The figures were encouraging .
+    The DT 2 det
+    figures NNS 4 nsubj
+    were VBD 4 cop
+    encouraging JJ 0 root
+    . . 4 punct""",
+    """The numbers were alarming .
+    The DT 2 det
+    numbers NNS 4 nsubj
+    were VBD 4 cop
+    alarming JJ 0 root
+    . . 4 punct""",
+    """The sign near the door points to Berlin .
+    The DT 2 det
+    sign NN 6 nsubj
+    near IN 5 case
+    the DT 5 det
+    door NN 2 nmod:near
+    points VBZ 0 root
+    to IN 8 case
+    Berlin NNP 6 nmod:to
+    . . 6 punct""",
+    """The letter from the bank refers to Paris .
+    The DT 2 det
+    letter NN 6 nsubj
+    from IN 5 case
+    the DT 5 det
+    bank NN 2 nmod:from
+    refers VBZ 0 root
+    to IN 8 case
+    Paris NNP 6 nmod:to
+    . . 6 punct""",
+    """The ceremony was in Berlin .
+    The DT 2 det
+    ceremony NN 5 nsubj
+    was VBD 5 cop
+    in IN 5 case
+    Berlin NNP 0 root
+    . . 5 punct""",
+    """The lecture was on Monday .
+    The DT 2 det
+    lecture NN 5 nsubj
+    was VBD 5 cop
+    on IN 5 case
+    Monday NNP 0 root
+    . . 5 punct""",
+    """The law was signed in a ceremony .
+    The DT 2 det
+    law NN 4 nsubj:pass
+    was VBD 4 aux:pass
+    signed VBN 0 root
+    in IN 7 case
+    a DT 7 det
+    ceremony NN 4 nmod:in
+    . . 4 punct""",
+    """The paper was printed in a hurry .
+    The DT 2 det
+    paper NN 4 nsubj:pass
+    was VBD 4 aux:pass
+    printed VBN 0 root
+    in IN 7 case
+    a DT 7 det
+    hurry NN 4 nmod:in
+    . . 4 punct""",
+    """The team 's captain resigned .
+    The DT 2 det
+    team NN 4 nmod:poss
+    's POS 2 case
+    captain NN 5 nsubj
+    resigned VBD 0 root
+    . . 5 punct""",
+    """The city 's mayor spoke .
+    The DT 2 det
+    city NN 4 nmod:poss
+    's POS 2 case
+    mayor NN 5 nsubj
+    spoke VBD 0 root
+    . . 5 punct""",
+    """He gave her the keys .
+    He PRP 2 nsubj
+    gave VBD 0 root
+    her PRP 2 iobj
+    the DT 5 det
+    keys NNS 2 obj
+    . . 2 punct""",
+    """They offered him a contract .
+    They PRP 2 nsubj
+    offered VBD 0 root
+    him PRP 2 iobj
+    a DT 5 det
+    contract NN 2 obj
+    . . 2 punct""",
     """The president of Meridian Institute , Hugo Ellison , resigned .
     The DT 2 det
     president NN 10 nsubj
@@ -1246,6 +1338,28 @@ _SENTS: list[str] = [
 # gets a consistent signal for exactly these token sequences.
 # ---------------------------------------------------------------------------
 _ANCHOR_SENTS: list[str] = [
+    """Barack Obama was born in Hawaii .
+    Barack NNP 2 compound
+    Obama NNP 4 nsubj:pass
+    was VBD 4 aux:pass
+    born VBN 0 root
+    in IN 6 case
+    Hawaii NNP 4 nmod:in
+    . . 4 punct""",
+    """Chris Manning works for Stanford University .
+    Chris NNP 2 compound
+    Manning NNP 3 nsubj
+    works VBZ 0 root
+    for IN 6 case
+    Stanford NNP 6 compound
+    University NNP 3 nmod:for
+    . . 3 punct""",
+    """Tom and Jerry have tails
+    Tom NNP 4 nsubj
+    and CC 3 cc
+    Jerry NNP 1 conj
+    have VBP 0 root
+    tails NNS 4 obj""",
     """On 21 February 2013 George Boyd joined on loan from Peterborough United for the remainder of the season .
     On IN 4 case
     21 CD 4 nummod
