@@ -217,6 +217,10 @@ def dup_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
     edges = fwd.unionByName(
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct()
+    # materialize ONCE: every iteration joins edges, and without this the
+    # whole upstream pair pipeline (LSH bucketing + verification) would
+    # recompute per round
+    edges = edges.localCheckpoint(eager=True)
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
