@@ -366,6 +366,8 @@ def _resolve(words: list[str], lower: list[str], docdate: datetime.date):
             qty = NUMBER_WORDS[w]
         elif w.isascii() and w.isdigit():
             qty = int(w)
+        elif w in ("a", "an") and i + 1 < n and lower[i + 1] in _UNIT:
+            qty = 1  # "a week ago" / "in an hour" — article-as-one
         # duration ranges: "2-3 weeks" (one NUMRANGE token) and
         # "two to three weeks" → interval-of-durations "P2W/P3W"
         # (SUTime range types over durations, time/SUTime.java)

@@ -122,11 +122,14 @@ def test_sutime_week_arithmetic_duration_ranges_months(spark):
         "She left two weeks ago. He returns in three days.",
         "The trial lasts 2-3 weeks. Recovery takes two to four months.",
         "They met last March. The launch is next March. Sales rose last month.",
+        "He left a week ago.",
     ]), fixed="2020-06-15")
     rows = sutime_docs(annotate(docs, upto="ner")).collect()
     maps = [_tok_map(r) for r in rows]
     assert maps[0]["week"] == ("DATE", "2020-W23")
     assert maps[1]["ago"] == ("DATE", "2020-W23")
+    # article-as-one offsets
+    assert maps[4]["week"] == ("DATE", "2020-W24")
     assert maps[1]["days"] == ("DATE", "2020-06-18")
     assert maps[2]["2-3"] == ("DURATION", "P2W/P3W")
     assert maps[2]["four"] == ("DURATION", "P2M/P4M")
