@@ -115,7 +115,7 @@ _RULES = [
     # the digits ("779.5 -9.5 %" vs "2 - 9.5 %")
     ("NEGNUM", r"(?<!\S)-\d+(?:,\d{3})*(?:\.\d+)?(?![\w-])"),
     ("VERSION", r"\d+\.[A-Za-z]\w*"),  # Windows 3.x
-    ("NUMPLURAL", r"\d+s(?!\w)"),  # decades/plural numbers: 1990s, 60s
+    ("NUMPLURAL", r"['’]?\d+s(?!\w)"),  # decades/plural numbers: 1990s, '60s
     ("NUMBER", r"\d{1,3}(?:,\d{3})+(?:\.\d+)?|\d+\.\d+|\d+"),
     ("PROGLANG", r"[A-Za-z]#"),
     ("CENSORED", r"[A-Za-z]+\*+[A-Za-z*]*"),

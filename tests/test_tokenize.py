@@ -269,3 +269,8 @@ def test_ssplit_reference_cases():
     assert sents("This should be\n one sentence.") == 1
     assert sents("'') Funny stuff joined on.") == 1
     assert sents("Mr. White got a loaf of bread") == 1
+
+
+def test_apostrophe_decade():
+    assert [t[0] for t in tokenize_text("music of the '60s era")] == \
+        ["music", "of", "the", "'60s", "era"]
