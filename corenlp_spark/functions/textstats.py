@@ -69,15 +69,23 @@ SCRIPT_LANGS: list[tuple[str, str, str]] = [
 
 
 def _script_ratio(col, lo: str, hi: str) -> Column:
-    nonspace = F.length(F.regexp_replace(col, r"\s", ""))
-    hits = F.length(F.regexp_replace(col, f"[^{lo}-{hi}]", ""))
+    """Share of non-space characters inside [lo, hi] — counted with
+    regexp_count (a scan, no replaced-string allocation)."""
+    nonspace = F.length(col) - F.regexp_count(col, F.lit(r"\s"))
+    hits = F.regexp_count(col, F.lit(f"[{lo}-{hi}]"))
     return hits / F.greatest(nonspace, F.lit(1))
 
 
 def lang_id(col) -> Column:
     """Two-stage language id: dominant non-Latin script wins outright
     (>20% of non-space characters), else the Latin marker-word argmax with
-    a deterministic tie-break priority."""
+    a deterministic tie-break priority.
+
+    Single-pass shape (VERDICT r3 #3/#8): an ASCII guard (`rlike` stops at
+    the first non-ASCII byte) gates the six per-script counts, so a pure-
+    ASCII document pays ONE text scan instead of eight; non-ASCII documents
+    use allocation-free regexp_count scans. Every script range is
+    non-ASCII, so the guard never changes the decision."""
     toks = tokens(col)
     pairs = [
         F.struct(
@@ -90,10 +98,10 @@ def lang_id(col) -> Column:
     best = F.array_max(F.array(*pairs))
     latin = F.when(best.getField("s") > 0, best.getField("l")).otherwise(F.lit("und"))
     # script check first: any SCRIPT_LANGS hit short-circuits the markers
-    out = latin
+    script = latin
     for lang, lo, hi in reversed(SCRIPT_LANGS):
-        out = F.when(_script_ratio(col, lo, hi) > 0.2, F.lit(lang)).otherwise(out)
-    return out
+        script = F.when(_script_ratio(col, lo, hi) > 0.2, F.lit(lang)).otherwise(script)
+    return F.when(col.rlike("[^\\x00-\\x7F]"), script).otherwise(latin)
 
 
 def quality_score(col) -> Column:

@@ -205,52 +205,357 @@ class ArcStandardParser:
         self._pen_arc_only = np.where(arc, 0.0, ninf)
         self._pen_all = np.where(arc | shift, 0.0, ninf)
 
+    def _ensure_batch_matrices(self):
+        """Batched-decode precompute (SURVEY §2.2 depparse row: step all
+        non-finished configurations per iteration): one dense (F+1, A)
+        weight matrix whose rows are exactly the per-feature action vectors
+        of ``_ensure_action_vectors`` plus a zero row for unknown features —
+        adding a zero row is bitwise-identical to skipping a missing
+        feature, so parse_batch reproduces parse() exactly.
+
+        Also builds the feature-resolution caches — the analog of the
+        reference's precomputed hidden-layer products for frequent features
+        (``parser/nndep/DependencyParser.java:109,313``): feature STRINGS
+        are only ever constructed once per distinct value; afterwards the
+        row id is recovered from int-keyed memo dicts (POS/label ids) or
+        per-sentence per-token arrays, never by rebuilding the string."""
+        if getattr(self, "_W", None) is not None:
+            return
+        import numpy as np
+
+        self._ensure_action_vectors()
+        A = len(self._acts_desc)
+        feats = sorted(self._avec)
+        self._fid = {f: i for i, f in enumerate(feats)}
+        W = np.zeros((len(feats) + 1, A))
+        for f, i in self._fid.items():
+            W[i] = self._avec[f]
+        self._W = W
+        self._zrow = len(feats)
+        # lazy id registries (bounded domains: POS tags, dependency labels)
+        self._pid: dict[str, int] = {}
+        self._pstr: list[str] = []        # pid → pos string
+        self._lid: dict[str, int] = {"<null>": 0}
+        self._lstr: list[str] = ["<null>"]
+        # int-keyed memo caches for the step-dynamic templates
+        self._memo: dict[tuple, int] = {}
+        # (word, pos) → 19-row tuple; Zipfian token distribution makes the
+        # hit rate ≈ 1 — capped so a pathological vocabulary cannot grow an
+        # executor's memory without bound (beyond the cap, rows are built
+        # per sentence as before)
+        self._tokrow_cache: dict[tuple[str, str], tuple] = {}
+        self._tokrow_cap = 500_000
+        self._bias_row = self._fid.get("bias", self._zrow)
+
+    def _pos_id(self, p: str) -> int:
+        i = self._pid.get(p)
+        if i is None:
+            i = len(self._pstr)
+            self._pid[p] = i
+            self._pstr.append(p)
+        return i
+
+    def _lab_id(self, r: str) -> int:
+        i = self._lid.get(r)
+        if i is None:
+            i = len(self._lstr)
+            self._lid[r] = i
+            self._lstr.append(r)
+        return i
+
+    # per-token template names resolved once per sentence (the word/POS of a
+    # token never changes during the parse) — template order is meaningful
+    # only to _TOK_ROWS consumers, not to scoring
+    _TOK_TMPLS = ("s1w", "s1p", "s1wp", "s2w", "s2p", "s2wp", "s3p",
+                  "b1w", "b1p", "b1wp", "b2p", "b2w", "b3p",
+                  "s1lcp", "s1rcp", "s2lcp", "s2rcp", "s1lcw", "s2rcw")
+
+    def _tok_rows(self, words, pos):
+        """(n+1) × 19 row-id table; row n = the <null> position. Exactly the
+        strings _features builds, each built once per distinct (word, pos)
+        and cached across sentences."""
+        fget = self._fid.get
+        z = self._zrow
+        cache = self._tokrow_cache
+        under_cap = len(cache) < self._tokrow_cap
+        out = []
+        for t in range(len(words)):
+            key = (words[t], pos[t])
+            rows = cache.get(key)
+            if rows is None:
+                w = words[t].lower()
+                p = pos[t]
+                wp = f"{w}+{p}"
+                rows = (
+                    fget(f"s1w={w}", z), fget(f"s1p={p}", z),
+                    fget(f"s1wp={wp}", z),
+                    fget(f"s2w={w}", z), fget(f"s2p={p}", z),
+                    fget(f"s2wp={wp}", z),
+                    fget(f"s3p={p}", z),
+                    fget(f"b1w={w}", z), fget(f"b1p={p}", z),
+                    fget(f"b1wp={wp}", z),
+                    fget(f"b2p={p}", z), fget(f"b2w={w}", z),
+                    fget(f"b3p={p}", z),
+                    fget(f"s1lcp={p}", z), fget(f"s1rcp={p}", z),
+                    fget(f"s2lcp={p}", z), fget(f"s2rcp={p}", z),
+                    fget(f"s1lcw={w}", z), fget(f"s2rcw={w}", z),
+                )
+                if under_cap:
+                    cache[key] = rows
+            out.append(rows)
+        nul = getattr(self, "_null_tokrow", None)
+        if nul is None:
+            nul = self._null_tokrow = (
+                fget("s1w=<null>", z), fget("s1p=<null>", z),
+                fget("s1wp=<null>+<null>", z),
+                fget("s2w=<null>", z), fget("s2p=<null>", z),
+                fget("s2wp=<null>+<null>", z),
+                fget("s3p=<null>", z),
+                fget("b1w=<null>", z), fget("b1p=<null>", z),
+                fget("b1wp=<null>+<null>", z),
+                fget("b2p=<null>", z), fget("b2w=<null>", z),
+                fget("b3p=<null>", z),
+                fget("s1lcp=<null>", z), fget("s1rcp=<null>", z),
+                fget("s2lcp=<null>", z), fget("s2rcp=<null>", z),
+                fget("s1lcw=<null>", z), fget("s2rcw=<null>", z),
+            )
+        out.append(nul)
+        return out
+
     def parse(self, words: list[str], pos: list[str]) -> list[tuple[int, int, str]]:
         """→ [(head, dep, rel)] with root head = -1 (greedy decode with
         legality constraints, ArcStandard.canApply)."""
+        return self.parse_batch([(words, pos)])[0]
+
+    def parse_batch(self, sents: list[tuple[list[str], list[str]]]
+                    ) -> list[list[tuple[int, int, str]]]:
+        """Greedy arc-standard decode of MANY sentences together: every
+        iteration advances every non-finished configuration with ONE numpy
+        score over the whole batch (the cross-sentence batching the
+        reference gets from ``DependencyParser.java:941,975`` batch predict;
+        VERDICT r3 #1). Per-configuration results are identical to the
+        one-sentence loop: feature order, float-add order, penalty adds and
+        first-max tie-break are preserved exactly."""
         import numpy as np
 
-        n = len(words)
-        if n == 0:
-            return []
-        self._ensure_action_vectors()
-        avec, acts = self._avec, self._acts_desc
-        stack: list[int] = []
-        buffer = list(range(n))
-        head_of: dict[int, int] = {}
-        label_of: dict[int, str] = {}
-        kids_of: dict[int, list[int]] = {}
-        steps = 0
-        while (buffer or len(stack) > 1) and steps < 4 * n + 8:
-            steps += 1
-            if len(stack) < 2:
-                # SHIFT is the only legal action — skip scoring entirely
-                stack.append(buffer.pop(0))
+        self._ensure_batch_matrices()
+        W, acts = self._W, self._acts_desc
+        L = 39  # _features always returns exactly 39 templates
+        n_out: list[list[tuple[int, int, str]] | None] = [None] * len(sents)
+
+        class _Cfg:
+            __slots__ = ("i", "n", "words", "pos", "wl", "pids", "tokrows",
+                         "stack", "buffer", "head_of", "label_of", "labid_of",
+                         "kids_of", "steps")
+
+        pos_id = self._pos_id
+        null_pid = pos_id("<null>")
+        active: list[_Cfg] = []
+        for i, (words, pos) in enumerate(sents):
+            if not words:
+                n_out[i] = []
                 continue
-            feats = _features(stack, buffer, words, pos, head_of, label_of,
-                              kids_of)
-            sc = self._zero.copy()
-            for f in feats:
-                arr = avec.get(f)
-                if arr is not None:
-                    sc += arr
-            sc += self._pen_all if buffer else self._pen_arc_only
-            act = acts[int(sc.argmax())]
-            kind, rel = act.split("|", 1)
-            if kind == "S":
-                stack.append(buffer.pop(0))
-            elif kind == "L":
-                d = stack[-2]
-                head_of[d] = stack[-1]
-                label_of[d] = rel
-                kids_of.setdefault(stack[-1], []).append(d)
-                stack.pop(-2)
-            else:
-                d = stack[-1]
-                head_of[d] = stack[-2]
-                label_of[d] = rel
-                kids_of.setdefault(stack[-2], []).append(d)
-                stack.pop()
+            c = _Cfg()
+            c.i, c.n, c.words, c.pos = i, len(words), words, pos
+            c.wl = [w.lower() for w in words]
+            c.pids = [pos_id(p) for p in pos]
+            c.tokrows = self._tok_rows(words, pos)
+            c.stack, c.buffer = [], list(range(len(words)))
+            c.head_of, c.label_of, c.kids_of = {}, {}, {}
+            c.labid_of = {}
+            c.steps = 0
+            active.append(c)
+
+        fget = self._fid.get
+        z = self._zrow
+        memo = self._memo
+        pstr, lstr = self._pstr, self._lstr
+        lab_id = self._lab_id
+        bias = self._bias_row
+        flat: list[int] = []
+        while active:
+            # advance forced shifts / retire finished configs without scoring
+            need: list[_Cfg] = []
+            for c in active:
+                while True:
+                    if not (c.buffer or len(c.stack) > 1) or c.steps >= 4 * c.n + 8:
+                        n_out[c.i] = self._finalize(c.words, c.n, c.stack,
+                                                    c.head_of, c.label_of)
+                        break
+                    if len(c.stack) < 2:
+                        c.steps += 1
+                        c.stack.append(c.buffer.pop(0))
+                        continue
+                    need.append(c)
+                    break
+            active = need
+            if not active:
+                break
+            C = len(active)
+            buf_nonempty = np.empty(C, dtype=bool)
+            flat.clear()
+            for r, c in enumerate(active):
+                c.steps += 1
+                stack, buf, n = c.stack, c.buffer, c.n
+                tr, pids, wl, labid = c.tokrows, c.pids, c.wl, c.labid_of
+                kids = c.kids_of
+                s1 = stack[-1]
+                s2 = stack[-2]
+                s3 = stack[-3] if len(stack) >= 3 else None
+                b1 = buf[0] if buf else None
+                t1, t2 = tr[s1], tr[s2]
+                t3 = tr[n if s3 is None else s3]
+                tb1 = tr[n if b1 is None else b1]
+                tb2 = tr[buf[1]] if len(buf) >= 2 else tr[n]
+                tb3 = tr[buf[2]] if len(buf) >= 3 else tr[n]
+                k1, k2 = kids.get(s1), kids.get(s2)
+                s1lc = min(k1) if k1 else None
+                s1rc = max(k1) if k1 else None
+                s2lc = min(k2) if k2 else None
+                s2rc = max(k2) if k2 else None
+                p1, p2 = pids[s1], pids[s2]
+                p3 = null_pid if s3 is None else pids[s3]
+                pb1 = null_pid if b1 is None else pids[b1]
+                nval1 = len(k1) if k1 else 0
+                nval2 = len(k2) if k2 else 0
+                dist = s1 - s2
+                if dist > 5:
+                    dist = 5
+                # memoized dynamic templates (string built once per distinct
+                # value combination, then int-keyed forever)
+                key = (0, p1, p2)
+                f13 = memo.get(key)
+                if f13 is None:
+                    f13 = memo[key] = fget(
+                        f"s1p+s2p={pstr[p1]}+{pstr[p2]}", z)
+                key = (1, p1, pb1)
+                f14 = memo.get(key)
+                if f14 is None:
+                    f14 = memo[key] = fget(
+                        f"s1p+b1p={pstr[p1]}+{pstr[pb1]}", z)
+                key = (2, p2, pb1)
+                f18 = memo.get(key)
+                if f18 is None:
+                    f18 = memo[key] = fget(
+                        f"s2p+b1p={pstr[p2]}+{pstr[pb1]}", z)
+                key = (3, p1, p2, pb1)
+                f19 = memo.get(key)
+                if f19 is None:
+                    f19 = memo[key] = fget(
+                        f"s1p+s2p+b1p={pstr[p1]}+{pstr[p2]}+{pstr[pb1]}", z)
+                key = (4, p1, p2, p3)
+                f20 = memo.get(key)
+                if f20 is None:
+                    f20 = memo[key] = fget(
+                        f"s1p+s2p+s3p={pstr[p1]}+{pstr[p2]}+{pstr[p3]}", z)
+                l1l = 0 if s1lc is None else labid.get(s1lc, 0)
+                l1r = 0 if s1rc is None else labid.get(s1rc, 0)
+                l2l = 0 if s2lc is None else labid.get(s2lc, 0)
+                l2r = 0 if s2rc is None else labid.get(s2rc, 0)
+                key = (5, l1l)
+                f21 = memo.get(key)
+                if f21 is None:
+                    f21 = memo[key] = fget(f"s1lcl={lstr[l1l]}", z)
+                key = (6, l1r)
+                f22 = memo.get(key)
+                if f22 is None:
+                    f22 = memo[key] = fget(f"s1rcl={lstr[l1r]}", z)
+                key = (7, l2l)
+                f23 = memo.get(key)
+                if f23 is None:
+                    f23 = memo[key] = fget(f"s2lcl={lstr[l2l]}", z)
+                key = (8, l2r)
+                f24 = memo.get(key)
+                if f24 is None:
+                    f24 = memo[key] = fget(f"s2rcl={lstr[l2r]}", z)
+                # grandchild labels: leftmost child of s1's leftmost child, …
+                kk = kids.get(s1lc) if s1lc is not None else None
+                g1l = labid.get(min(kk), 0) if kk else 0
+                kk = kids.get(s1rc) if s1rc is not None else None
+                g1r = labid.get(max(kk), 0) if kk else 0
+                kk = kids.get(s2rc) if s2rc is not None else None
+                g2r = labid.get(max(kk), 0) if kk else 0
+                key = (9, g1l)
+                f31 = memo.get(key)
+                if f31 is None:
+                    f31 = memo[key] = fget(f"s1lcl2={lstr[g1l]}", z)
+                key = (10, g1r)
+                f32 = memo.get(key)
+                if f32 is None:
+                    f32 = memo[key] = fget(f"s1rcl2={lstr[g1r]}", z)
+                key = (11, g2r)
+                f33 = memo.get(key)
+                if f33 is None:
+                    f33 = memo[key] = fget(f"s2rcl2={lstr[g2r]}", z)
+                key = (12, p1, p2, dist)
+                f34 = memo.get(key)
+                if f34 is None:
+                    f34 = memo[key] = fget(
+                        f"s1p+s2p+dist={pstr[p1]}+{pstr[p2]}+{dist}", z)
+                key = (13, nval1)
+                f35 = memo.get(key)
+                if f35 is None:
+                    f35 = memo[key] = fget(f"s1val={nval1}", z)
+                key = (14, nval2)
+                f36 = memo.get(key)
+                if f36 is None:
+                    f36 = memo[key] = fget(f"s2val={nval2}", z)
+                key = (15, p2, nval2)
+                f37 = memo.get(key)
+                if f37 is None:
+                    f37 = memo[key] = fget(
+                        f"s2p+s2val={pstr[p2]}+{nval2}", z)
+                ws1, ws2 = wl[s1], wl[s2]
+                trlc1 = tr[n if s1lc is None else s1lc]
+                trrc1 = tr[n if s1rc is None else s1rc]
+                trlc2 = tr[n if s2lc is None else s2lc]
+                trrc2 = tr[n if s2rc is None else s2rc]
+                flat.extend((
+                    t1[0], t1[1], t1[2],          # s1w s1p s1wp
+                    t2[3], t2[4], t2[5],          # s2w s2p s2wp
+                    t3[6],                        # s3p
+                    tb1[7], tb1[8], tb1[9],       # b1w b1p b1wp
+                    tb2[10], tb2[11], tb3[12],    # b2p b2w b3p
+                    f13, f14,
+                    fget(f"s1w+s2w={ws1}+{ws2}", z),
+                    fget(f"s1w+s2p={ws1}+{pstr[p2]}", z),
+                    fget(f"s1p+s2w={pstr[p1]}+{ws2}", z),
+                    f18, f19, f20,
+                    f21, f22, f23, f24,
+                    trlc1[13], trrc1[14], trlc2[15], trrc2[16],
+                    trlc1[17], trrc2[18],         # s1lcw s2rcw
+                    f31, f32, f33, f34, f35, f36, f37,
+                    bias,
+                ))
+                buf_nonempty[r] = bool(buf)
+            sub = np.array(flat, dtype=np.int64).reshape(C, L)
+            S = W[sub[:, 0]].copy()
+            for k in range(1, L):
+                S += W[sub[:, k]]
+            S += np.where(buf_nonempty[:, None], self._pen_all,
+                          self._pen_arc_only)
+            best = S.argmax(axis=1)
+            for r, c in enumerate(active):
+                kind, rel = acts[int(best[r])].split("|", 1)
+                if kind == "S":
+                    c.stack.append(c.buffer.pop(0))
+                elif kind == "L":
+                    d = c.stack[-2]
+                    c.head_of[d] = c.stack[-1]
+                    c.label_of[d] = rel
+                    c.labid_of[d] = lab_id(rel)
+                    c.kids_of.setdefault(c.stack[-1], []).append(d)
+                    c.stack.pop(-2)
+                else:
+                    d = c.stack[-1]
+                    c.head_of[d] = c.stack[-2]
+                    c.label_of[d] = rel
+                    c.labid_of[d] = lab_id(rel)
+                    c.kids_of.setdefault(c.stack[-2], []).append(d)
+                    c.stack.pop()
+        return n_out
+
+    def _finalize(self, words, n, stack, head_of, label_of):
         edges = []
         root = stack[0] if stack else 0
         edges.append((-1, root, "root"))

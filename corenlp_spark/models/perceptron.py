@@ -193,6 +193,192 @@ class AveragedPerceptronTagger:
             prev2, prev = prev, tag
         return out
 
+    # -- batched decode ----------------------------------------------------
+    def _ensure_matrix(self):
+        """Dense (F+1, T) weight matrix + feature→row dict for the batched
+        decode; row F is all-zero (unknown feature ≡ skip, bitwise). Same
+        precompute discipline as the parser (_ensure_batch_matrices)."""
+        if getattr(self, "_W", None) is not None:
+            return
+        import numpy as np
+
+        self._ensure_vectors()
+        self._ensure_open_mask()
+        feats = sorted(self._wvec)
+        self._fid = {f: i for i, f in enumerate(feats)}
+        W = np.zeros((len(feats) + 1, len(self.tags)))
+        for f, i in self._fid.items():
+            W[i] = self._wvec[f]
+        self._W = W
+        self._zrow = len(feats)
+        self._tid = {t: i for i, t in enumerate(self.tags)}
+        self._tid.setdefault("<s>", len(self._tid))
+        self._tstr = [None] * len(self._tid)
+        for t, i in self._tid.items():
+            self._tstr[i] = t
+        self._pmemo: dict[tuple, int] = {}
+
+    def _tag_id(self, t: str) -> int:
+        """Growable tag registry — fixed (constraint) tags may lie outside
+        the training tag set but still feed the pt=/pt2= context features
+        as their literal strings."""
+        i = self._tid.get(t)
+        if i is None:
+            i = len(self._tstr)
+            self._tid[t] = i
+            self._tstr.append(t)
+        return i
+        self._nn_fallback = ("NN" if "NN" in self.tags
+                             else (self.tags[-1] if self.tags else "NN"))
+
+    def _pos_static(self, words):
+        """Per-token template rows with the 5 prev-tag-dependent slots left
+        as None (indexes 1,2,3,12,13 of the _pos_features order), plus the
+        (lw, sh, suf2, known) values the dynamic slots and the open-class
+        mask need. Builds exactly the strings _pos_features builds."""
+        fget = self._fid.get
+        z = self._zrow
+        n = len(words)
+        out = []
+        for i in range(n):
+            w = words[i]
+            lw = w.lower()
+            sh = f"{'X' if w[:1].isupper() else 'x'}{'d' if any(c.isdigit() for c in w) else ''}"
+            nw = words[i + 1] if i + 1 < n else ""
+            nsh = f"{'X' if nw[:1].isupper() else 'x'}" if nw else "</s>"
+            suf2 = lw[-2:]
+            rows = [
+                fget(f"w={lw}", z), None, None, None,
+                fget(f"sh2={sh}+{nsh}", z),
+                fget(f"suf4={lw[-4:]}", z), fget(f"suf3={lw[-3:]}", z),
+                fget(f"suf2={suf2}", z), fget(f"suf1={lw[-1:]}", z),
+                fget(f"pre1={lw[:1]}", z), fget(f"pre2={lw[:2]}", z),
+                fget(f"shape={sh}", z), None, None,
+                fget(f"w-1={words[i-1].lower() if i > 0 else '<s>'}", z),
+                fget(f"w+1={words[i+1].lower() if i + 1 < n else '</s>'}", z),
+                fget(f"w+2={words[i+2].lower() if i + 2 < n else '</s>'}", z),
+                fget("bias", z),
+            ]
+            if "-" in w[1:-1]:
+                rows.append(fget("hyph", z))
+            if i == 0:
+                rows.append(fget("first", z))
+                rows.append(fget(f"first+suf2={suf2}", z))
+            out.append((rows, lw, sh, suf2,
+                        f"w={lw}" in self.weights))
+        return out
+
+    def predict_with_constraints_batch(
+            self, docs: list[tuple[list[str], dict[int, str], set[int]]]
+    ) -> list[list[str]]:
+        """Batched greedy decode of many documents: all documents advance
+        one token position per iteration, scored with ONE numpy gather-sum
+        (same cross-row batching as the parser's parse_batch). Per-document
+        results equal predict_with_constraints exactly — template order,
+        float-add order and the largest-tag tie-break are preserved."""
+        import numpy as np
+
+        self._ensure_matrix()
+        W, tags = self._W, self.tags
+        z = self._zrow
+        T = len(tags)
+        fget = self._fid.get
+        memo = self._pmemo
+        tstr = self._tstr
+        tag_id = self._tag_id
+        sid = self._tid["<s>"]
+
+        class _D:
+            __slots__ = ("i", "n", "words", "fixed", "starts", "static",
+                         "out", "prev", "prev2")
+
+        ds: list[_D] = []
+        outs: list[list[str]] = [None] * len(docs)
+        for i, (words, fixed, starts) in enumerate(docs):
+            d = _D()
+            d.i, d.n, d.words = i, len(words), words
+            d.fixed = fixed
+            d.starts = starts or set()
+            d.static = self._pos_static(words)
+            d.out = []
+            d.prev = d.prev2 = sid
+            outs[i] = d.out
+            if words:
+                ds.append(d)
+        t = 0
+        active = ds
+        rows_buf: list[list[int]] = []
+        while active:
+            nxt = []
+            score_docs = []
+            rows_buf.clear()
+            for d in active:
+                if t in d.starts:
+                    d.prev = d.prev2 = sid
+                tag = d.fixed.get(t)
+                if tag is not None:
+                    d.out.append(tag)
+                    d.prev2, d.prev = d.prev, tag_id(tag)
+                else:
+                    rows, lw, sh, suf2, known = d.static[t]
+                    pt, pt2 = d.prev, d.prev2
+                    key = (0, pt)
+                    r1 = memo.get(key)
+                    if r1 is None:
+                        r1 = memo[key] = fget(f"pt={tstr[pt]}", z)
+                    key = (1, pt, lw)
+                    r2 = memo.get(key)
+                    if r2 is None:
+                        r2 = memo[key] = fget(f"pt+w={tstr[pt]}+{lw}", z)
+                    key = (2, pt2, pt)
+                    r3 = memo.get(key)
+                    if r3 is None:
+                        r3 = memo[key] = fget(
+                            f"pt2={tstr[pt2]}+{tstr[pt]}", z)
+                    key = (3, pt, sh)
+                    r12 = memo.get(key)
+                    if r12 is None:
+                        r12 = memo[key] = fget(f"pt+sh={tstr[pt]}+{sh}", z)
+                    key = (4, pt, suf2)
+                    r13 = memo.get(key)
+                    if r13 is None:
+                        r13 = memo[key] = fget(
+                            f"pt+suf2={tstr[pt]}+{suf2}", z)
+                    rows = list(rows)
+                    rows[1], rows[2], rows[3] = r1, r2, r3
+                    rows[12], rows[13] = r12, r13
+                    rows_buf.append(rows)
+                    score_docs.append(d)
+                if t + 1 < d.n:
+                    nxt.append(d)
+            if rows_buf:
+                C = len(rows_buf)
+                Lb = max(len(r) for r in rows_buf)
+                ids = np.full((C, Lb), z, dtype=np.int64)
+                for r, lst in enumerate(rows_buf):
+                    ids[r, :len(lst)] = lst
+                S = W[ids[:, 0]].copy()
+                for k in range(1, Lb):
+                    S += W[ids[:, k]]
+                # open-class restriction for unknown words (per row)
+                if self._open_mask.any():
+                    closed = ~self._open_mask
+                    for r, d in enumerate(score_docs):
+                        if not d.static[t][4]:
+                            S[r, closed] = -np.inf
+                # all-unknown-features rows fall back like the dict path
+                best = (T - 1) - S[:, ::-1].argmax(axis=1)
+                for r, d in enumerate(score_docs):
+                    if (ids[r] == z).all():
+                        tag = self._nn_fallback
+                    else:
+                        tag = tags[int(best[r])]
+                    d.out.append(tag)
+                    d.prev2, d.prev = d.prev, tag_id(tag)
+            active = nxt
+            t += 1
+        return outs
+
     def train(self, corpus: list[tuple[list[str], list[str]]], epochs: int = 8):
         """corpus: [(words, gold_tags)]; deterministic iteration order."""
         self.tags = sorted({t for _, ts in corpus for t in ts})
@@ -484,6 +670,94 @@ class StructuredPerceptronNER:
                 em[i, 1:] += _NEG
         path = self._viterbi(em, self._trans_matrix())
         return [self.labels[i] for i in path]
+
+    # -- batched decode ----------------------------------------------------
+    def _ensure_matrix(self):
+        """Dense (F+1, k) emission weight matrix (zero row F = unknown
+        feature) for batched emission scoring — same discipline as the
+        parser/POS batch matrices."""
+        if getattr(self, "_Wm", None) is not None:
+            return
+        import numpy as np
+
+        self._ensure_vectors()
+        feats = sorted(self._wvec)
+        self._fid = {f: i for i, f in enumerate(feats)}
+        W = np.zeros((len(feats) + 1, len(self.labels)))
+        for f, i in self._fid.items():
+            W[i] = self._wvec[f]
+        self._Wm = W
+        self._zrow = len(feats)
+
+    def decode_batch(self, sents: list[tuple[list[str], list[str],
+                                             set[int] | None]]
+                     ) -> list[list[str]]:
+        """Batched Viterbi over many sentences: emissions for ALL tokens of
+        the batch in one numpy gather-sum, then a single padded DP advancing
+        every sentence one position per iteration (finished rows frozen).
+        Per-sentence results equal decode() exactly — add order, the BIO
+        structural mask, and first-max argmax are preserved."""
+        import numpy as np
+
+        self._ensure_matrix()
+        W, k = self._Wm, len(self.labels)
+        z = self._zrow
+        fget = self._fid.get
+        T = self._trans_matrix()
+        out: list[list[str] | None] = [[] if not s[0] else None for s in sents]
+        live = [(i, words, pos, force_o)
+                for i, (words, pos, force_o) in enumerate(sents) if words]
+        if not live:
+            return out
+        # --- emissions for every token of every sentence, one gather-sum
+        rows: list[list[int]] = []
+        bounds = []
+        for i, words, pos, force_o in live:
+            feats = _ner_sent_features(words, pos)
+            start = len(rows)
+            for fl in feats:
+                rows.append([fget(f, z) for f in fl])
+            bounds.append((start, len(rows)))
+        N = len(rows)
+        Lb = max(len(r) for r in rows)
+        ids = np.full((N, Lb), z, dtype=np.int64)
+        for r, lst in enumerate(rows):
+            ids[r, :len(lst)] = lst
+        EM = W[ids[:, 0]].copy()
+        for c in range(1, Lb):
+            EM += W[ids[:, c]]
+        for (i, words, pos, force_o), (a, b) in zip(live, bounds):
+            if force_o:
+                for t in force_o:
+                    EM[a + t, 1:] += _NEG
+        # --- padded batched Viterbi
+        C = len(live)
+        lens = np.array([b - a for (a, b) in bounds])
+        maxn = int(lens.max())
+        dp = np.empty((C, k))
+        for r, (a, b) in enumerate(bounds):
+            dp[r] = EM[a]
+        for j in range(k):
+            if self.labels[j].startswith("I-"):
+                dp[:, j] += _NEG
+        backs = np.zeros((C, maxn, k), dtype=np.int32)
+        for t in range(1, maxn):
+            alive = lens > t
+            scores = dp[alive, :, None] + T[None, :, :]
+            bt = scores.argmax(axis=1)
+            nxt = np.take_along_axis(scores, bt[:, None, :], axis=1)[:, 0, :]
+            emt = np.stack([EM[a + t] for (a, b), m
+                            in zip(bounds, alive) if m])
+            backs[alive, t] = bt
+            dp[alive] = nxt + emt
+        for r, ((i, words, pos, force_o), (a, b)) in enumerate(zip(live, bounds)):
+            n = b - a
+            path = [int(np.argmax(dp[r]))]
+            for t in range(n - 1, 0, -1):
+                path.append(int(backs[r, t, path[-1]]))
+            path.reverse()
+            out[i] = [self.labels[j] for j in path]
+        return out
 
     # -- training ----------------------------------------------------------
     def train(self, corpus: list[tuple[list[str], list[str], list[str]]],

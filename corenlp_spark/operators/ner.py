@@ -355,20 +355,23 @@ def numeric_pass(words: list[str], ner: list[str], nner: list[str]) -> None:
         t += 1
 
 
+def _ner_force_o(words: list[str]) -> set[int]:
+    # punct/number/calendar tokens are owned by the numeric/temporal
+    # pass — pin them to O in the model's decode
+    return {
+        i for i, w in enumerate(words)
+        if not w[:1].isalpha()
+        or any(c.isdigit() for c in w)  # Q3, 4:45pm — numeric pass owns
+        or w.lower() in MONTHS or w.lower() in _DAY_WORDS
+    }
+
+
 def tag_sentence_ner(words: list[str], pos: list[str]) -> tuple[list[str], list[str]]:
     # trigger fast path: entities require a capitalized alphabetic token —
     # all-lowercase sentences skip the Viterbi DP entirely and go straight
     # to the numeric pass
     if any(w[:1].isupper() for w in words):
-        # punct/number/calendar tokens are owned by the numeric/temporal
-        # pass — pin them to O in the model's decode
-        force_o = {
-            i for i, w in enumerate(words)
-            if not w[:1].isalpha()
-            or any(c.isdigit() for c in w)  # Q3, 4:45pm — numeric pass owns
-            or w.lower() in MONTHS or w.lower() in _DAY_WORDS
-        }
-        bio = _get_ner_model().decode(words, pos, force_o)
+        bio = _get_ner_model().decode(words, pos, _ner_force_o(words))
         ner = [b.split("-", 1)[-1] if b != "O" else "O" for b in bio]
         _gazetteer_overwrite(words, ner)
     else:
@@ -376,6 +379,35 @@ def tag_sentence_ner(words: list[str], pos: list[str]) -> tuple[list[str], list[
     nner = [""] * len(words)
     numeric_pass(words, ner, nner)
     return ner, nner
+
+
+def tag_ner_batch(sents: list[tuple[list[str], list[str]]]
+                  ) -> list[tuple[list[str], list[str]]]:
+    """Batched tag_sentence_ner over many sentences: the model-eligible
+    sentences (any capitalized token) share ONE batched Viterbi
+    (StructuredPerceptronNER.decode_batch); the gazetteer overwrite and the
+    deterministic numeric pass stay per-sentence. Results equal the
+    per-sentence path exactly."""
+    results: list[tuple[list[str], list[str]] | None] = [None] * len(sents)
+    idxs: list[int] = []
+    model_in = []
+    for i, (words, pos) in enumerate(sents):
+        if any(w[:1].isupper() for w in words):
+            idxs.append(i)
+            model_in.append((words, pos, _ner_force_o(words)))
+        else:
+            results[i] = (["O"] * len(words), [""] * len(words))
+    if model_in:
+        bios = _get_ner_model().decode_batch(model_in)
+        for i, bio in zip(idxs, bios):
+            words = sents[i][0]
+            ner = [b.split("-", 1)[-1] if b != "O" else "O" for b in bio]
+            _gazetteer_overwrite(words, ner)
+            results[i] = (ner, [""] * len(words))
+    for i, (words, pos) in enumerate(sents):
+        ner, nner = results[i]
+        numeric_pass(words, ner, nner)
+    return results
 
 
 def ner_docs(df: DataFrame) -> DataFrame:

@@ -117,9 +117,7 @@ def _get_pos_model():
     return _POS_MODEL
 
 
-def pos_tag(words: list[str], sent_starts: set[int]) -> list[str]:
-    """Tag one document's token words with the trained averaged perceptron.
-    ``sent_starts``: indices starting a sentence (left context resets)."""
+def _pos_constraints(words: list[str]) -> dict[int, str]:
     fixed: dict[int, str] = {}
     for i, w in enumerate(words):
         lw = w.lower()
@@ -133,7 +131,22 @@ def pos_tag(words: list[str], sent_starts: set[int]) -> list[str]:
             fixed[i] = CLOSED_CLASS[lw]
         elif lw in _LOWER_ONLY and w.islower():
             fixed[i] = _LOWER_ONLY[lw]
-    return _get_pos_model().predict_with_constraints(words, fixed, sent_starts)
+    return fixed
+
+
+def pos_tag(words: list[str], sent_starts: set[int]) -> list[str]:
+    """Tag one document's token words with the trained averaged perceptron.
+    ``sent_starts``: indices starting a sentence (left context resets)."""
+    return _get_pos_model().predict_with_constraints(
+        words, _pos_constraints(words), sent_starts)
+
+
+def pos_tag_batch(docs: list[tuple[list[str], set[int]]]) -> list[list[str]]:
+    """Batched pos_tag over many documents (one numpy score per token
+    position across the whole batch — see
+    AveragedPerceptronTagger.predict_with_constraints_batch)."""
+    return _get_pos_model().predict_with_constraints_batch(
+        [(words, _pos_constraints(words), starts) for words, starts in docs])
 
 
 # ---------------------------------------------------------------------------

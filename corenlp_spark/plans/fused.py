@@ -22,58 +22,95 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 from corenlp_spark.operators.coref import COREF_TYPE, detect_mentions, run_sieves
-from corenlp_spark.operators.depparse import DEPS_TYPE, parse_sentence
-from corenlp_spark.operators.ner import NER_TOKENS_TYPE, tag_sentence_ner
+from corenlp_spark.operators.depparse import DEPS_TYPE
+from corenlp_spark.operators.ner import NER_TOKENS_TYPE, tag_ner_batch
 from corenlp_spark.operators.openie import TRIPLES_SCHEMA, _Graph, extract_sentence
-from corenlp_spark.operators.tag import lemmatize, pos_tag
+from corenlp_spark.operators.tag import lemmatize, pos_tag_batch
 from corenlp_spark.operators.tokenize import SENTENCES_TYPE, annotate_doc
 
 
-def _annotate_one(spans) -> tuple[list[dict], list[dict], list[dict], list[dict]]:
-    """spans → (tokens, sentences, deps, coref) — the whole per-doc pipeline.
+def _annotate_batch(spans_list) -> list[tuple[list[dict], list[dict],
+                                              list[dict], list[dict]]]:
+    """Many docs → [(tokens, sentences, deps, coref)] with the three model
+    kernels (POS, NER, depparse) BATCHED ACROSS ALL DOCS of the Arrow batch
+    — one numpy score per decoding step for the whole batch instead of one
+    per sentence (VERDICT r3 #1; SURVEY §2.2 depparse row). Results are
+    identical to the per-doc path by construction (the batch decoders are
+    bitwise-equal to their per-sentence twins).
 
     Null-safe: a malformed row (null spans / null span structs) yields empty
     annotations instead of failing the task — one bad record in a 100 TB
     scan must never kill the job."""
-    if spans is None:
-        return [], [], [], []
-    spans = [s for s in spans if s is not None]
-    tokens, sentences = annotate_doc(spans)
-    words = [t["word"] for t in tokens]
-    starts = {s["start_tok"] for s in sentences}
-    tags = pos_tag(words, starts)
-    for t, tag in zip(tokens, tags):
-        t["pos"] = tag
-        t["lemma"] = lemmatize(t["word"], tag)
-    deps: list[dict] = []
-    for s in sentences:
-        a, b = s["start_tok"], s["end_tok"]
-        seg = tokens[a:b]
-        ner, nner = tag_sentence_ner([t["word"] for t in seg], [t["pos"] for t in seg])
-        for t, x, y in zip(seg, ner, nner):
+    from corenlp_spark.models.parser import get_trained_parser
+
+    n_docs = len(spans_list)
+    toks_sents: list[tuple[list[dict], list[dict]]] = []
+    for spans in spans_list:
+        if spans is None:
+            toks_sents.append(([], []))
+            continue
+        spans = [s for s in spans if s is not None]
+        toks_sents.append(annotate_doc(spans))
+
+    # POS for all docs in one batch, then lemmas (dict lookups, per token)
+    tag_lists = pos_tag_batch([
+        ([t["word"] for t in tokens], {s["start_tok"] for s in sentences})
+        for tokens, sentences in toks_sents
+    ])
+    for (tokens, _), tags in zip(toks_sents, tag_lists):
+        for t, tag in zip(tokens, tags):
+            t["pos"] = tag
+            t["lemma"] = lemmatize(t["word"], tag)
+
+    # sentence segments across the whole batch → batched NER, batched parse
+    segs: list[tuple[int, dict, int, int]] = []
+    for di, (tokens, sentences) in enumerate(toks_sents):
+        for s in sentences:
+            segs.append((di, s, s["start_tok"], s["end_tok"]))
+    seg_words = []
+    seg_pos = []
+    for di, s, a, b in segs:
+        seg = toks_sents[di][0][a:b]
+        seg_words.append([t["word"] for t in seg])
+        seg_pos.append([t["pos"] for t in seg])
+    ner_out = tag_ner_batch(list(zip(seg_words, seg_pos)))
+    for (di, s, a, b), (ner, nner) in zip(segs, ner_out):
+        for t, x, y in zip(toks_sents[di][0][a:b], ner, nner):
             t["ner"], t["nner"] = x, y
-        edges = parse_sentence(
-            [t["word"] for t in seg], [t["pos"] for t in seg],
-            [t["lemma"] for t in seg], ner,
-        )
+    parses = get_trained_parser().parse_batch(list(zip(seg_words, seg_pos)))
+
+    deps_by_doc: list[list[dict]] = [[] for _ in range(n_docs)]
+    for (di, s, a, b), edges in zip(segs, parses):
+        dd = deps_by_doc[di]
+        si = s["sent_idx"]
         for h, d, r in edges:
-            deps.append({"sent_idx": s["sent_idx"], "head": (h + a) if h >= 0 else -1,
-                         "dep": d + a, "rel": r})
-    ms = detect_mentions(tokens, sentences)
-    run_sieves(ms, tokens)
-    best = {}
-    for m in ms:
-        cur = best.get(m.cluster)
-        rank = (m.kind != "pronoun", len(m.text))
-        if cur is None or rank > (cur.kind != "pronoun", len(cur.text)):
-            best[m.cluster] = m
-    coref = [
-        {"cluster_id": m.cluster, "sent_idx": m.sent, "start_tok": m.start,
-         "end_tok": m.end, "text": m.text, "head": m.head_idx, "kind": m.kind,
-         "representative": best[m.cluster] is m}
-        for m in ms
-    ]
-    return tokens, sentences, deps, coref
+            dd.append({"sent_idx": si, "head": (h + a) if h >= 0 else -1,
+                       "dep": d + a, "rel": r})
+
+    out = []
+    for di, (tokens, sentences) in enumerate(toks_sents):
+        ms = detect_mentions(tokens, sentences)
+        run_sieves(ms, tokens)
+        best = {}
+        for m in ms:
+            cur = best.get(m.cluster)
+            rank = (m.kind != "pronoun", len(m.text))
+            if cur is None or rank > (cur.kind != "pronoun", len(cur.text)):
+                best[m.cluster] = m
+        coref = [
+            {"cluster_id": m.cluster, "sent_idx": m.sent, "start_tok": m.start,
+             "end_tok": m.end, "text": m.text, "head": m.head_idx,
+             "kind": m.kind, "representative": best[m.cluster] is m}
+            for m in ms
+        ]
+        out.append((tokens, sentences, deps_by_doc[di], coref))
+    return out
+
+
+def _annotate_one(spans) -> tuple[list[dict], list[dict], list[dict], list[dict]]:
+    """spans → (tokens, sentences, deps, coref) — single-doc view of
+    _annotate_batch (kept for the staged path and tests)."""
+    return _annotate_batch([spans])[0]
 
 
 def annotate_fused(df: DataFrame) -> DataFrame:
@@ -85,8 +122,7 @@ def annotate_fused(df: DataFrame) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             cols = {"tokens": [], "sentences": [], "deps": [], "coref": []}
-            for spans in pdf["spans"]:
-                tk, se, de, co = _annotate_one(spans)
+            for tk, se, de, co in _annotate_batch(list(pdf["spans"])):
                 cols["tokens"].append(tk)
                 cols["sentences"].append(se)
                 cols["deps"].append(de)
@@ -111,8 +147,9 @@ def extract_triples_fused(df: DataFrame, canonicalize: bool = True) -> DataFrame
         for pdf in batches:
             rows = {k: [] for k in ("doc_id", "sent_idx", "subj", "pred", "obj",
                                     "confidence", "subj_head", "obj_head")}
-            for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
-                tokens, sentences, deps, coref = _annotate_one(spans)
+            ann = _annotate_batch(list(pdf["spans"]))
+            for doc_id, (tokens, sentences, deps, coref) in zip(
+                    pdf["doc_id"], ann):
                 by_sent: dict[int, list] = {}
                 for e in deps:
                     by_sent.setdefault(e["sent_idx"], []).append(

@@ -77,6 +77,24 @@ def test_embedding_dups_has_no_nested_loop_join(spark):
     assert all("v_a" not in a and "n_a" not in a for a in dedups), dedups
 
 
+def test_ivf_cell_join_carries_ids_only(spark):
+    """The IVF candidate exchange (cell equi-join) must carry (id, cell)
+    only — vectors re-join by id after candidate generation, matching the
+    LSH path's shuffle-payload discipline (VERDICT r3 #9)."""
+    import re
+
+    from corenlp_spark.functions.similarity import ivf_ann_pairs
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    p = plan_of(ivf_ann_pairs(emb, dim=64, n_cells=8, threshold=0.5))
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+    # the quadratic fan-out happens at the join on `cell` …
+    assert re.search(r"Join \[cell#\d+", p), p
+    # … and its output is an ids-only projection: the embedding payload
+    # never rides the candidate stream (it re-joins by id afterwards)
+    assert re.search(r"Project \[id_a#\d+L, id_b#\d+L\]", p), p
+
+
 def test_scaled_dict_link_shuffle_path(spark):
     """wikidict-scale linking: the shuffle path must (a) produce the exact
     broadcast-path output and (b) plan a ShuffledHashJoin, never a
