@@ -55,12 +55,49 @@ ABBREVS = {
 CONTEXT_ABBREVS = {"no.", "art.", "fig.", "sec.", "op.", "ch.", "ca.", "pp.",
                    "so."}
 
-# direction/ordinal abbreviations also kept before a capitalized proper name
-# ("No. Korea", "So. Calif.") — but split before sentence-starter function
-# words ("No. I like…") like the reference's PTBTokenizerTest gold
+# direction/ordinal abbreviations kept before the specific place names the
+# reference allows (``PTBLexer.flex:1138`` — {ABBREVSN}/{SPACENL}+(Africa|
+# Korea|Cal) — prefix match, so "Calif." qualifies via "Cal")
 _CAP_CONTEXT_ABBREVS = {"no.", "so."}
-_CAP_CONTEXT_STOPS = {"I", "A", "An", "And", "The", "But", "Or", "He", "She",
-                      "It", "We", "They", "You", "That", "This"}
+_ABBREVSN_PLACES = ("Africa", "Korea", "Cal")
+
+# ABBREV1 — abbreviations normally followed by LOWERCASE words
+# (PTBLexer.flex:685-718: ABMONTH/ABDAYS/ABSTATE/ABCOMP/ABPTIT/ABVARIA).
+# An uppercase word / blank line / markup after them implies a sentence
+# boundary: the lexer then re-emits a period (reduplication), or under
+# strictTreebank3 splits the period off (processAbbrev1,
+# PTBLexer.flex:552-566).
+_ABBREV1 = {
+    "jan.", "feb.", "mar.", "apr.", "jun.", "jul.", "aug.", "sep.", "sept.",
+    "oct.", "nov.", "dec.",
+    "mon.", "tue.", "tues.", "wed.", "thu.", "thurs.", "fri.",
+    "calif.", "ore.", "okla.", "fla.", "tenn.", "mich.", "minn.", "conn.",
+    "inc.", "co.", "cos.", "corp.", "pty.", "pte.", "ltd.", "plc.",
+    "bancorp.", "assn.", "univ.", "intl.", "sys.",
+    "jr.", "sr.", "bros.", "esq.", "etc.", "al.",
+}
+
+# ABBREV2 — abbreviations normally followed by UPPERCASE words (titles,
+# acronyms, ABCOMP2; PTBLexer.flex:720-739). Recognized as sentence-final
+# only when the following word is a common sentence STARTER
+# (PTBLexer.flex:1124 lookahead list, ported verbatim).
+_ABBREV2_TITLES = {
+    "mr.", "mrs.", "ms.", "dr.", "prof.", "sen.", "rep.", "gen.", "gov.",
+    "st.", "mt.", "ft.", "ave.", "blvd.", "rd.", "dept.", "col.", "lt.",
+    "maj.", "sgt.", "capt.", "rev.", "hon.", "pres.", "adm.", "natl.",
+}
+_SENT_STARTERS = {
+    "A", "About", "According", "Additionally", "After", "All", "Also",
+    "Although", "An", "Another", "As", "At", "Before", "Both", "But", "By",
+    "Did", "During", "Each", "Earlier", "Following", "For", "From", "He",
+    "Her", "Here", "His", "How", "However", "If", "In", "It", "Its", "Last",
+    "Later", "Many", "More", "Most", "Mr.", "Mrs.", "Ms.", "Now", "On",
+    "Once", "One", "Other", "Our", "She", "Since", "So", "Some", "Such",
+    "That", "The", "Their", "Then", "There", "These", "They", "This", "Two",
+    "Under", "Upon", "We", "When", "While", "What", "Who", "Why", "Yet",
+    "You",
+}
+_ACRO_RE = re.compile(r"(?:[A-Za-z]\.){2,}")
 
 # cp1252 control-range bytes inherited into text → unicode equivalents
 # (PTBLexer cp1252 normalization set; 1:1 so char offsets are preserved)
@@ -105,6 +142,11 @@ _RULES = [
     ("ELLIPSIS", r"\.\.+|…"),
     # leading-decimal compounds: .38-Magnum, .45
     ("DOTNUM", r"\.\d[\d,]*(?:[-–]\w+)*"),
+    # "5 7/8" whole-number + fraction: ONE token, space → NBSP
+    # (PTBLexer normalizeSpace; strictFraction splits it — see loop below)
+    ("SPACEDFRAC", r"\d{1,3}(?:,\d{3})*[ \u00A0]\d{1,2}/\d{1,4}(?![\d/])"),
+    # hyphenated mixed number "5-1/4" stays one token in BOTH modes
+    ("HYPHFRAC", r"\d{1,3}(?:,\d{3})*-\d{1,2}/\d{1,4}(?![\d/])"),
     # hyphenated ranges / number compounds stay whole: 2010-2015, 20-30,
     # 80,000-man, 1,000-1,200, 5:30-to-10, 9-to-11:45, 555-55-5555
     # (trailing %, ., ' split off — PTBLexer hyphenated-token behavior)
@@ -131,7 +173,7 @@ _RULES = [
     # (O'Malley, anti-acquisition, Sydney-based, Mu`ammar); soft hyphens
     # (\u00AD) ride inside and are stripped from the normalized word.
     # Trailing clitics split in post-pass.
-    ("WORD", r"[A-Za-zÀ-ɏ0-9_\u00AD]+(?:[-/'’`][A-Za-zÀ-ɏ0-9_\u00AD]+)*\.?"),
+    ("WORD", r"[A-Za-zÀ-ɏ0-9_\u00AD]+(?:[-/'’`][A-Za-zÀ-ɏ0-9_\u00AD]+)*(?:\.(?!\.))?"),
     ("MULTIPUNCT", r"[?!]+"),
     ("DASH", r"--+|—|–"),
     ("QUOTE", r"``|''|[\"'`‘’“”]"),
@@ -146,10 +188,19 @@ _NORM_QUOTES = {"‘", "’", "“", "”"}
 _NORM_DASHES = {"—", "–"}
 
 # PTBTokenizer option surface (process/PTBTokenizer.java:61-177 subset):
-#   normalize_quotes/dashes/ellipsis — the PTBLexer normalization toggles;
+#   quotes/ellipses/dashes — the CoreNLP-4.0 normalization ENUM classes
+#     (quotes: latex|unicode|ascii|not_cp1252|original; ellipses/dashes:
+#     unicode|ptb3|not_cp1252|original). The legacy boolean toggles remain
+#     accepted and resolve to an enum (True → latex/ptb3, False →
+#     not_cp1252) when the enum key is absent;
 #   split_hyphenated — "Sydney-based" → Sydney - based (UD-style);
-#   strict_treebank3 — disable the informal-contraction deviations from
-#   PTB3 (gonna/gimme/cannot stay whole, as in the original treebank).
+#   strict_treebank3 — the two deliberate PTB3 deviations OFF
+#     (PTBTokenizer.java:152-177): (i) strict_acronym: an abbreviation at a
+#     sentence end splits its period ("Corp" ".") instead of reduplicating
+#     it ("Corp." "."), except "U.S."; (ii) strict_fraction: "5 7/8" splits
+#     into "5" "7/8" instead of one NBSP-joined token. Also keeps informal
+#     contractions whole (gonna/cannot — splitAssimilations=false).
+#   strict_acronym / strict_fraction — the two halves individually.
 DEFAULT_OPTIONS = {
     "normalize_quotes": True,
     "normalize_dashes": True,
@@ -157,7 +208,35 @@ DEFAULT_OPTIONS = {
     "normalize_parentheses": False,  # ( → -LRB- etc. (PTB3 token forms)
     "split_hyphenated": False,
     "strict_treebank3": False,
+    "strict_acronym": None,   # None → follow strict_treebank3
+    "strict_fraction": None,  # None → follow strict_treebank3
+    "quotes": None,           # None → normalize_quotes ? latex : not_cp1252
+    "ellipses": None,         # None → normalize_ellipsis ? ptb3 : not_cp1252
+    "dashes": None,           # None → normalize_dashes ? ptb3 : not_cp1252
 }
+
+
+def _resolve_options(options: dict | None) -> dict:
+    opt = dict(DEFAULT_OPTIONS, **(options or {}))
+    if opt["quotes"] is None:
+        opt["quotes"] = "latex" if opt["normalize_quotes"] else "not_cp1252"
+    if opt["ellipses"] is None:
+        opt["ellipses"] = "ptb3" if opt["normalize_ellipsis"] else "not_cp1252"
+    if opt["dashes"] is None:
+        opt["dashes"] = "ptb3" if opt["normalize_dashes"] else "not_cp1252"
+    if opt["strict_acronym"] is None:
+        opt["strict_acronym"] = bool(opt["strict_treebank3"])
+    if opt["strict_fraction"] is None:
+        opt["strict_fraction"] = bool(opt["strict_treebank3"])
+    return opt
+
+
+# quote mapping tables per enum value (PTBLexer latexQuotes/unicodeQuotes/
+# asciiQuotes). Straight " is handled contextually (opening vs closing).
+_QUOTES_LATEX = {"‘": "`", "’": "'", "“": "``", "”": "''"}
+_QUOTES_UNICODE = {"`": "‘", "'": "’", "``": "“", "''": "”"}
+_QUOTES_ASCII = {"‘": "'", "’": "'", "`": "'", "“": '"', "”": '"',
+                 "``": '"', "''": '"'}
 
 # PTB3 bracket token forms (PTBLexer normalizeParentheses/normalizeOtherBrackets)
 _PAREN_NORM = {"(": "-LRB-", ")": "-RRB-", "[": "-LSB-", "]": "-RSB-",
@@ -218,12 +297,38 @@ def _split_word(original: str, begin: int, opt: dict):
     yield (norm, original, begin, begin + len(original))
 
 
-def _norm_word(matched: str, opt: dict) -> str:
-    if matched in _NORM_QUOTES and not opt.get("normalize_quotes"):
+def _norm_word(matched: str, opt: dict, raw: str) -> str:
+    """Apply the quote/dash/ellipsis normalization ENUM for one matched
+    punctuation token (PTBTokenizer.java quotes/ellipses/dashes classes).
+    ``raw`` is the pre-cp1252 slice (the 'original' enum value)."""
+    if matched in _NORM_QUOTES or matched in ("`", "'", "``", "''"):
+        q = opt["quotes"]
+        if q == "latex":
+            return _QUOTES_LATEX.get(matched, matched)
+        if q == "unicode":
+            return _QUOTES_UNICODE.get(matched, matched)
+        if q == "ascii":
+            return _QUOTES_ASCII.get(matched, matched)
+        if q == "original":
+            return raw
+        return matched  # not_cp1252: cp1252 already remapped globally
+    if matched in _NORM_DASHES or set(matched) == {"-"}:
+        d = opt["dashes"]
+        if d == "ptb3":
+            return "--" if matched in _NORM_DASHES else matched
+        if d == "unicode":
+            return "—" if matched in ("--", "---") else matched
+        if d == "original":
+            return raw
         return matched
-    if matched in _NORM_DASHES and not opt.get("normalize_dashes"):
-        return matched
-    if matched == "…" and not opt.get("normalize_ellipsis"):
+    if matched == "…" or set(matched) == {"."}:
+        e = opt["ellipses"]
+        if e == "ptb3":
+            return "..." if matched == "…" else matched
+        if e == "unicode":
+            return "…" if matched.startswith("..") else matched
+        if e == "original":
+            return raw
         return matched
     return _NORM.get(matched, matched)
 
@@ -244,6 +349,70 @@ def _split_hyphenated(tokens):
     return out
 
 
+def _sentend_follows(s: str, i: int) -> bool:
+    """SENTEND1 lookahead (PTBLexer.flex:574): whitespace then
+    (whitespace | uppercase | markup), or end of text."""
+    rest = s[i:]
+    if rest.strip() == "":
+        return True
+    if not rest[0].isspace():
+        return False
+    c = rest[1] if len(rest) > 1 else ""
+    return c == "" or c.isspace() or c.isupper() or c == "<"
+
+
+def _abbrev_sentence_end(tokens, barriers, norm_text, opt):
+    """Sentence-final abbreviation handling (processAbbrev1/processAbbrev2,
+    PTBLexer.flex:528-566):
+
+    - ABBREV1 ("Corp.", months, …) followed by SENTEND1 → by default the
+      period is REDUPLICATED ("Corp." + "." — the deliberate PTB3
+      deviation); under strictAcronym the period splits off ("Corp" + ".").
+      Exception: "U.S." always keeps its period. "Pty. Ltd." stays
+      sentence-internal (the lexer's special case).
+    - ABBREV2 (titles/acronyms like "U.S.A.") only when the NEXT token is a
+      known sentence starter (flex:1124 list) or markup: 2-letter forms
+      ("I.") always split; otherwise same dup/strict choice.
+
+    The reduplicated period is zero-width (original "" at the abbreviation's
+    end offset) so the invertibility invariant — originals at offsets
+    reconstruct the input — is untouched; the reference does the same via an
+    empty OriginalTextAnnotation on the re-emitted period."""
+    out = []
+    shifts = []  # positions (old index) that gained one extra token
+    n = len(tokens)
+    for i, (w, o, b, e) in enumerate(tokens):
+        lw = w.lower()
+        is_a1 = lw in _ABBREV1 and w.endswith(".")
+        is_a2 = (not is_a1 and w.endswith(".")
+                 and (lw in _ABBREV2_TITLES or _ACRO_RE.fullmatch(w)))
+        fire = False
+        if is_a1 and _sentend_follows(norm_text, e):
+            nxt = tokens[i + 1][0] if i + 1 < n else ""
+            if not (lw in ("pty.", "pte.") and nxt.startswith("Ltd")):
+                fire = True
+        elif is_a2:
+            nxt = tokens[i + 1][0] if i + 1 < n else ""
+            if nxt in _SENT_STARTERS or (i + 1) in barriers:
+                fire = True
+        if not fire:
+            out.append((w, o, b, e))
+            continue
+        strict = opt["strict_acronym"] and w != "U.S."
+        if len(w) == 2 or strict:
+            # split: "Corp" + "." (strictTreebank3 / single-letter acronym)
+            out.append((w[:-1], o[:-1], b, e - 1))
+            out.append((".", ".", e - 1, e))
+        else:
+            # reduplicate: "Corp." + zero-width "."
+            out.append((w, o, b, e))
+            out.append((".", "", e, e))
+        shifts.append(i)
+    if shifts:
+        barriers = {x + sum(1 for p in shifts if p < x) for x in barriers}
+    return out, barriers
+
+
 def tokenize_text_with_barriers(text: str, options: dict | None = None):
     """Tokenize one text span → (tokens, barriers) where tokens are
     (word, original, begin, end) and barriers is the set of token indices
@@ -252,7 +421,7 @@ def tokenize_text_with_barriers(text: str, options: dict | None = None):
 
     ``word`` is the normalized form; ``original`` is the raw slice of the
     input (invertible: originals + offsets reconstruct the span exactly)."""
-    opt = dict(DEFAULT_OPTIONS, **(options or {}))
+    opt = _resolve_options(options)
     # cp1252 control-range normalization (1:1, offsets preserved); raw text
     # still supplies the originals
     norm_text = _CP1252_RE.sub(lambda m: CP1252[m.group()], text)
@@ -275,19 +444,36 @@ def tokenize_text_with_barriers(text: str, options: dict | None = None):
             out.append((core, core, m.start(), m.end() - 1))
             out.append((".", ".", m.end() - 1, m.end()))
         elif kind == "SPACEDOTS":
-            out.append(("...", raw, m.start(), m.end()))
+            el = opt["ellipses"]
+            word = "..." if el == "ptb3" else "\u2026" if el == "unicode" else raw
+            out.append((word, raw, m.start(), m.end()))
+        elif kind == "SPACEDFRAC":
+            # "5 7/8" — one NBSP-joined token (normalizeSpace), or two
+            # tokens under strictFraction (PTBTokenizer.java:152-171)
+            if opt["strict_fraction"]:
+                whole = re.split(r"[ \u00A0]", matched, maxsplit=1)[0]
+                out.append((whole, text[m.start():m.start() + len(whole)],
+                            m.start(), m.start() + len(whole)))
+                fb = m.start() + len(whole) + 1
+                out.append((norm_text[fb:m.end()], text[fb:m.end()], fb, m.end()))
+            else:
+                out.append((matched.replace(" ", "\u00A0"), raw,
+                            m.start(), m.end()))
         else:
-            word = _norm_word(matched, opt)
+            word = _norm_word(matched, opt, raw)
             if kind == "PUNCT" and opt.get("normalize_parentheses") \
                     and matched in _PAREN_NORM:
                 word = _PAREN_NORM[matched]
             if kind == "CLITICTOK":
                 word = matched.replace("\u2019", "'")
-            if kind == "QUOTE" and matched == '"' and opt.get("normalize_quotes"):
-                # PTB: straight double quote → `` if opening else ''
+            if kind == "QUOTE" and matched == '"' \
+                    and opt["quotes"] in ("latex", "unicode"):
+                # straight double quote is directional: ``/\u201c if opening
+                # else ''/\u201d
                 prev_sp = m.start() == 0 or norm_text[m.start() - 1].isspace() \
                     or norm_text[m.start() - 1] in "([{"
-                word = "``" if prev_sp else "''"
+                word = ("``" if prev_sp else "''") if opt["quotes"] == "latex" \
+                    else ("\u201c" if prev_sp else "\u201d")
             out.append((word, raw, m.start(), m.end()))
     # context gate for ambiguous abbreviations: "No. 24" keeps the period,
     # "I like Art. And…" detaches it (sentence boundary). Split positions are
@@ -300,8 +486,8 @@ def tokenize_text_with_barriers(text: str, options: dict | None = None):
         if w.lower() in CONTEXT_ABBREVS:
             nxt = out[i + 1][0] if i + 1 < len(out) else ""
             keep = nxt[:1].isdigit() or (
-                w.lower() in _CAP_CONTEXT_ABBREVS and nxt[:1].isupper()
-                and nxt not in _CAP_CONTEXT_STOPS)
+                w.lower() in _CAP_CONTEXT_ABBREVS
+                and nxt.startswith(_ABBREVSN_PLACES))
             if not keep:
                 gated.append((w[:-1], o[:-1], b, e - 1))
                 gated.append((".", ".", e - 1, e))
@@ -310,6 +496,7 @@ def tokenize_text_with_barriers(text: str, options: dict | None = None):
         gated.append((w, o, b, e))
     if split_pts:
         barriers = {x + sum(1 for p in split_pts if p < x) for x in barriers}
+    gated, barriers = _abbrev_sentence_end(gated, barriers, norm_text, opt)
     if opt.get("split_hyphenated"):
         gated = _split_hyphenated(gated)
     return gated, barriers

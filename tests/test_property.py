@@ -29,9 +29,17 @@ def test_tokenize_is_invertible_on_arbitrary_text(text):
 @settings(max_examples=300, deadline=None)
 @given(TEXT)
 def test_token_offsets_are_monotone_and_disjoint(text):
+    # Zero-width tokens are legal ONLY for the reduplicated sentence-final
+    # abbreviation period (original "" — PTBLexer processAbbrev1 re-emits a
+    # period whose text the input does not contain); all real tokens must
+    # advance.
     last_end = -1
-    for _, _, b, e in tokenize_text(text):
-        assert b >= last_end and e > b
+    for w, original, b, e in tokenize_text(text):
+        assert b >= last_end
+        if original == "":
+            assert e == b and w == "."
+        else:
+            assert e > b
         last_end = e
 
 

@@ -274,3 +274,107 @@ def test_ssplit_reference_cases():
 def test_apostrophe_decade():
     assert [t[0] for t in tokenize_text("music of the '60s era")] == \
         ["music", "of", "the", "'60s", "era"]
+
+
+# ---------------------------------------------------------------------------
+# Round-4 tranche: sentence-final abbreviations (PTBTokenizerTest testCorp /
+# testJacobEisensteinApostropheCase neighborhoods), strictTreebank3, spaced
+# fractions, and the quotes/ellipses/dashes normalization enums
+# (PTBTokenizer.java:61-177, PTBLexer.flex:528-566,1124)
+# ---------------------------------------------------------------------------
+
+_CORP = "So, too, many analysts predict, will Exxon Corp., Chevron Corp. and Amoco Corp."
+
+
+def test_abbrev1_sentence_end_reduplicates_period():
+    got = [t[0] for t in tokenize_text(_CORP)]
+    assert got == ["So", ",", "too", ",", "many", "analysts", "predict", ",",
+                   "will", "Exxon", "Corp.", ",", "Chevron", "Corp.", "and",
+                   "Amoco", "Corp.", "."]
+
+
+def test_abbrev1_sentence_end_strict_treebank3_splits():
+    got = [t[0] for t in tokenize_text(_CORP, {"strict_treebank3": True})]
+    assert got[-2:] == ["Corp", "."]
+    assert got[10] == "Corp."  # sentence-internal "Corp.," untouched
+
+
+def test_acronym_before_sentence_starter_reduplicates():
+    got = [t[0] for t in tokenize_text(
+        "We traveled from No.\nKorea to the U.S.A.\nWhy?")]
+    assert got == ["We", "traveled", "from", "No.", "Korea", "to", "the",
+                   "U.S.A.", ".", "Why", "?"]
+
+
+def test_acronym_double_period_input():
+    got = [t[0] for t in tokenize_text(
+        "Buy a new Chevrolet (37%-owned in the U.S..) . 15%")]
+    assert got == ["Buy", "a", "new", "Chevrolet", "(", "37", "%", "-",
+                   "owned", "in", "the", "U.S.", ".", ")", ".", "15", "%"]
+
+
+def test_us_exception_under_strict():
+    # "U.S." keeps its period even under strictTreebank3 (processAbbrev2)
+    got = [t[0] for t in tokenize_text("Made in the U.S. Then exported.",
+                                       {"strict_treebank3": True})]
+    assert "U.S." in got and got[got.index("U.S.") + 1] == "."
+
+
+def test_reduplicated_period_is_zero_width_invertible():
+    text = "Kemper Corp. Analysts agree."
+    toks = tokenize_text(text)
+    dup = [t for t in toks if t[1] == ""]
+    assert dup == [(".", "", 12, 12)]
+    for w, o, b, e in toks:
+        assert text[b:e] == o
+
+
+def test_spaced_fractions():
+    text = "5-1/4 plus 2 3/16 = 7 7/16 in the U.S.S.R. Why not?"
+    assert [t[0] for t in tokenize_text(text)] == \
+        ["5-1/4", "plus", "2 3/16", "=", "7 7/16", "in", "the",
+         "U.S.S.R.", ".", "Why", "not", "?"]
+    assert [t[0] for t in tokenize_text(text, {"strict_treebank3": True})] == \
+        ["5-1/4", "plus", "2", "3/16", "=", "7", "7/16", "in", "the",
+         "U.S.S.R", ".", "Why", "not", "?"]
+
+
+def test_pty_ltd_stays_sentence_internal():
+    got = [t[0] for t in tokenize_text("Creative Pack Pty. Ltd. shipped boxes.")]
+    assert got == ["Creative", "Pack", "Pty.", "Ltd.", "shipped", "boxes", "."]
+
+
+def test_abbrevsn_place_prefix_gate():
+    # reference allows only (Africa|Korea|Cal…) after So./No. (flex:1138)
+    assert [t[0] for t in tokenize_text("from So. Africa came")][1] == "So."
+    assert [t[0] for t in tokenize_text("to So. Calif. we went")][1] == "So."
+    got = [t[0] for t in tokenize_text("He said no. Maybe tomorrow.")]
+    assert got[2:4] == ["no", "."]
+
+
+_ENUM_TEXT = "he said “yes” and ‘no’ — twice…"
+
+
+def test_quote_ellipsis_dash_enums():
+    latex = [t[0] for t in tokenize_text(
+        _ENUM_TEXT, {"quotes": "latex", "ellipses": "ptb3", "dashes": "ptb3"})]
+    assert latex == ["he", "said", "``", "yes", "''", "and", "`", "no", "'",
+                     "--", "twice", "..."]
+    uni = [t[0] for t in tokenize_text(
+        "say ``yes'' -- ok...",
+        {"quotes": "unicode", "ellipses": "unicode", "dashes": "unicode"})]
+    assert uni == ["say", "“", "yes", "”", "—", "ok", "…"]
+    ascii_ = [t[0] for t in tokenize_text(_ENUM_TEXT, {"quotes": "ascii"})]
+    assert ascii_[2] == '"' and ascii_[4] == '"' and ascii_[6] == "'"
+    orig = [t[0] for t in tokenize_text(_ENUM_TEXT, {
+        "quotes": "original", "ellipses": "original", "dashes": "original"})]
+    assert orig == ["he", "said", "“", "yes", "”", "and", "‘",
+                    "no", "’", "—", "twice", "…"]
+
+
+def test_straight_double_quote_directional():
+    for q, opening, closing in [("latex", "``", "''"),
+                                ("unicode", "“", "”")]:
+        got = [t[0] for t in tokenize_text('he said "yes" again',
+                                           {"quotes": q})]
+        assert got[2] == opening and got[4] == closing
