@@ -25,6 +25,20 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Round-robin the input across all cores before a CPU-bound scan.
+
+    The test-data tables arrive as ONE small parquet file (one row group →
+    one input split), so an expression-heavy scan (lang_id's per-script
+    regexp_counts, quality scoring) would run on a single core. The
+    repartition shuffle moves well under 1 MB here — noise next to the
+    regex compute it parallelizes (measured: lang_id 2.0 s → sub-second).
+    At production scale the scan already arrives in ≥cores splits and AQE
+    coalesces, so this is a no-op-by-size there; repartition cost stays
+    O(bytes) while the scan compute is O(bytes × regex passes)."""
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
+
 # --------------------------------------------------------------------------
 # flagship
 # --------------------------------------------------------------------------
@@ -92,7 +106,7 @@ def q_dedup_exact(spark, sf_dir):
 def q_fingerprint(spark, sf_dir):
     from corenlp_spark.functions.textstats import fingerprint
 
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
     return d.select(F.col("doc_id").cast("long").alias("doc_id"),
                     fingerprint(F.col("text")).alias("fp"))
 
@@ -102,7 +116,7 @@ def q_rolling_fingerprints(spark, sf_dir):
     dedup-fragment / attribution primitive (window 16, stride 8)."""
     from corenlp_spark.functions.textstats import rolling_fingerprints
 
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
     rf = d.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.explode(rolling_fingerprints(F.col("text"), window=16)).alias("fp"),
@@ -120,7 +134,7 @@ def q_rolling_fingerprints(spark, sf_dir):
 def q_token_count(spark, sf_dir):
     from corenlp_spark.functions.textstats import token_count
 
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
     return (
         d.select(F.col("lang"), token_count(F.col("text")).alias("n_tok"))
         .groupBy("lang")
@@ -134,7 +148,7 @@ def q_token_count(spark, sf_dir):
 def q_quality(spark, sf_dir):
     from corenlp_spark.functions.textstats import quality_score
 
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
     return d.select(F.col("doc_id").cast("long").alias("doc_id"),
                     quality_score(F.col("text")).alias("quality"))
 
@@ -144,7 +158,7 @@ def q_gopher_quality(spark, sf_dir):
     counts (integer sums — order-independent, engine-portable)."""
     from corenlp_spark.functions.textstats import gopher_quality
 
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
     g = d.select(gopher_quality(F.col("text")).alias("g"))
     c = lambda name: F.sum(F.col(f"g.{name}").cast("long")).alias(name)
     return g.agg(
@@ -180,7 +194,7 @@ def q_dedup_components(spark, sf_dir):
 def q_langid(spark, sf_dir):
     from corenlp_spark.functions.textstats import lang_id
 
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
     return (
         d.select(lang_id(F.col("text")).alias("pred_lang"))
         .groupBy("pred_lang").agg(F.count("*").alias("n"))
