@@ -102,6 +102,38 @@ KBP_GOLD: list[tuple[str, tuple[str, str, str]]] = [
      ("Simon Vargas", "per:country_of_birth", "Portugal")),
     ("Henry Mercer is a shareholder of Orion Bank.",
      ("Orion Bank", "org:shareholders", "Henry Mercer")),
+    # round-4 widening: the 14 remaining taxonomy rows
+    # (KBPRelationExtractor.java:114-160) — location-subtype refinement
+    # (country/state object tables) plus the new r4 trigger patterns
+    ("Victor Alden died in Norway.",
+     ("Victor Alden", "per:country_of_death", "Norway")),
+    ("Henry Mercer died in Texas.",
+     ("Henry Mercer", "per:stateorprovince_of_death", "Texas")),
+    ("Ivy Monroe lives in Ontario.",
+     ("Ivy Monroe", "per:stateorprovinces_of_residence", "Ontario")),
+    ("Nimbus Labs is headquartered in Sweden.",
+     ("Nimbus Labs", "org:country_of_headquarters", "Sweden")),
+    ("Vertex Systems is based in Arizona.",
+     ("Vertex Systems", "org:stateorprovince_of_headquarters", "Arizona")),
+    ("Acme Corp. has headquarters in Chicago.",
+     ("Acme Corp.", "org:location_of_headquarters", "Chicago")),
+    ("Stellar Group is a member of Meridian Institute.",
+     ("Stellar Group", "org:member_of", "Meridian Institute")),
+    ("Cascade Partners admitted Summit Media.",
+     ("Cascade Partners", "org:members", "Summit Media")),
+    ("Beacon Group is affiliated with the Republican Party.",
+     ("Beacon Group", "org:political_religious_affiliation",
+      "Republican Party")),
+    ("Quantum Institute can be reached at www.quantum.example.",
+     ("Quantum Institute", "org:website", "www.quantum.example")),
+    ("Clara Draper was born near Honolulu.",
+     ("Clara Draper", "per:location_of_birth", "Honolulu")),
+    ("Oscar Whitman died near Sydney.",
+     ("Oscar Whitman", "per:location_of_death", "Sydney")),
+    ("David Chavez settled near Berlin.",
+     ("David Chavez", "per:location_of_residence", "Berlin")),
+    ("Elena Porter won the Nobel Prize.",
+     ("Elena Porter", "per:title", "Nobel Prize")),
 ]
 
 # distractor sentences: entity pairs with NO KBP relation (precision control)

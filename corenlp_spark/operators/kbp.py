@@ -203,6 +203,15 @@ KBP_PATTERNS: list[tuple[str, str, str, str]] = _expand([
     ("died of", "per:cause_of_death"),
     ("reached at", "org:website"),
     ("member of", "org:member_of"),
+    # r4 taxonomy completion (KBPRelationExtractor.java:114-160 rows that
+    # had no trigger): generic-LOCATION birth/death/residence, org members/
+    # affiliation, LOCATION-level headquarters
+    ("born near", "per:location_of_birth"),
+    ("died near", "per:location_of_death"),
+    ("settled near", "per:location_of_residence"),
+    ("has headquarters in", "org:location_of_headquarters"),
+    ("admitted", "org:members"),
+    ("affiliated with", "org:political_religious_affiliation"),
 ]) + [
     # signature-specific rows that don't come from the taxonomy expansion
     ("born in", "PERSON", "DATE", "per:date_of_birth"),
@@ -443,7 +452,7 @@ def _trx_pattern(trigger: str, s_ner: str, o_ner: str) -> str:
     gap = r"[pos:/DT|PRP\$/]?"
     words = f" {gap} ".join(f"[word:{w}]" for w in trigger.split())
     return (f"(?$subject [ner:{s_ner}]+) "
-            r"[pos:/VBD|VBZ|VBP|VBN|MD|RB|DT|PRP\$|JJ|,/]* "
+            r"[pos:/VB|VBD|VBZ|VBP|VBN|MD|RB|DT|PRP\$|JJ|,/]* "
             f"{words} "
             r"[pos:/DT|PRP\$/]* "
             f"(?$object [ner:{o_ner}]+)")

@@ -18,9 +18,13 @@ Arrow-batched UDFs (the multi-pattern annotator below broadcasts the compiled
 rules and gates them with a first-token trigger index, the
 ``CoreMapNodePatternTrigger.java`` trick).
 
-Scope note: alternation and {n,m} repeats are
-supported; QUANTIFIED GROUPS ((…)+ / (…)*) are not — none of the KBP /
-regexner rule inventories need them (SURVEY §2.3 subset-by-design).
+Quantified groups ((?$g …)+ / (…)* / (…){n,m}, ``SequencePattern.java``
+RepeatPatternExpr over GroupPatternExpr) are supported natively: groups
+that carry a quantifier or contain alternation compile to a ``Group`` item
+matched by recursive greedy backtracking; a repeated named group captures
+the full span of all repetitions (first-rep start to last-rep end — the
+span-union convention this matcher already used for multi-node captures).
+Simple groups still flatten to per-element capture labels.
 """
 
 from __future__ import annotations
@@ -80,14 +84,18 @@ class AltPattern:
     alts: list[list[Elem]]
 
 
-_NODE_RE = re.compile(
-    r"(!?)\[\s*([^\]]*)\s*\]|(!?)\{\s*([^}]*)\s*\}"
-)
-_TOKEN_RE = re.compile(
-    r"\(\?\$(?P<gopen>\w+)|\(\?:|(?P<gclose>\))"
-    r"|(?P<node>!?[\[{][^\]}]*[\]}])"
-    r"(?P<quant>[?*+]|\{\d+(?:,\d+)?\})?"
-)
+@dataclass
+class Group:
+    """A (possibly quantified) group: alternatives of item sequences.
+
+    ``SequencePattern.java`` GroupPatternExpr / RepeatPatternExpr /
+    OrPatternExpr re-expressed as one structured node. A named quantified
+    group captures the union span of all its repetitions."""
+    alts: list[list]              # each alternative: list[Elem | Group]
+    name: str | None = None
+    quant: str = ""
+
+    bounds = Elem.bounds
 
 
 def _parse_pred(body: str, negated: bool) -> NodePred:
@@ -113,112 +121,175 @@ def _parse_pred(body: str, negated: bool) -> NodePred:
     return NodePred(checks, negated)
 
 
-def _split_top(pattern: str) -> list[str]:
-    """Split on ``|`` at paren depth 0, ignoring bars inside [] / {} nodes."""
-    parts, depth, node, cur = [], 0, None, []
-    for ch in pattern:
-        if node:
-            cur.append(ch)
-            if ch == node:
-                node = None
+_QUANT_RE = re.compile(r"[?*+]|\{\d+(?:,\d+)?\}")
+_NODE_START_RE = re.compile(r"!?[\[{]")
+_OPEN_RE = re.compile(r"\(\s*(?:\?\$(?P<name>\w+)\s*|\?:)?")
+
+
+def _lex(pattern: str) -> list[tuple]:
+    """Lex into (kind, payload): NODE(negated, body-with-brackets),
+    OPEN(name|None), CLOSE, BAR, QUANT(q)."""
+    toks: list[tuple] = []
+    i, n = 0, len(pattern)
+    while i < n:
+        ch = pattern[i]
+        if ch.isspace():
+            i += 1
             continue
-        if ch in "[{":
-            node = "]" if ch == "[" else "}"
-            cur.append(ch)
+        m = _NODE_START_RE.match(pattern, i)
+        # '{' is a bounded-repeat quantifier (not a node) right after a
+        # node or a close-paren: '{2,3}' vs the node form '{word:x}'
+        is_quant_brace = (
+            ch == "{" and toks and toks[-1][0] in ("NODE", "CLOSE")
+            and _QUANT_RE.match(pattern, i)
+        )
+        if m and not is_quant_brace:
+            negated = pattern[i] == "!"
+            j = i + (1 if negated else 0)
+            close = "]" if pattern[j] == "[" else "}"
+            k = pattern.index(close, j)
+            toks.append(("NODE", (negated, pattern[j:k + 1])))
+            i = k + 1
         elif ch == "(":
-            depth += 1
-            cur.append(ch)
+            om = _OPEN_RE.match(pattern, i)
+            toks.append(("OPEN", om.group("name")))
+            i = om.end()
         elif ch == ")":
-            depth -= 1
-            cur.append(ch)
-        elif ch == "|" and depth == 0:
-            parts.append("".join(cur))
-            cur = []
+            toks.append(("CLOSE", None))
+            i += 1
+        elif ch == "|":
+            toks.append(("BAR", None))
+            i += 1
         else:
-            cur.append(ch)
-    parts.append("".join(cur))
-    return parts
+            qm = _QUANT_RE.match(pattern, i)
+            if qm and toks and toks[-1][0] in ("NODE", "CLOSE"):
+                toks.append(("QUANT", qm.group(0)))
+                i = qm.end()
+            else:
+                raise ValueError(f"bad pattern at {i}: {pattern!r}")
+    return toks
 
 
-def _expand_alternation(pattern: str, cap: int = 64) -> list[str]:
-    """Expand every group containing a top-level ``|`` into alternative
-    pattern strings (cross product, bounded by ``cap``)."""
-    out, work = [], list(_split_top(pattern))
-    while work:
-        pat = work.pop(0)
-        # innermost-first: at each ')' the innermost open group closes —
-        # expanding there handles nested alternation inside-out
-        node = None
-        stack: list[int] = []
-        expanded = False
-        for i, ch in enumerate(pat):
-            if node:
-                if ch == node:
-                    node = None
-                continue
-            if ch in "[{":
-                node = "]" if ch == "[" else "}"
-            elif ch == "(":
-                stack.append(i)
-            elif ch == ")" and stack:
-                start = stack.pop()
-                body = pat[start + 1:i]
-                prefix_m = re.match(r"\?\$(\w+)\s*|\?:", body)
-                inner = body[prefix_m.end():] if prefix_m else body
-                wrap = body[:prefix_m.end()] if prefix_m else ""
-                branches = _split_top(inner)
-                if len(branches) > 1:
-                    for b in branches:
-                        work.append(pat[:start] + "(" + wrap + b + ")"
-                                    + pat[i + 1:])
-                    expanded = True
-                    break
-        if not expanded:
-            out.append(pat)
-        if len(out) + len(work) > cap:
-            raise ValueError(f"alternation expansion exceeds {cap}: {pattern!r}")
-    return out
+def _parse_alt(toks: list[tuple], i: int) -> tuple[list[list], int]:
+    alts, cur = [], []
+    while i < len(toks):
+        kind, payload = toks[i]
+        if kind == "BAR":
+            alts.append(cur)
+            cur = []
+            i += 1
+        elif kind == "CLOSE":
+            break
+        elif kind == "NODE":
+            negated, node = payload
+            quant = ""
+            if i + 1 < len(toks) and toks[i + 1][0] == "QUANT":
+                quant = toks[i + 1][1]
+                i += 1
+            cur.append(Elem(_parse_pred(node[1:-1], negated), quant))
+            i += 1
+        elif kind == "OPEN":
+            name = payload
+            inner, i = _parse_alt(toks, i + 1)
+            if i >= len(toks) or toks[i][0] != "CLOSE":
+                raise ValueError("unbalanced group")
+            i += 1
+            quant = ""
+            if i < len(toks) and toks[i][0] == "QUANT":
+                quant = toks[i][1]
+                i += 1
+            if quant == "" and len(inner) == 1:
+                # simple group: flatten; innermost capture name wins
+                # (matches the pre-r4 group_stack[-1] labelling)
+                flat = inner[0]
+                if name:
+                    for e in flat:
+                        if isinstance(e, Elem) and e.group is None:
+                            e.group = name
+                        elif isinstance(e, Group) and e.name is None:
+                            e.name = name
+                cur.extend(flat)
+            else:
+                cur.append(Group(inner, name, quant))
+        else:  # pragma: no cover
+            raise ValueError(f"unexpected token {kind}")
+    alts.append(cur)
+    return alts, i
 
 
 def compile_pattern(pattern: str):
-    """Compile a TokensRegex string; returns an element list, or an
-    ``AltPattern`` when the pattern contains alternation."""
-    alts = _expand_alternation(pattern)
-    if len(alts) > 1:
-        return AltPattern([_compile_one(a) for a in alts])
-    return _compile_one(alts[0])
-
-
-def _compile_one(pattern: str) -> list[Elem]:
-    """Compile a TokensRegex string into an element list (linear NFA)."""
-    elems: list[Elem] = []
-    group_stack: list[str] = []
-    pos = 0
-    for m in _TOKEN_RE.finditer(pattern):
-        if m.group("gopen"):
-            group_stack.append(m.group("gopen"))
-        elif m.group("gclose"):
-            if group_stack:
-                group_stack.pop()
-        elif m.group("node"):
-            node = m.group("node")
-            negated = node.startswith("!")
-            body = node.lstrip("!")[1:-1]
-            elems.append(Elem(
-                _parse_pred(body, negated),
-                m.group("quant") or "",
-                group_stack[-1] if group_stack else None,
-            ))
-        pos = m.end()
-    if not elems:
+    """Compile a TokensRegex string into an item list (``Elem`` / ``Group``
+    sequence); top-level alternation wraps into a single unquantified
+    ``Group``."""
+    alts, i = _parse_alt(_lex(pattern), 0)
+    if i != len(_lex(pattern)):
+        raise ValueError(f"unbalanced ')' in {pattern!r}")
+    items = alts[0] if len(alts) == 1 else [Group(alts)]
+    if not items:
         raise ValueError(f"empty pattern: {pattern!r}")
-    return elems
+    return items
+
+
+def _extend_span(groups: dict, name: str, s: int, e: int) -> dict:
+    g2 = dict(groups)
+    s0, e0 = g2.get(name, (s, s))
+    g2[name] = (min(s0, s), max(e0, e))
+    return g2
+
+
+def _gen_seq(items, toks, ti, groups):
+    """Yield (end, groups) candidates for matching ``items`` at ``ti``,
+    greedy-longest first for quantifiers, longest-alternative first for
+    alternation. Callers take the first yield for match semantics."""
+    if not items:
+        yield ti, groups
+        return
+    head = items[0]
+    for ti2, g2 in _gen_item(head, toks, ti, groups):
+        yield from _gen_seq(items[1:], toks, ti2, g2)
+
+
+def _gen_item(item, toks, ti, groups):
+    if isinstance(item, Elem):
+        lo, hi = item.bounds(len(toks) - ti)
+        n = 0
+        while n < hi and ti + n < len(toks) and item.pred.matches(toks[ti + n]):
+            n += 1
+        if n < lo:
+            return
+        for take in range(n, lo - 1, -1):
+            g2 = groups
+            if item.group and take > 0:
+                g2 = _extend_span(groups, item.group, ti, ti + take)
+            yield ti + take, g2
+        return
+    # Group: greedy repetition with backtracking; each repetition tries
+    # alternatives longest-first (TokensRegex maximal-match semantics)
+    lo, hi = item.bounds(len(toks) - ti)
+    start0 = ti
+
+    def reps(n, t, g):
+        if n < hi:
+            cands = []
+            for alt in item.alts:
+                cands.extend(_gen_seq(alt, toks, t, g))
+            cands.sort(key=lambda r: -r[0])
+            for t2, g2 in cands:
+                if t2 == t:
+                    continue  # zero-width repetition: no progress
+                yield from reps(n + 1, t2, g2)
+        if n >= lo:
+            yield t, g
+    for end, g in reps(0, ti, groups):
+        if item.name and end > start0:
+            g = _extend_span(g, item.name, start0, end)
+        yield end, g
 
 
 def match_sequence(elems, toks: list[dict], start: int = 0):
     """Greedy backtracking match at ``start`` → (end, {group: (s, e)}) or
-    None. Accepts an element list or an ``AltPattern`` (longest alternative
-    wins)."""
+    None. Accepts an item list or a legacy ``AltPattern`` (longest
+    alternative wins)."""
     if isinstance(elems, AltPattern):
         best = None
         for alt in elems.alts:
@@ -226,46 +297,9 @@ def match_sequence(elems, toks: list[dict], start: int = 0):
             if r and (best is None or r[0] > best[0]):
                 best = r
         return best
-
-    def bt(ei: int, ti: int, groups):
-        if ei == len(elems):
-            return ti, groups
-        e = elems[ei]
-
-        def consume(n_min, n_max):
-            # the required minimum must actually match ('+' previously
-            # accepted its first token unchecked — r3 bug fix)
-            for k in range(n_min):
-                if ti + k >= len(toks) or not e.pred.matches(toks[ti + k]):
-                    return None
-            # greedy: longest first
-            n = n_min
-            while n < n_max and ti + n < len(toks) and e.pred.matches(toks[ti + n]):
-                n += 1
-            for take in range(n, n_min - 1, -1):
-                g2 = groups
-                if e.group and take > 0:
-                    g2 = dict(groups)
-                    s0, _ = g2.get(e.group, (ti, ti))
-                    g2[e.group] = (min(s0, ti), ti + take)
-                r = bt(ei + 1, ti + take, g2)
-                if r:
-                    return r
-            return None
-
-        if e.quant == "":
-            if ti < len(toks) and e.pred.matches(toks[ti]):
-                g2 = groups
-                if e.group:
-                    g2 = dict(groups)
-                    s0, _ = g2.get(e.group, (ti, ti))
-                    g2[e.group] = (min(s0, ti), ti + 1)
-                return bt(ei + 1, ti + 1, g2)
-            return None
-        lo, hi = e.bounds(len(toks) - ti)
-        return consume(lo, hi)
-
-    return bt(0, start, {})
+    for end, groups in _gen_seq(elems, toks, start, {}):
+        return end, groups
+    return None
 
 
 def find_all(elems, toks: list[dict]):

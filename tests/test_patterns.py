@@ -148,12 +148,9 @@ def test_tokensregex_alternation_and_bounded_repeats():
     """Alternation (group + top-level, longest alternative wins) and {n,m}
     bounded quantifiers (TokensRegex SequencePattern alternation/repeat
     semantics)."""
-    from corenlp_spark.operators.tokensregex import (
-        AltPattern, compile_pattern, find_all,
-    )
+    from corenlp_spark.operators.tokensregex import compile_pattern, find_all
 
     pat = compile_pattern("[word:likes] (?:[word:red]|[word:blue]) [word:cats]")
-    assert isinstance(pat, AltPattern)
     assert find_all(pat, _toks(["likes", "red", "cats"]))
     assert find_all(pat, _toks(["likes", "blue", "cats"]))
     assert not find_all(pat, _toks(["likes", "green", "cats"]))
@@ -183,3 +180,36 @@ def test_tokensregex_nested_alternation():
     assert find_all(pat, _toks(["b", "c"]))
     assert find_all(pat, _toks(["d"]))
     assert not find_all(pat, _toks(["c"]))
+
+
+def test_tokensregex_quantified_groups():
+    """Quantified groups ((?$g ...)+ / (...)* / (...){n}) — the r3 scope
+    limit lifted: ``SequencePattern.java`` RepeatPatternExpr over
+    GroupPatternExpr. A repeated named group captures the union span of
+    all repetitions."""
+    from corenlp_spark.operators.tokensregex import compile_pattern, find_all
+
+    # repeated two-node group, exact count
+    pat = compile_pattern("([word:x] [word:y]){2}")
+    assert find_all(pat, _toks(["x", "y", "x", "y"])) == [(0, 4, {})]
+    assert not find_all(pat, _toks(["x", "y"]))
+
+    # named quantified group: capture spans all reps
+    pat2 = compile_pattern("(?$pair [word:a] [word:b])+ [word:end]")
+    r = find_all(pat2, _toks(["a", "b", "a", "b", "end"]))
+    assert r == [(0, 5, {"pair": (0, 4)})]
+
+    # '+' group with internal alternation and backtracking across reps
+    pat3 = compile_pattern("(?$x [word:cat] [word:/cat|dog/]?)+ [word:sat]")
+    r3 = find_all(pat3, _toks(["the", "cat", "cat", "dog", "sat"]))
+    assert r3 == [(1, 5, {"x": (1, 4)})]
+
+    # '*' group: zero reps allowed
+    pat4 = compile_pattern("[word:start] ([word:mid])* [word:end]")
+    assert find_all(pat4, _toks(["start", "end"]))
+    assert find_all(pat4, _toks(["start", "mid", "mid", "end"]))
+
+    # zero-width inner match must not loop forever
+    pat5 = compile_pattern("([word:opt]?)* [word:z]")
+    assert find_all(pat5, _toks(["opt", "z"]))
+    assert find_all(pat5, _toks(["z"]))
