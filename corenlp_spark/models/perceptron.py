@@ -892,11 +892,36 @@ class RelationClassifier:
 
     @staticmethod
     def featurize(lemmas: list[str], sner: str, oner: str) -> list[str]:
-        feats = [f"sig={sner}>{oner}", "bias"]
-        feats.extend(f"lem={l.lower()}" for l in lemmas)
-        if lemmas:
-            feats.append(f"first={lemmas[0].lower()}")
-            feats.append(f"last={lemmas[-1].lower()}")
+        """Surface-feature templates after
+        ``ie/KBPStatisticalExtractor.java:246-310``: direction-positioned
+        lemma unigrams and boundary-marked bigrams (withMentionsPositioned),
+        the type signature, mention order, the between-distance bucket, and
+        comma parity. Direction arrives as the trailing ``inv`` sentinel the
+        candidate generator appends when the object precedes the subject —
+        stripped here into a ``|os`` feature condition (the reference embeds
+        __SUBJ__/__OBJ__ markers; conditioning every span feature on the
+        direction is the same statistic)."""
+        subj_first = True
+        if lemmas and lemmas[-1] == "inv":
+            subj_first, lemmas = False, lemmas[:-1]
+        d = "so" if subj_first else "os"
+        low = [l.lower() for l in lemmas]
+        feats = ["bias", f"sig={sner}>{oner}", f"dir={d}"]
+        feats.extend(f"lem={l}|{d}" for l in low)
+        prev = "_^_"
+        for l in low:
+            feats.append(f"big={prev} {l}|{d}")
+            prev = l
+        feats.append(f"big={prev} _$_|{d}")
+        if low:
+            feats.append(f"first={low[0]}|{d}")
+            feats.append(f"last={low[-1]}|{d}")
+        n = len(low)
+        bucket = ("0" if n == 0 else "<=3" if n <= 3 else "<=5" if n <= 5
+                  else "<=10" if n <= 10 else "<=15" if n <= 15 else ">15")
+        feats.append(f"dist={bucket}")
+        commas = sum(1 for l in low if l == ",")
+        feats.append(f"comma_parity={'even' if commas % 2 == 0 else 'odd'}")
         return feats
 
     def _scores(self, feats: list[str]) -> dict[str, float]:
