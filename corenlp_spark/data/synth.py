@@ -77,6 +77,12 @@ GOLDEN_SENTENCES: list[str] = [
     "John did not see Sara.",
     "Obama attended Harvard Law School.",
     "Marie Curie lived in Paris.",
+    # r4: TIMEX3 mod attributes + nested relatives in the oracle pool
+    "The project took about three weeks.",
+    "She stayed for more than two years.",
+    "Revenues rose in early 2015.",
+    "It happened the week before last.",
+    "The trial lasts 2-3 weeks.",
 ]
 
 MEDIA_REFS: list[str] = [

@@ -259,7 +259,8 @@ def _resolve(words: list[str], lower: list[str], docdate: datetime.date):
         # approximate year compounds: mid-2015 / early-1990 / late-2008
         m_mid = _RE_MODYEAR.match(w)
         if m_mid:
-            yield i, i + 1, "DATE", m_mid.group(2)
+            mod = {"early": "START", "mid": "MID", "late": "END"}[m_mid.group(1)]
+            yield i, i + 1, "DATE", f"{m_mid.group(2)}|{mod}"
             i += 1
             continue
         # clock hour + meridiem: "7 pm" → T19:00
@@ -441,6 +442,62 @@ def _mark_ranges(toks: list[dict], lower: list[str]) -> None:
             toks[k]["ner"], toks[k]["nner"] = "DATE", val
 
 
+_MOD_PREFIX: dict[tuple[str, ...], tuple[str, str]] = {
+    # phrase → (TIMEX3 mod, applies-to: 'dur' | 'date' | 'any');
+    # english.sutime.txt mod rules re-expressed with the TIMEX3-standard
+    # mod vocabulary (time/SUTime.java TimexMod)
+    ("about",): ("APPROX", "any"),
+    ("around",): ("APPROX", "any"),
+    ("approximately",): ("APPROX", "any"),
+    ("roughly",): ("APPROX", "any"),
+    ("nearly",): ("APPROX", "dur"),
+    ("almost",): ("APPROX", "dur"),
+    ("more", "than"): ("MORE_THAN", "dur"),
+    ("over",): ("MORE_THAN", "dur"),
+    ("less", "than"): ("LESS_THAN", "dur"),
+    ("under",): ("LESS_THAN", "dur"),
+    ("at", "least"): ("EQUAL_OR_MORE", "dur"),
+    ("at", "most"): ("EQUAL_OR_LESS", "dur"),
+    ("up", "to"): ("EQUAL_OR_LESS", "dur"),
+    ("early",): ("START", "date"),
+    ("mid",): ("MID", "date"),
+    ("late",): ("END", "date"),
+}
+
+
+def _mark_mods(toks: list[dict], lower: list[str]) -> None:
+    """TIMEX3 mod attributes: a mod phrase immediately before a temporal
+    run extends the span and appends ``|MOD`` to the value string ("about
+    three weeks" → P3W|APPROX, "early 2015" → 2015|START, "more than two
+    years" → P2Y|MORE_THAN). The value stays a string (SURVEY §1.1); the
+    pipe-suffix is this engine's serialization of the separate TIMEX3
+    ``mod`` XML attribute the reference emits."""
+    n = len(toks)
+    for phrase, (mod, applies) in _MOD_PREFIX.items():
+        L = len(phrase)
+        for i in range(n - L):
+            if tuple(lower[i:i + L]) != phrase:
+                continue
+            j = i + L
+            ner = toks[j].get("ner") if j < n else None
+            if ner not in ("DATE", "TIME", "DURATION"):
+                continue
+            is_dur = str(toks[j].get("nner", "")).startswith("P")
+            if applies == "dur" and not is_dur:
+                continue
+            if applies == "date" and (is_dur or ner not in ("DATE", "TIME")):
+                continue
+            val = str(toks[j].get("nner", ""))
+            if not val or "|" in val or val.endswith("_REF"):
+                continue
+            e = j
+            while e < n and toks[e].get("ner") == ner and toks[e].get("nner") == toks[j].get("nner"):
+                e += 1
+            newval = f"{val}|{mod}"
+            for k in range(i, e):
+                toks[k]["ner"], toks[k]["nner"] = ner, newval
+
+
 def sutime_docs(df: DataFrame) -> DataFrame:
     """Resolve relative temporal expressions against the docdate column
     (requires tokens + docdate; overwrites only O-tagged tokens)."""
@@ -470,6 +527,7 @@ def sutime_docs(df: DataFrame) -> DataFrame:
                         for k in range(s, e):
                             toks[k]["ner"], toks[k]["nner"] = ner, val
                 _mark_ranges(toks, lower)
+                _mark_mods(toks, lower)
                 new_tokens.append(toks)
             pdf = pdf.copy()
             pdf["tokens"] = new_tokens

@@ -171,7 +171,7 @@ def test_sutime_decades_seasons_meridiem_weekend(spark):
     rows = sutime_docs(annotate(docs, upto="ner")).collect()
     maps = [_tok_map(r) for r in rows]
     assert maps[0]["1990s"] == ("DATE", "199X")
-    assert maps[0]["mid-2015"] == ("DATE", "2015")
+    assert maps[0]["mid-2015"] == ("DATE", "2015|MID")
     assert maps[1]["pm"] == ("TIME", "T19:00")
     assert maps[1]["weekend"] == ("DATE", "2020-W26-WE")
     assert maps[2]["summer"] == ("DATE", "1969-SU")
@@ -221,3 +221,28 @@ def test_gender(spark):
     by = {r.text: r.gender for r in m.collect()}
     assert by.get("Marie Curie") == "FEMALE"
     assert by.get("John McCain") == "MALE"
+
+
+def test_sutime_timex_mod_attributes(spark):
+    """TIMEX3 mod attributes (time/SUTime.java TimexMod, english.sutime.txt
+    mod rules): APPROX / MORE_THAN / LESS_THAN / EQUAL_OR_MORE on durations,
+    START/MID/END on dates — serialized as the |MOD suffix on the value
+    string (this engine's encoding of the separate TIMEX3 mod attribute)."""
+    docs = with_docdate(_docs(spark, [
+        "The project took about three weeks.",
+        "She stayed for more than two years. He waited less than a month.",
+        "Revenues rose in early 2015. The firm struggled in late 2008.",
+        "It lasted at least five days.",
+        "The early results were promising.",
+    ]), fixed="2020-06-15")
+    rows = sutime_docs(annotate(docs, upto="ner")).collect()
+    maps = [_tok_map(r) for r in rows]
+    assert maps[0]["about"] == ("DURATION", "P3W|APPROX")
+    assert maps[0]["weeks"] == ("DURATION", "P3W|APPROX")
+    assert maps[1]["more"] == ("DURATION", "P2Y|MORE_THAN")
+    assert maps[1]["less"] == ("DURATION", "P1M|LESS_THAN")
+    assert maps[2]["early"] == ("DATE", "2015|START")
+    assert maps[2]["late"] == ("DATE", "2008|END")
+    assert maps[3]["least"] == ("DURATION", "P5D|EQUAL_OR_MORE")
+    # 'early' not followed by a temporal run stays untouched
+    assert maps[4]["early"][0] not in ("DATE", "TIME", "DURATION")
