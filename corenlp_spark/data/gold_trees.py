@@ -1328,6 +1328,85 @@ _SENTS: list[str] = [
     , , 8 punct
     resigned VBD 0 root
     . . 10 punct""",
+    # ------------------------------------------------------------------
+    # r4 enhanced++ completion constructions (VERDICT r3 #5): multiword
+    # prepositions (because_of / in_front_of — gold in the ENHANCED MWE
+    # form enhance_edges restores idempotently), quantificational-modifier
+    # demotion (Millions of / A number of), and xcomp object control
+    # feeding the OpenIE xsubj rewrite. Two trees per construction so the
+    # even/odd split puts one of each in train AND heldout.
+    # ------------------------------------------------------------------
+    """She canceled the meeting because of the rain .
+    She PRP 2 nsubj
+    canceled VBD 0 root
+    the DT 4 det
+    meeting NN 2 obj
+    because IN 8 case
+    of IN 5 fixed
+    the DT 8 det
+    rain NN 2 nmod:because_of
+    . . 2 punct""",
+    """The manager resigned because of the scandal .
+    The DT 2 det
+    manager NN 3 nsubj
+    resigned VBD 0 root
+    because IN 7 case
+    of IN 4 fixed
+    the DT 7 det
+    scandal NN 3 nmod:because_of
+    . . 3 punct""",
+    """The car stopped in front of the house .
+    The DT 2 det
+    car NN 3 nsubj
+    stopped VBD 0 root
+    in IN 8 case
+    front NN 4 fixed
+    of IN 4 fixed
+    the DT 8 det
+    house NN 3 nmod:in_front_of
+    . . 3 punct""",
+    """They parked in front of the station .
+    They PRP 2 nsubj
+    parked VBD 0 root
+    in IN 7 case
+    front NN 3 fixed
+    of IN 3 fixed
+    the DT 7 det
+    station NN 2 nmod:in_front_of
+    . . 2 punct""",
+    """Millions of people attended the rally .
+    Millions NNS 3 dep
+    of IN 3 case
+    people NNS 4 nsubj
+    attended VBD 0 root
+    the DT 6 det
+    rally NN 4 obj
+    . . 4 punct""",
+    """A number of students failed the exam .
+    A DT 2 det
+    number NN 4 dep
+    of IN 4 case
+    students NNS 5 nsubj
+    failed VBD 0 root
+    the DT 7 det
+    exam NN 5 obj
+    . . 5 punct""",
+    """He asked Mary to leave .
+    He PRP 2 nsubj
+    asked VBD 0 root
+    Mary NNP 2 obj
+    to TO 5 mark
+    leave VB 2 xcomp
+    . . 2 punct""",
+    """The board asked the director to resign .
+    The DT 2 det
+    board NN 3 nsubj
+    asked VBD 0 root
+    the DT 5 det
+    director NN 3 obj
+    to TO 7 mark
+    resign VB 3 xcomp
+    . . 3 punct""",
 ]
 
 # ---------------------------------------------------------------------------

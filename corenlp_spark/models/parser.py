@@ -379,8 +379,9 @@ class ArcStandardParser:
             for c in active:
                 while True:
                     if not (c.buffer or len(c.stack) > 1) or c.steps >= 4 * c.n + 8:
-                        n_out[c.i] = self._finalize(c.words, c.n, c.stack,
-                                                    c.head_of, c.label_of)
+                        n_out[c.i] = self._finalize(c.words, c.pos, c.n,
+                                                    c.stack, c.head_of,
+                                                    c.label_of)
                         break
                     if len(c.stack) < 2:
                         c.steps += 1
@@ -555,7 +556,7 @@ class ArcStandardParser:
                     c.stack.pop()
         return n_out
 
-    def _finalize(self, words, n, stack, head_of, label_of):
+    def _finalize(self, words, pos, n, stack, head_of, label_of):
         edges = []
         root = stack[0] if stack else 0
         edges.append((-1, root, "root"))
@@ -566,7 +567,9 @@ class ArcStandardParser:
                 edges.append((head_of[d], d, label_of.get(d, "dep")))
             else:
                 edges.append((root, d, "dep"))
-        return self._resubtype_nmod(words, edges)
+        from corenlp_spark.operators.depparse import enhance_edges
+
+        return enhance_edges(words, pos, self._resubtype_nmod(words, edges))
 
     @staticmethod
     def _resubtype_nmod(words, edges):

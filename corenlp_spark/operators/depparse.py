@@ -370,6 +370,169 @@ def parse_clause(c: _Clause, lo: int, hi: int, chunks, vgs) -> int:
     return root
 
 
+# multiword prepositions (UniversalEnglishGrammaticalStructure.java:
+# 1486-1506 TWO_WORD_PREPS_REGULAR / THREE_WORD_PREPS, plus the standard UD
+# fixed expressions because_of / due_to / according_to / instead_of that the
+# reference handles upstream in its parser training data)
+TWO_WORD_PREPS: frozenset[str] = frozenset({
+    "across_from", "along_with", "alongside_of", "apart_from", "as_for",
+    "as_from", "as_of", "as_per", "as_to", "aside_from", "based_on",
+    "close_by", "close_to", "contrary_to", "compared_to", "compared_with",
+    "depending_on", "except_for", "exclusive_of", "far_from", "followed_by",
+    "inside_of", "irrespective_of", "next_to", "near_to", "off_of", "out_of",
+    "outside_of", "owing_to", "preliminary_to", "preparatory_to",
+    "previous_to", "prior_to", "pursuant_to", "regardless_of",
+    "subsequent_to", "thanks_to", "together_with",
+    "because_of", "due_to", "according_to", "instead_of", "ahead_of",
+})
+THREE_WORD_PREPS: frozenset[str] = frozenset({
+    "by_means_of", "in_accordance_with", "in_addition_to", "in_case_of",
+    "in_front_of", "in_lieu_of", "in_place_of", "in_spite_of",
+    "on_account_of", "on_behalf_of", "on_top_of", "with_regard_to",
+    "with_respect_to",
+})
+# quantificational modifiers (same file :1782-1795 QUANT_MOD patterns)
+_QUANT_2W: frozenset[str] = frozenset({
+    "lots", "many", "several", "plenty", "tons", "dozens", "multitudes",
+    "mountains", "loads", "pairs", "tens", "hundreds", "thousands",
+    "millions", "billions", "trillions", "some", "all", "both", "neither",
+})
+_QUANT_3W: frozenset[str] = frozenset({
+    "lot", "assortment", "number", "couple", "bunch", "handful", "litany",
+    "sheaf", "slew", "dozen", "series", "variety", "multitude", "wad",
+    "clutch", "wave", "mountain", "array", "spate", "string", "ton",
+    "range", "plethora", "heap", "sort", "form", "kind", "type", "version",
+    "bit", "pair", "triple", "total",
+})
+
+
+def enhance_edges(
+    words: list[str], pos: list[str], edges: list[tuple[int, int, str]],
+) -> list[tuple[int, int, str]]:
+    """Enhanced++ rewrites that operate on the finished edge list (applied
+    after BOTH parser paths — the same post-parse order as
+    ``UniversalEnglishGrammaticalStructure.addEnhancements``):
+
+    1. multiword prepositions → flat MWE: "because of the rain" becomes
+       ``nmod:because_of`` with case(rain→because) + fixed(because→of);
+       three-word preps ("in front of") re-head the true object under the
+       matrix governor (processMultiwordPreps, :1555-1700).
+    2. quantificational-modifier demotion: "Millions of people attended"
+       demotes the quantity noun so "people" carries the nsubj and the
+       quantifier hangs off it as ``dep``
+       (demoteQuantificationalModifiers, :1799-1868).
+
+    IDEMPOTENT: a tree already in enhanced form (a gold tree, or a decode
+    that reproduced one — whose case+fixed MWE shape ``_resubtype_nmod``
+    just relabeled to the bare first word) only gets its ``nmod:`` subtype
+    restored, never a second structural rewrite.
+    """
+    lower = [w.lower() for w in words]
+    parent: dict[int, tuple[int, str]] = {}
+    kids: dict[int, list[tuple[int, str]]] = {}
+    for h, d, r in edges:
+        parent[d] = (h, r)
+        kids.setdefault(h, []).append((d, r))
+
+    def case_child(t: int):
+        for d, r in kids.get(t, ()):
+            if r == "case":
+                return d
+        return None
+
+    # dep → (head, rel): the (single) edge each token hangs from
+    emap: dict[int, tuple[int, str]] = dict(parent)
+    structurally_done: set[int] = set()
+
+    # --- idempotence: already-MWE'd case phrase → restore the subtype ----
+    for d in list(emap):
+        h, r = emap[d]
+        if not r.startswith("nmod") or r == "nmod:poss":
+            continue
+        c = case_child(d)
+        if c is None:
+            continue
+        fixed = sorted(dd for dd, rr in kids.get(c, ()) if rr == "fixed")
+        if not fixed:
+            continue
+        phrase = "_".join(lower[t] for t in [c] + fixed)
+        if phrase in TWO_WORD_PREPS or phrase in THREE_WORD_PREPS:
+            emap[d] = (h, f"nmod:{phrase}")
+            structurally_done.update([d, c, *fixed])
+
+    # --- three-word preps: gov —rel→ w2(front) —nmod→ g2(house) ----------
+    for w2 in list(kids):
+        if w2 < 0 or w2 in structurally_done or w2 not in emap:
+            continue
+        w1 = case_child(w2)
+        if w1 is None or w1 + 1 != w2:
+            continue
+        for g2, r in kids.get(w2, ()):
+            if not r.startswith("nmod") or g2 in structurally_done:
+                continue
+            w3 = case_child(g2)
+            if w3 is None or w3 != w2 + 1:
+                continue
+            trigram = f"{lower[w1]}_{lower[w2]}_{lower[w3]}"
+            if trigram not in THREE_WORD_PREPS:
+                continue
+            gov, _gr = emap[w2]
+            emap[g2] = (gov, f"nmod:{trigram}")
+            emap[w1] = (g2, "case")
+            emap[w2] = (w1, "fixed")
+            emap[w3] = (w1, "fixed")
+            structurally_done.update([w1, w2, w3, g2])
+            break
+
+    # --- two-word preps: case child c of nominal d, preceded by w1 -------
+    for d in list(emap):
+        h, r = emap[d]
+        if d in structurally_done or not r.startswith("nmod") or r == "nmod:poss":
+            continue
+        c = case_child(d)
+        if c is None or c == 0 or c in structurally_done:
+            continue
+        w1 = c - 1
+        if w1 in structurally_done or w1 not in emap:
+            continue
+        bigram = f"{lower[w1]}_{lower[c]}"
+        if bigram not in TWO_WORD_PREPS:
+            continue
+        if emap[w1][1] not in ("advmod", "case", "mark", "dep", "fixed", "amod"):
+            continue
+        emap[d] = (h, f"nmod:{bigram}")
+        emap[w1] = (d, "case")
+        emap[c] = (w1, "fixed")
+        structurally_done.update([d, c, w1])
+
+    # --- quantmod demotion -----------------------------------------------
+    for q in list(emap):
+        h, r = emap[q]
+        if q in structurally_done or r.split(":")[0] not in (
+                "nsubj", "obj", "iobj", "root"):
+            continue
+        is_2w = lower[q] in _QUANT_2W or (lower[q].endswith("s")
+                                          and lower[q][:-1].isdigit())
+        is_3w = lower[q] in _QUANT_3W and any(
+            rr == "det" and lower[dd] in ("a", "an")
+            for dd, rr in kids.get(q, ()))
+        if not (is_2w or is_3w):
+            continue
+        gov = None
+        for dd, rr in kids.get(q, ()):
+            if rr == "nmod:of" and (pos[dd].startswith("NN")
+                                    or pos[dd].startswith("PRP")):
+                gov = dd
+                break
+        if gov is None or gov in structurally_done:
+            continue
+        emap[gov] = (h, r)
+        emap[q] = (gov, "dep")
+        structurally_done.update([q, gov])
+
+    return [(h, d, r) for d, (h, r) in sorted(emap.items())]
+
+
 def parse_sentence(
     words: list[str], pos: list[str], lemma: list[str],
     ner: list[str] | None = None, model: str | None = None,
@@ -403,7 +566,7 @@ def parse_sentence(
                     edges.append((root, t, "punct"))
             elif root is not None:
                 edges.append((root, t, "dep"))
-    return edges
+    return enhance_edges(words, pos, edges)
 
 
 def depparse_docs(df: DataFrame, model: str | None = None) -> DataFrame:

@@ -300,6 +300,22 @@ def extract_sentence(g: _Graph) -> list[tuple[str, str, str, float, int, int]]:
                     and g.pos[d - g.off].startswith("VB"):
                 if h in subj_of:
                     subj_of[d] = subj_of[h]
+    # xsubj: controlled infinitives get an external subject
+    # (UniversalEnglishGrammaticalStructure.addExtraNSubj :1377-1440 —
+    # nsubj:xsubj): the matrix OBJECT controls when present ("He asked
+    # Mary to leave" ⊢ Mary leaves), else the matrix subject ("Obama
+    # wants to visit Paris" ⊢ Obama visits). Gated on the infinitival
+    # 'to' mark exactly as the reference gates on aux/TO.
+    for h in list(g.children):
+        for d, r in g.children[h]:
+            if r == "xcomp" and d not in subj_of \
+                    and g.pos[d - g.off].startswith("VB") \
+                    and any(rr == "mark" and g.word(dd).lower() == "to"
+                            for dd, rr in g.kids(d)):
+                o = g.first(h, "obj")
+                src = o if o is not None else subj_of.get(h)
+                if src is not None:
+                    subj_of[d] = src
 
     # existential pattern: root with expl + nmod → (root-NP; is <case>; nmod-NP)
     for h in list(g.children):

@@ -104,7 +104,7 @@ def test_parse_batch_equals_reference_decode(annotated_pool):
                 label_of[d] = rel
                 kids_of.setdefault(stack[-2], []).append(d)
                 stack.pop()
-        return p._finalize(words, n, stack, head_of, label_of)
+        return p._finalize(words, pos, n, stack, head_of, label_of)
 
     segs = _sentence_segs(annotated_pool)
     ref = [parse_ref(w, t) for w, t in segs]

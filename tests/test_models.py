@@ -321,3 +321,58 @@ def test_broadcast_inference_on_spark(spark):
             # there — agreement is over the open-class decisions
             agree += t["ppos"] == t["pos"]
     assert n > 0 and agree / n >= 0.90, f"model/pipeline agreement {agree/n:.3f}"
+
+
+def test_enhanced_rewrites_mwe_quantmod_xsubj():
+    """Enhanced++ completion (VERDICT r3 #5,
+    UniversalEnglishGrammaticalStructure.java:1377-1868): multiword
+    prepositions collapse to nmod:<mwe> with case+fixed structure,
+    quantificational modifiers demote so the true nominal heads the
+    subject, and xcomp control feeds an external subject (xsubj) into
+    OpenIE extraction."""
+    from corenlp_spark.operators.depparse import enhance_edges, parse_sentence
+    from corenlp_spark.operators.openie import extract_sentence
+    from corenlp_spark.operators.tag import lemmatize, pos_tag
+    from corenlp_spark.operators.tokenize import tokenize_text
+    from corenlp_spark.plans.fused import _Graph
+
+    def parsed(s, model=None):
+        toks = tokenize_text(s)
+        words = [t[0] for t in toks]
+        pos = pos_tag(words, {0})
+        lem = [lemmatize(w, p) for w, p in zip(words, pos)]
+        return words, pos, lem, parse_sentence(words, pos, lem, model=model)
+
+    for model in (None, "rule"):
+        words, pos, _, e = parsed("She canceled the meeting because of the rain.", model)
+        rels = {(words[h] if h >= 0 else "ROOT", r, words[d]) for h, d, r in e}
+        assert ("canceled", "nmod:because_of", "rain") in rels, (model, rels)
+        assert ("rain", "case", "because") in rels
+        assert ("because", "fixed", "of") in rels
+
+        words, pos, _, e = parsed("The car stopped in front of the house.", model)
+        rels = {(words[h] if h >= 0 else "ROOT", r, words[d]) for h, d, r in e}
+        assert ("stopped", "nmod:in_front_of", "house") in rels, (model, rels)
+        assert ("house", "case", "in") in rels
+        assert ("in", "fixed", "front") in rels and ("in", "fixed", "of") in rels
+
+        # enhance_edges is idempotent on its own output
+        e2 = enhance_edges(words, pos, e)
+        assert sorted(e) == sorted(e2)
+
+    # quantmod demotion: the true nominal carries nsubj
+    words, pos, lem, e = parsed("Millions of people attended the rally.")
+    rels = {(r, words[d]) for h, d, r in e}
+    assert ("nsubj", "people") in rels and ("dep", "Millions") in rels
+
+    # xsubj through OpenIE: subject control and object control
+    def triples(s):
+        words, pos, lem, e = parsed(s)
+        g = _Graph(words, lem, e, 0, pos)
+        return {(a, b, c) for a, b, c, _, _, _ in extract_sentence(g)}
+
+    assert ("Obama", "visit", "Paris") in triples("Obama wants to visit Paris.")
+    assert ("director", "lead", "company") in triples(
+        "The board asked the director to lead the company.")
+    assert ("people", "attended", "rally") in triples(
+        "Millions of people attended the rally.")
