@@ -47,6 +47,14 @@ ANIMATE_NOUNS = {
     "coach", "player", "driver", "farmer", "worker", "employee", "chief",
     "secretary", "governor", "ambassador", "general", "colonel", "captain",
     "nominee", "candidate", "champion", "graduate", "pianist", "chancellor",
+    # profession/agent breadth (dcoref animate.unigrams carries thousands
+    # of such nouns; r4 widening)
+    "physicist", "chemist", "historian", "musician", "volunteer",
+    "pioneer", "editor", "salesman", "statesman", "prosecutor", "defendant",
+    "witness", "curator", "librarian", "architect", "surgeon", "nurse",
+    "pilot", "soldier", "athlete", "actor", "actress", "poet", "novelist",
+    "biographer", "diplomat", "investigator", "auditor", "regulator",
+    "shareholder", "successor", "predecessor", "advocate", "spokesperson",
 } | MALE_NOUNS | FEMALE_NOUNS
 # inanimate pronouns/nouns never corefer with PERSON antecedents
 INANIMATE_NOUNS = {

@@ -43,6 +43,11 @@ NOUNS: list[tuple[str, str]] = [
     ("investor", "investors"), ("sign", "signs"), ("entry", "entries"),
     ("remainder", "remainders"), ("sport", "sports"), ("front", "fronts"),
     # breadth beyond the fixture pool
+    ("salesman", "salesmen"), ("statesman", "statesmen"),
+    ("waterfall", "waterfalls"), ("nightfall", "nightfalls"),
+    ("shortfall", "shortfalls"), ("chairman", "chairmen"),
+    ("framework", "frameworks"), ("network", "networks"),
+    ("household", "households"), ("landmark", "landmarks"),
     ("market", "markets"), ("village", "villages"), ("teacher", "teachers"),
     ("student", "students"), ("report", "reports"), ("bridge", "bridges"),
     ("factory", "factories"), ("garden", "gardens"), ("river", "rivers"),
@@ -76,6 +81,10 @@ MASS_NOUNS = ["research", "money", "music", "water", "news", "advice",
 # (VB, VBZ, VBD, VBG, VBN)
 VERBS: list[tuple[str, str, str, str, str]] = [
     ("have", "has", "had", "having", "had"),
+    ("claim", "claims", "claimed", "claiming", "claimed"),
+    ("insist", "insists", "insisted", "insisting", "insisted"),
+    ("contend", "contends", "contended", "contending", "contended"),
+    ("attract", "attracts", "attracted", "attracting", "attracted"),
     ("eat", "eats", "ate", "eating", "eaten"),
     ("visit", "visits", "visited", "visiting", "visited"),
     ("speak", "speaks", "spoke", "speaking", "spoken"),
@@ -351,6 +360,27 @@ def pos_corpus() -> list[tuple[list[str], list[str]]]:
         add([("He", "PRP"), (vbd, "VBD"), ("her", "PRP$"), (ns, "NN"), (".", ".")])
         add([("They", "PRP"), (vb, "VBP"), (np_, "NNS"), (".", ".")])
         add([("She", "PRP"), ("was", "VBD"), ("a", "DT"), (ns, "NN"), (".", ".")])
+        # nationality adjectives are JJ (PTB convention, capitalized
+        # mid-sentence): "The German government denied the report ."
+        add([("The", "DT"), (_pick(NATIONALITIES, i), "JJ"),
+             (ns, "NN"), (vbd, "VBD"), ("the", "DT"), (ns2, "NN"),
+             (".", ".")])
+        # noun directly before a preposition (r4: unseen nouns in "DT _ IN"
+        # position were falling to JJ — "canceled the trip because of"):
+        # "He canceled the box because of the report ."
+        add([("He", "PRP"), (vbd, "VBD"), ("the", "DT"), (ns, "NN"),
+             ("because", "IN"), ("of", "IN"), ("the", "DT"), (ns2, "NN"),
+             (".", ".")])
+        # "The box in the garden was red ."
+        add([("The", "DT"), (ns, "NN"), ("in", "IN"), ("the", "DT"),
+             (ns2, "NN"), ("was", "VBD"), (jj, "JJ"), (".", ".")])
+        # "She left the office after the meeting ."
+        add([("She", "PRP"), (vbd2, "VBD"), ("the", "DT"), (ns, "NN"),
+             ("after", "IN"), ("the", "DT"), (ns2, "NN"), (".", ".")])
+        # plural subject + VBP + that-clause: "The cats claim that the
+        # report failed ." (NNS VBP IN frame — OOD miss class r4)
+        add([("The", "DT"), (np_, "NNS"), (vb, "VBP"), ("that", "IN"),
+             ("the", "DT"), (ns2, "NN"), (vbd2, "VBD"), (".", ".")])
         # negation: "The dog did not eat the vegetable ."
         add([("The", "DT"), (ns, "NN"), ("did", "VBD"), ("not", "RB"),
              (vb, "VB"), ("the", "DT"), (ns2, "NN"), (".", ".")])
@@ -557,6 +587,14 @@ LOCATIONS = ["Hawaii", "Paris", "Armonk", "California", "Berlin", "Honolulu",
              "Lyon", "Porto", "Geneva", "Krakow", "Valencia", "Bergen"]
 MISCS = [("Nobel", "Prize"), ("Turing", "Award"), ("Pulitzer", "Prize"),
          ("World", "Cup"), ("Olympic", "Games")]
+# nationality adjectives tag MISC in CoNLL03 (the reference's NER training
+# target — NERBenchmarkSlowITest.java:79-99); the OOD eval set uses a
+# DISJOINT nationality pool so the -ian/-ish/-ese suffix + context features
+# must carry, not the lexicon
+NATIONALITIES = ["German", "French", "Spanish", "Italian", "Russian",
+                 "Japanese", "Chinese", "Brazilian", "Canadian",
+                 "Australian", "Egyptian", "Indian", "Mexican", "Polish",
+                 "Swedish", "Norwegian"]
 
 _PLAIN_NOUNS = ["engineer", "report", "meeting", "contract", "office",
                 "statement", "decision", "budget", "project", "award"]
@@ -597,6 +635,9 @@ def ner_corpus() -> list[tuple[list[str], list[str], list[str]]]:
         a, b = _pick(MISCS, i)
         return ([a, b], ["NNP", "NNP"], ["B-MISC", "I-MISC"])
 
+    def nat(i):
+        return ([_pick(NATIONALITIES, i)], ["JJ"], ["B-MISC"])
+
     def w(ws, ps):
         return (ws, ps, ["O"] * len(ws))
 
@@ -624,6 +665,18 @@ def ner_corpus() -> list[tuple[list[str], list[str], list[str]]]:
         # PER won the MISC
         add([per(i + 14, full=i % 2 == 1), w(["won", "the"], ["VBD", "DT"]),
              misc(i), w(["."], ["."])])
+        # The NAT government denied the report . (nationality MISC, CoNLL03)
+        add([w(["The"], ["DT"]), nat(i),
+             w(["government", "denied", "the", "report", "."],
+               ["NN", "VBD", "DT", "NN", "."])])
+        # The NAT team won the match .
+        add([w(["The"], ["DT"]), nat(i + 7),
+             w(["team", "won", "the", "match", "."],
+               ["NN", "VBD", "DT", "NN", "."])])
+        # PER , a NAT citizen , was released .
+        add([per(i + 23), w([",", "a"], [",", "DT"]), nat(i + 11),
+             w(["citizen", ",", "was", "released", "."],
+               ["NN", ",", "VBD", "VBN", "."])])
         # said PER (quote attribution order)
         add([w(["said"], ["VBD"]), per(i + 15), w(["."], ["."])])
         # PER is a graduate of ORG

@@ -47,6 +47,11 @@ _PRONOUN_AGREE = {
     "its": ("ORGANIZATION|LOCATION|O", "sing"),
     "they": ("PERSON|ORGANIZATION", "plur"), "them": ("PERSON|ORGANIZATION", "plur"),
     "their": ("PERSON|ORGANIZATION", "plur"),
+    # reflexives bind within their own sentence (dcoref Rules reflexive
+    # handling; the sieve adds a same-sentence constraint for these)
+    "himself": ("PERSON|O", "sing"), "herself": ("PERSON|O", "sing"),
+    "itself": ("ORGANIZATION|LOCATION|O", "sing"),
+    "themselves": ("PERSON|ORGANIZATION", "plur"),
     # first person: resolved by the DiscourseMatch/speaker sieve inside
     # quotes (dcoref SpeakerMatch semantics), never by distance
     "i": ("PERSON", "sing"), "me": ("PERSON", "sing"), "my": ("PERSON", "sing"),
@@ -220,8 +225,15 @@ def run_sieves(mentions: list[Mention], tokens: list[dict] | None = None) -> Non
                 # president, …") — kinds must differ so list constructions
                 # ("France, Germany and Italy") never merge
                 if between == [","] and {mi.kind, mj.kind} == {"entity", "nominal"}:
-                    union(i, j)
-                    break
+                    # attribute agreement (Rules.java entityIsApposition →
+                    # attributesAgree): the nominal's animacy must match the
+                    # entity type, else "After his trial, Marco Ruiz …"
+                    # merges a trial with a person
+                    ent, nom = (mi, mj) if mi.kind == "entity" else (mj, mi)
+                    if _dict.is_animate(nom.ner, nom.head_word) == (ent.ner == "PERSON"):
+                        union(i, j)
+                        break
+                    continue
                 # role appositive (Rules.java entityIsRoleAppositive +
                 # dcoref MarkRole): an ANIMATE role nominal directly before
                 # a PERSON entity ("president Obama", "CEO Jane Smith")
@@ -347,9 +359,9 @@ def run_sieves(mentions: list[Mention], tokens: list[dict] | None = None) -> Non
     # (dcoref/Dictionaries.java tables; Rules.java agreement checks):
     # "he" never takes a FEMALE antecedent, "she" never MALE, "it" never an
     # animate one.
-    _MALE_PRON = {"he", "him", "his"}
-    _FEMALE_PRON = {"she", "her"}
-    _INANIMATE_PRON = {"it", "its"}
+    _MALE_PRON = {"he", "him", "his", "himself"}
+    _FEMALE_PRON = {"she", "her", "herself"}
+    _INANIMATE_PRON = {"it", "its", "itself"}
     for i in range(n):
         mi = mentions[i]
         if mi.kind != "pronoun" or mi.text.lower() in _FIRST_PERSON:
@@ -405,6 +417,18 @@ def run_sieves(mentions: list[Mention], tokens: list[dict] | None = None) -> Non
         # subject — the most salient mention — comes first)
         same = [j for j in range(i - 1, -1, -1)
                 if mentions[j].sent == mi.sent]
+        if p.endswith("self") or p.endswith("selves"):
+            # reflexive binding: same-sentence antecedents only
+            ordered = same
+            hit = None
+            for j in ordered:
+                mj = mentions[j]
+                if mj.kind != "pronoun" and compatible(mj):
+                    hit = j
+                    break
+            if hit is not None:
+                union(i, hit)
+            continue
         by_dist: dict[int, list[int]] = {}
         for j in range(i - 1, -1, -1):
             d = mi.sent - mentions[j].sent

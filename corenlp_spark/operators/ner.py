@@ -355,14 +355,25 @@ def numeric_pass(words: list[str], ner: list[str], nner: list[str]) -> None:
         t += 1
 
 
+_PRONOUN_WORDS = {
+    "i", "you", "he", "she", "it", "we", "they", "him", "her", "them",
+    "his", "hers", "its", "their", "theirs", "our", "ours", "your",
+    "yours", "me", "us", "myself", "yourself", "himself", "herself",
+    "itself", "ourselves", "themselves", "this", "that", "these", "those",
+}
+
+
 def _ner_force_o(words: list[str]) -> set[int]:
     # punct/number/calendar tokens are owned by the numeric/temporal
-    # pass — pin them to O in the model's decode
+    # pass — pin them to O in the model's decode; pronouns/demonstratives
+    # are never entity tokens (CoNLL03 convention — a capitalized
+    # sentence-initial "It" must not decode as ORGANIZATION)
     return {
         i for i, w in enumerate(words)
         if not w[:1].isalpha()
         or any(c.isdigit() for c in w)  # Q3, 4:45pm — numeric pass owns
         or w.lower() in MONTHS or w.lower() in _DAY_WORDS
+        or w.lower() in _PRONOUN_WORDS
     }
 
 

@@ -48,6 +48,22 @@ EVAL_DOCS = [
     ("Stanford University opened a laboratory. The university funded it fully.",
      [{(0, "Stanford University"), (1, "The university")},
       {(0, "a laboratory"), (1, "it")}]),
+    # r4 widening (VERDICT r3 #10): nested mentions, cataphora, reflexive
+    # binding, same-gender ambiguity — harder docs at the same ≥0.85 floor
+    ("The president of France visited Rome. He praised the city.",
+     [{(0, "The president"), (1, "He")},        # nested: France stays apart
+      {(0, "Rome"), (1, "the city")}]),
+    ("When she arrived in Vienna, Petra Jensen smiled.",
+     [{(0, "she"), (0, "Petra Jensen")}]),       # cataphora: a known miss
+    ("Grace Foster met Irene Archer. She congratulated Irene.",
+     [{(0, "Grace Foster"), (1, "She")},         # subject salience
+      {(0, "Irene Archer"), (1, "Irene")}]),
+    ("Henry Mercer blamed himself after the loss.",
+     [{(0, "Henry Mercer"), (0, "himself")}]),   # reflexive binding
+    ("The committee blamed itself for the delay.",
+     [{(0, "The committee"), (0, "itself")}]),
+    ("After his trial, Marco Ruiz moved to Lima.",
+     [{(0, "his"), (0, "Marco Ruiz")}]),         # cataphoric possessive: miss
 ]
 
 
