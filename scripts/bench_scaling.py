@@ -27,12 +27,21 @@ if not os.path.exists(os.path.join(docs_path, "_SUCCESS")):
     # test-data materialization is NOT part of the measured job (a real
     # pipeline reads parquet); 4 partitions/core keeps the straggler tail short
     synth_docs(spark, n_docs, parts=128).write.mode("overwrite").parquet(docs_path)
-# warm the JVM/UDF path once so the measured run is steady-state
+# warm-up: small synth job spawns workers/loads weights, then one FULL
+# pass over the real parquet plan exercises the scan + Arrow path at size
+# (C2 JIT ramp measured at 2-4x on the first full-size executions; same
+# steady-state policy as bench.py)
 dedup_triples(extract_triples_fused(synth_docs(spark, 200, parts=cores))).count()
-t0 = time.time()
-docs = spark.read.parquet(docs_path)
-n = extract_triples_fused(docs).count()
-wall = time.time() - t0
+extract_triples_fused(spark.read.parquet(docs_path)).count()
+# best-of-3 timed passes: C2 JIT keeps compiling through the first 2-3
+# full-size executions (measured 17 s -> 11.5 s -> steady on identical
+# plans); min-of-N isolates the steady-state cost on both sides
+wall, n = float("inf"), 0
+for _ in range(3):
+    t0 = time.time()
+    docs = spark.read.parquet(docs_path)
+    n = extract_triples_fused(docs).count()
+    wall = min(wall, time.time() - t0)
 print(json.dumps({"cores": cores, "wall_s": round(wall, 2),
                   "n_triples": n, "docs_per_sec": round(n_docs / wall, 1),
                   "triples_per_sec": round(n / wall, 1)}))
@@ -40,6 +49,18 @@ print(json.dumps({"cores": cores, "wall_s": round(wall, 2),
 
 
 SPIN = "while True:\n pass"
+
+
+def _docs_path(n_docs: int) -> str:
+    """Cache path keyed on the golden-pool content — a stale cache from an
+    older pool version silently changes per-doc work (r4: a leftover r3
+    cache carried 3.2x the triples/doc and tanked every throughput number).
+    Same keying policy as bench.py."""
+    import hashlib
+    sys.path.insert(0, "/root/repo")
+    from corenlp_spark.data.synth import GOLDEN_SENTENCES
+    key = hashlib.md5("".join(GOLDEN_SENTENCES).encode()).hexdigest()[:8]
+    return f"/tmp/scaling_docs_{n_docs}_{key}"
 
 
 def run(cores: int, n_docs: int, iso_freq: bool = True) -> dict:
@@ -55,7 +76,8 @@ def run(cores: int, n_docs: int, iso_freq: bool = True) -> dict:
     import os
 
     total = os.cpu_count() or cores
-    env = dict(os.environ, OMP_NUM_THREADS="1", OPENBLAS_NUM_THREADS="1")
+    env = dict(os.environ, OMP_NUM_THREADS="1", OPENBLAS_NUM_THREADS="1",
+               PYTHONPATH="/root/repo")
     spinners = []
     if iso_freq and cores < total:
         for c in range(cores, total):
@@ -64,7 +86,7 @@ def run(cores: int, n_docs: int, iso_freq: bool = True) -> dict:
                 stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
             ))
     try:
-        docs_path = f"/tmp/scaling_docs_{n_docs}"
+        docs_path = _docs_path(n_docs)
         cmd = ["taskset", "-c", f"0-{cores - 1}",
                sys.executable, "-c", CHILD, str(cores), str(n_docs), docs_path]
         out = subprocess.run(cmd, capture_output=True, text=True, timeout=1800, env=env)
@@ -81,8 +103,9 @@ def run_concurrent(cores: int, copies: int, n_docs: int) -> list[dict]:
     identical on both sides of the comparison."""
     import os
 
-    env = dict(os.environ, OMP_NUM_THREADS="1", OPENBLAS_NUM_THREADS="1")
-    docs_path = f"/tmp/scaling_docs_{n_docs}"
+    env = dict(os.environ, OMP_NUM_THREADS="1", OPENBLAS_NUM_THREADS="1",
+               PYTHONPATH="/root/repo")
+    docs_path = _docs_path(n_docs)
     procs = []
     for c in range(copies):
         lo, hi = c * cores, (c + 1) * cores - 1
@@ -104,6 +127,15 @@ def main():
     trials = int(sys.argv[3]) if len(sys.argv) > 3 else 3
     # interleave the two levels A,B,A,B,… so slow drifts in VM cpu-steal hit
     # both levels equally; take per-level best throughput (min interference)
+    # materialize the docs cache ONCE before spawning concurrent children —
+    # four simultaneous writers to a fresh path race on _SUCCESS
+    import os as _os
+    import subprocess as _sp
+    if not _os.path.exists(_os.path.join(_docs_path(n_docs), "_SUCCESS")):
+        _sp.run([sys.executable, "-c", CHILD, "8", str(n_docs),
+                 _docs_path(n_docs)],
+                env=dict(_os.environ, PYTHONPATH="/root/repo"),
+                stdout=_sp.DEVNULL, stderr=_sp.DEVNULL, timeout=1800)
     lo, hi = [], []
     for _ in range(trials):
         lo.append(run_concurrent(n, 4, n_docs))
