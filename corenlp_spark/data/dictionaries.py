@@ -17,6 +17,14 @@ MALE_NAMES = {
     "mark", "donald", "steven", "andrew", "brian", "kevin", "jason",
     "frank", "henry", "jacob", "louis", "oscar", "simon", "victor", "tom",
     "walter", "felix", "hugo", "peter", "edward", "samuel", "jerry",
+    # r4 breadth (dcoref male.unigrams subset)
+    "anthony", "joseph", "joshua", "matthew", "christopher", "ryan",
+    "nicholas", "eric", "stephen", "jonathan", "justin", "brandon",
+    "timothy", "adam", "aaron", "nathan", "patrick", "sean", "carl",
+    "harold", "roger", "gerald", "keith", "lawrence", "terry", "ralph",
+    "eugene", "vincent", "leonard", "marco", "luis", "juan", "carlos",
+    "pedro", "diego", "ivan", "boris", "hans", "franz", "otto", "gustav",
+    "casimir", "aurelio", "rupert", "edmund", "leopold",
 }
 FEMALE_NAMES = {
     "marie", "jane", "mary", "sarah", "anna", "laura", "emma", "clara",
@@ -24,16 +32,29 @@ FEMALE_NAMES = {
     "tessa", "diane", "ivy", "alice", "julia", "susan", "linda", "nancy",
     "karen", "betty", "helen", "sandra", "donna", "carol", "ruth", "sara",
     "matilda", "beatrix", "cordelia",
+    # r4 breadth (dcoref female.unigrams subset)
+    "jennifer", "jessica", "ashley", "amanda", "stephanie", "melissa",
+    "nicole", "elizabeth", "megan", "rachel", "hannah", "katherine",
+    "christine", "deborah", "sharon", "cynthia", "kathleen", "shirley",
+    "angela", "brenda", "pamela", "katie", "sophie", "charlotte", "amelia",
+    "olivia", "isabella", "mia", "ingrid", "astrid", "greta", "sofia",
+    "lucia", "carmen", "rosa", "elena", "nadia", "vera", "tatiana",
+    "sanna", "cecilia",
 }
 MALE_NOUNS = {
     "man", "men", "boy", "father", "son", "brother", "husband", "uncle",
     "grandfather", "king", "prince", "actor", "waiter", "gentleman", "sir",
-    "mr.", "widower", "nephew", "duke", "emperor",
+    "mr.", "widower", "nephew", "duke", "emperor", "grandson", "stepfather",
+    "godfather", "bridegroom", "lad", "monk", "priest", "baron", "count",
+    "earl", "lord", "tsar", "sultan", "caliph", "patriarch", "papa", "dad",
 }
 FEMALE_NOUNS = {
     "woman", "women", "girl", "mother", "daughter", "sister", "wife",
     "aunt", "grandmother", "queen", "princess", "actress", "waitress",
     "lady", "madam", "mrs.", "ms.", "widow", "niece", "duchess", "empress",
+    "granddaughter", "stepmother", "godmother", "bride", "lass", "nun",
+    "priestess", "baroness", "countess", "tsarina", "matriarch", "mama",
+    "mom", "heroine", "hostess", "ballerina",
 }
 # animate role/person nouns (Dictionaries.animateWords subset): these can
 # antecede he/she/who and license role appositives ("president Obama")
@@ -61,6 +82,14 @@ INANIMATE_NOUNS = {
     "company", "corporation", "group", "startup", "university", "school",
     "bank", "institute", "city", "country", "report", "contract", "budget",
     "system", "project", "building", "bridge", "law", "policy", "election",
+    # r4 breadth (dcoref inanimate.unigrams subset)
+    "government", "committee", "agency", "ministry", "parliament",
+    "council", "court", "tribunal", "firm", "market", "economy", "industry",
+    "product", "service", "document", "statement", "decision", "ruling",
+    "verdict", "trial", "hearing", "inquiry", "study", "survey", "plan",
+    "program", "agreement", "treaty", "deal", "merger", "buyout",
+    "machine", "engine", "vehicle", "ship", "aircraft", "satellite",
+    "storm", "earthquake", "flood", "fire", "disease", "virus",
 }
 # country/region → demonym (Dictionaries.demonyms subset;
 # dcoref/Rules.java entityIsDemonym): "France" ↔ "French"
@@ -79,6 +108,20 @@ DEMONYMS = {
     "hungary": "hungarian", "croatia": "croatian", "serbia": "serbian",
     "ukraine": "ukrainian", "israel": "israeli", "iran": "iranian",
     "iraq": "iraqi", "vietnam": "vietnamese", "korea": "korean",
+    # r4 breadth
+    "wales": "welsh", "iceland": "icelandic", "romania": "romanian",
+    "bulgaria": "bulgarian", "slovakia": "slovak", "slovenia": "slovene",
+    "lithuania": "lithuanian", "latvia": "latvian", "estonia": "estonian",
+    "chile": "chilean", "peru": "peruvian", "colombia": "colombian",
+    "venezuela": "venezuelan", "cuba": "cuban", "bolivia": "bolivian",
+    "morocco": "moroccan", "algeria": "algerian", "tunisia": "tunisian",
+    "ethiopia": "ethiopian", "ghana": "ghanaian", "uganda": "ugandan",
+    "tanzania": "tanzanian", "thailand": "thai", "indonesia": "indonesian",
+    "malaysia": "malaysian", "philippines": "filipino",
+    "pakistan": "pakistani", "bangladesh": "bangladeshi", "nepal": "nepali",
+    "afghanistan": "afghan", "syria": "syrian", "lebanon": "lebanese",
+    "jordan": "jordanian", "saudi arabia": "saudi", "qatar": "qatari",
+    "mongolia": "mongolian", "kazakhstan": "kazakh",
 }
 _DEMONYM_TO_PLACE = {v: k for k, v in DEMONYMS.items()}
 

@@ -63,6 +63,14 @@ import re as _re
 
 _RE_DECADE = _re.compile(r"^(1[6-9]\d|20\d)0s$")
 _RE_MODYEAR = _re.compile(r"^(early|mid|late)-((?:1[6-9]|20)\d\d)$")
+_RE_MODMONTH = _re.compile(
+    r"^(early|mid|late)-(january|february|march|april|may|june|july|august"
+    r"|september|october|november|december)$")
+# sub-day duration units → TIMEX3 PT-forms
+_TUNIT = {"hour": "H", "hours": "H", "minute": "M", "minutes": "M",
+          "second": "S", "seconds": "S"}
+_MOD_WORD = {"early": "START", "mid": "MID", "late": "END"}
+_NTH = {"first": 1, "second": 2, "third": 3, "fourth": 4, "last": -1}
 
 
 def _unit_offset(docdate: datetime.date, unit: str, k: int) -> str:
@@ -194,7 +202,11 @@ def _resolve(words: list[str], lower: list[str], docdate: datetime.date):
             i += ntok
             continue
         # last/next/bare weekday → resolved ISO date
-        if w in ("last", "next") and i + 1 < n and lower[i + 1] in _WEEKDAYS:
+        if w in ("last", "next") and i + 1 < n and lower[i + 1] in _WEEKDAYS \
+                and not (i + 3 < n and lower[i + 2] in ("of", "in")
+                         and lower[i + 3] in _MONTHS):
+            # "the last Friday in June" belongs to the nth-DOW-of-month
+            # rule below, not the deictic last/next-weekday offset
             base = monday + datetime.timedelta(days=_WEEKDAYS[lower[i + 1]])
             base += datetime.timedelta(weeks=-1 if w == "last" else 1)
             yield i, i + 2, "DATE", base.isoformat()
@@ -259,9 +271,57 @@ def _resolve(words: list[str], lower: list[str], docdate: datetime.date):
         # approximate year compounds: mid-2015 / early-1990 / late-2008
         m_mid = _RE_MODYEAR.match(w)
         if m_mid:
-            mod = {"early": "START", "mid": "MID", "late": "END"}[m_mid.group(1)]
+            mod = _MOD_WORD[m_mid.group(1)]
             yield i, i + 1, "DATE", f"{m_mid.group(2)}|{mod}"
             i += 1
+            continue
+        # hyphenated mod months: "mid-June" → <year>-06|MID (the spaced
+        # form "early June" is handled by _mark_mods over the month DATE)
+        m_mm = _RE_MODMONTH.match(w)
+        if m_mm:
+            mod = _MOD_WORD[m_mm.group(1)]
+            yield (i, i + 1, "DATE",
+                   f"{docdate.year}-{_MONTHS[m_mm.group(2)]:02d}|{mod}")
+            i += 1
+            continue
+        # ordinal weekday-of-month (english.sutime.txt nth-DOW rules):
+        # "the first Monday of March" / "the last Friday in June"
+        if (w in _NTH and i + 3 < n and lower[i + 1] in _WEEKDAYS
+                and lower[i + 2] in ("of", "in") and lower[i + 3] in _MONTHS):
+            month = _MONTHS[lower[i + 3]]
+            dow = _WEEKDAYS[lower[i + 1]]
+            nth = _NTH[w]
+            if nth > 0:
+                d0 = datetime.date(docdate.year, month, 1)
+                off = (dow - d0.weekday()) % 7
+                d = d0 + datetime.timedelta(days=off + 7 * (nth - 1))
+            else:  # last <dow> of month
+                nm = datetime.date(docdate.year + month // 12,
+                                   month % 12 + 1, 1)
+                d = nm - datetime.timedelta(days=1)
+                d -= datetime.timedelta(days=(d.weekday() - dow) % 7)
+            if d.month == month:
+                yield i, i + 4, "DATE", d.isoformat()
+                i += 4
+                continue
+        # vague counts: "a few weeks" / "several months" / "the past few
+        # days" → PX<unit> (SUTime's inexact-duration values)
+        if w in ("few", "several", "many") and i + 1 < n and lower[i + 1] in _UNIT:
+            s0 = i
+            if i > 0 and lower[i - 1] in ("a", "the", "past", "next",
+                                          "coming", "last"):
+                s0 = i - 1
+                if s0 > 0 and lower[s0 - 1] == "the":
+                    s0 -= 1
+            yield s0, i + 2, "DURATION", f"PX{_UNIT[lower[i + 1]]}"
+            i += 2
+            continue
+        # "half an hour" → PT30M (english.sutime.txt fraction durations)
+        if (w == "half" and i + 2 < n and lower[i + 1] in ("a", "an")
+                and lower[i + 2] in ("hour", "day")):
+            val = "PT30M" if lower[i + 2] == "hour" else "PT12H"
+            yield i, i + 3, "DURATION", val
+            i += 3
             continue
         # clock hour + meridiem: "7 pm" → T19:00
         if (w.isdigit() and 1 <= int(w) <= 12 and i + 1 < n
@@ -387,6 +447,12 @@ def _resolve(words: list[str], lower: list[str], docdate: datetime.date):
             unit = _UNIT[lower[i + 3]]
             yield i, i + 4, "DURATION", f"P{qty}{unit}/P{q2}{unit}"
             i += 4
+            continue
+        # sub-day durations: "three hours" → PT3H, "45 minutes" → PT45M
+        # (no date resolution — the docdate carries no time-of-day anchor)
+        if qty is not None and i + 1 < n and lower[i + 1] in _TUNIT:
+            yield i, i + 2, "DURATION", f"PT{qty}{_TUNIT[lower[i + 1]]}"
+            i += 2
             continue
         if qty is not None and i + 1 < n and lower[i + 1] in _UNIT:
             unit = _UNIT[lower[i + 1]]

@@ -147,6 +147,12 @@ _RULES = [
     ("SPACEDFRAC", r"\d{1,3}(?:,\d{3})*[ \u00A0]\d{1,2}/\d{1,4}(?![\d/])"),
     # hyphenated mixed number "5-1/4" stays one token in BOTH modes
     ("HYPHFRAC", r"\d{1,3}(?:,\d{3})*-\d{1,2}/\d{1,4}(?![\d/])"),
+    # slash/hyphen dates "3/4/2021", "11-05-99" are ONE token (PTBLexer
+    # DATE rule) — must precede FRACTION so "3/4/2021" never half-matches
+    ("SLASHDATE", r"(?:\d{1,2}/\d{1,2}/\d{2,4}|\d{1,2}-\d{1,2}-\d{2,4})(?![\d/-])"),
+    # bare fraction "3/4" (and season spans "2022/23") is ONE token
+    # (PTBLexer FRACTION rule); SPACEDFRAC/HYPHFRAC above win when longer
+    ("FRACTION", r"\d{1,4}/\d{1,4}(?![\d/])"),
     # hyphenated ranges / number compounds stay whole: 2010-2015, 20-30,
     # 80,000-man, 1,000-1,200, 5:30-to-10, 9-to-11:45, 555-55-5555
     # (trailing %, ., ' split off — PTBLexer hyphenated-token behavior)
@@ -194,6 +200,10 @@ _NORM_DASHES = {"—", "–"}
 #     accepted and resolve to an enum (True → latex/ptb3, False →
 #     not_cp1252) when the enum key is absent;
 #   split_hyphenated — "Sydney-based" → Sydney - based (UD-style);
+#   split_forward_slash — "and/or" → and / or (PTBLexer.flex
+#     breakByHyphensSlashes FORWARD_SLASH arm; URLs and numeric
+#     fractions/dates stay whole, as in the reference's lexer where URLs
+#     match a different rule);
 #   strict_treebank3 — the two deliberate PTB3 deviations OFF
 #     (PTBTokenizer.java:152-177): (i) strict_acronym: an abbreviation at a
 #     sentence end splits its period ("Corp" ".") instead of reduplicating
@@ -207,6 +217,7 @@ DEFAULT_OPTIONS = {
     "normalize_ellipsis": True,
     "normalize_parentheses": False,  # ( → -LRB- etc. (PTB3 token forms)
     "split_hyphenated": False,
+    "split_forward_slash": False,
     "strict_treebank3": False,
     "strict_acronym": None,   # None → follow strict_treebank3
     "strict_fraction": None,  # None → follow strict_treebank3
@@ -333,20 +344,32 @@ def _norm_word(matched: str, opt: dict, raw: str) -> str:
     return _NORM.get(matched, matched)
 
 
-def _split_hyphenated(tokens):
-    """splitHyphenated post-pass: internal hyphens become their own tokens
-    ("Sydney-based" → Sydney - based); number ranges keep their hyphens."""
+def _split_on(tokens, cls: str):
+    """breakByHyphensSlashes post-pass (PTBLexer.flex:357-374): internal
+    separators of class ``cls`` become their own tokens ("Sydney-based" →
+    Sydney - based; "and/or" → and / or). Number-bearing tokens (ranges,
+    fractions, dates) and URL-shaped tokens stay whole — in the reference
+    those match different lexer rules and never reach this split."""
+    rx = re.compile(f"([{cls}])")
     out = []
     for w, o, b, e in tokens:
-        if "-" in w[1:-1] and not any(c.isdigit() for c in w) and len(w) == e - b:
+        core = w[1:-1]
+        splittable = (any(ch in core for ch in cls.replace("\\", ""))
+                      and not any(c.isdigit() for c in w)
+                      and "://" not in w and len(w) == e - b)
+        if splittable:
             pos = b
-            for part in re.split(r"(-)", w):
+            for part in rx.split(w):
                 if part:
                     out.append((part, part, pos, pos + len(part)))
                     pos += len(part)
         else:
             out.append((w, o, b, e))
     return out
+
+
+def _split_hyphenated(tokens):
+    return _split_on(tokens, "-")
 
 
 def _sentend_follows(s: str, i: int) -> bool:
@@ -497,8 +520,12 @@ def tokenize_text_with_barriers(text: str, options: dict | None = None):
     if split_pts:
         barriers = {x + sum(1 for p in split_pts if p < x) for x in barriers}
     gated, barriers = _abbrev_sentence_end(gated, barriers, norm_text, opt)
-    if opt.get("split_hyphenated"):
-        gated = _split_hyphenated(gated)
+    if opt.get("split_hyphenated") and opt.get("split_forward_slash"):
+        gated = _split_on(gated, "-/")
+    elif opt.get("split_hyphenated"):
+        gated = _split_on(gated, "-")
+    elif opt.get("split_forward_slash"):
+        gated = _split_on(gated, "/")
     return gated, barriers
 
 

@@ -33,15 +33,17 @@ if not os.path.exists(os.path.join(docs_path, "_SUCCESS")):
 # steady-state policy as bench.py)
 dedup_triples(extract_triples_fused(synth_docs(spark, 200, parts=cores))).count()
 extract_triples_fused(spark.read.parquet(docs_path)).count()
-# best-of-3 timed passes: C2 JIT keeps compiling through the first 2-3
-# full-size executions (measured 17 s -> 11.5 s -> steady on identical
-# plans); min-of-N isolates the steady-state cost on both sides
-wall, n = float("inf"), 0
-for _ in range(3):
-    t0 = time.time()
+# aggregate throughput over 5 back-to-back passes (after a full-size
+# warm-up pass for the C2 JIT ramp). NOT best-of-N: concurrent peer jobs
+# drift apart, and a per-pass minimum would credit each job its
+# least-contended pass — aggregate-over-passes keeps the box loaded for
+# the whole timed window on both sides of the N vs 4N comparison.
+PASSES = 5
+t0 = time.time()
+for _ in range(PASSES):
     docs = spark.read.parquet(docs_path)
     n = extract_triples_fused(docs).count()
-    wall = min(wall, time.time() - t0)
+wall = (time.time() - t0) / PASSES
 print(json.dumps({"cores": cores, "wall_s": round(wall, 2),
                   "n_triples": n, "docs_per_sec": round(n_docs / wall, 1),
                   "triples_per_sec": round(n / wall, 1)}))

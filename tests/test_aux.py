@@ -246,3 +246,29 @@ def test_sutime_timex_mod_attributes(spark):
     assert maps[3]["least"] == ("DURATION", "P5D|EQUAL_OR_MORE")
     # 'early' not followed by a temporal run stays untouched
     assert maps[4]["early"][0] not in ("DATE", "TIME", "DURATION")
+
+
+def test_sutime_subday_vague_nth_weekday(spark):
+    """r4 SUTime depth: sub-day durations (PT-forms), vague counts
+    (PX<unit>), half-an-hour, mid-June compounds, and ordinal
+    weekday-of-month resolution (english.sutime.txt nth-DOW rules).
+    Docdate 2020-06-15."""
+    docs = with_docdate(_docs(spark, [
+        "The meeting lasted three hours. He waited 45 minutes.",
+        "She stayed a few weeks. It took several months.",
+        "The drive took half an hour.",
+        "The product ships in mid-June.",
+        "They meet the first Monday of March. Payday is the last Friday in June.",
+    ]), fixed="2020-06-15")
+    rows = sutime_docs(annotate(docs, upto="ner")).collect()
+    maps = [_tok_map(r) for r in rows]
+    assert maps[0]["hours"] == ("DURATION", "PT3H")
+    assert maps[0]["minutes"] == ("DURATION", "PT45M")
+    assert maps[1]["few"] == ("DURATION", "PXW")
+    assert maps[1]["several"] == ("DURATION", "PXM")
+    assert maps[2]["half"] == ("DURATION", "PT30M")
+    assert maps[3]["mid-june"] == ("DATE", "2020-06|MID")
+    # 2020-03-01 is a Sunday → first Monday = 2020-03-02
+    assert maps[4]["monday"] == ("DATE", "2020-03-02")
+    # last Friday of June 2020 = 2020-06-26
+    assert maps[4]["friday"] == ("DATE", "2020-06-26")

@@ -378,3 +378,38 @@ def test_straight_double_quote_directional():
         got = [t[0] for t in tokenize_text('he said "yes" again',
                                            {"quotes": q})]
         assert got[2] == opening and got[4] == closing
+
+
+def test_fractions_dates_and_slash_split():
+    """PTBLexer FRACTION/DATE rules + the splitForwardSlash option
+    (breakByHyphensSlashes FORWARD_SLASH arm): bare fractions and
+    slash/hyphen dates are ONE token; and/or splits only under the
+    option; URLs and numeric tokens never split."""
+    from corenlp_spark.operators.tokenize import tokenize_text
+
+    def words(s, **opt):
+        return [t[0] for t in tokenize_text(s, opt or None)]
+
+    assert words("It rose 3/4 of a point.") == \
+        ["It", "rose", "3/4", "of", "a", "point", "."]
+    assert words("The 2022/23 season was long.") == \
+        ["The", "2022/23", "season", "was", "long", "."]
+    assert words("On 3/4/2021 it rained.") == \
+        ["On", "3/4/2021", "it", "rained", "."]
+    assert words("Due 11-05-99 at noon.") == \
+        ["Due", "11-05-99", "at", "noon", "."]
+    # splitForwardSlash
+    assert words("Snacks and/or drinks.", split_forward_slash=True) == \
+        ["Snacks", "and", "/", "or", "drinks", "."]
+    assert words("Snacks and/or drinks.") == \
+        ["Snacks", "and/or", "drinks", "."]
+    assert words("Visit http://google.com/a/b now.",
+                 split_forward_slash=True) == \
+        ["Visit", "http://google.com/a/b", "now", "."]
+    assert words("It rose 3/4 of a point.", split_forward_slash=True) == \
+        ["It", "rose", "3/4", "of", "a", "point", "."]
+    # combined with splitHyphenated
+    assert words("The Sydney-based and/or Paris-based teams.",
+                 split_hyphenated=True, split_forward_slash=True) == \
+        ["The", "Sydney", "-", "based", "and", "/", "or",
+         "Paris", "-", "based", "teams", "."]
