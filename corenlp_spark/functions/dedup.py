@@ -199,7 +199,8 @@ def ngram_jaccard_pairs(
 
 
 def dup_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
-                   max_iter: int = 15) -> DataFrame:
+                   max_iter: int = 15,
+                   driver_cutoff: int = 1_000_000) -> DataFrame:
     """Connected components over a duplicate-pair table → (id, component)
     with component = min id reachable — the step that turns pair output
     into actual dedup decisions (keep one representative per component).
@@ -221,6 +222,38 @@ def dup_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
     # whole upstream pair pipeline (LSH bucketing + verification) would
     # recompute per round
     edges = edges.localCheckpoint(eager=True)
+    # size-gated hybrid (the GraphFrames/connected-components recipe):
+    # below the cutoff the whole graph is a few MB — union-find on the
+    # driver answers in milliseconds, where the iterative loop would pay
+    # per-round scheduler latency (observed 0.3-2 s/round under host
+    # jitter) on a milliseconds-sized problem. Above the cutoff (the
+    # actual at-scale case: billions of pair edges) the distributed
+    # min-label loop below is the path — same labels either way
+    # (component = min reachable id), same DuckDB oracle.
+    n_edges = edges.count()
+    if n_edges <= driver_cutoff:
+        rows = edges.collect()
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != root:
+                parent[x], x = root, parent[x]
+            return root
+
+        for r in rows:
+            ra, rb = find(r["src"]), find(r["dst"])
+            if ra != rb:
+                # union by MIN id so the representative is deterministic
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        ids = sorted({r["src"] for r in rows})
+        out = [(i, find(i)) for i in ids]
+        id_type = edges.schema["src"].dataType.simpleString()
+        return edges.sparkSession.createDataFrame(
+            out, schema=f"id {id_type}, component {id_type}")
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()

@@ -323,3 +323,26 @@ def test_real_png_resize_roundtrip(spark):
     assert tuple(int(x) for x in px[0, 0]) == (30, 180, 90)
     assert not out["img://junk"].resized
     assert bytes(out["img://junk"].resized_payload) == b"junk"
+
+
+def test_dup_components_hybrid_paths_agree(spark):
+    """The size-gated driver union-find and the distributed min-label loop
+    must produce identical (id, component) labels — the at-scale path stays
+    exercised by forcing driver_cutoff=0."""
+    import pandas as pd
+
+    from corenlp_spark.functions.dedup import dup_components
+
+    pairs = spark.createDataFrame(pd.DataFrame({
+        # two chains + a clique + a singleton pair: worst shapes for
+        # min-label rounds
+        "id_a": [1, 2, 3, 10, 11, 20, 20, 21, 30],
+        "id_b": [2, 3, 4, 11, 12, 21, 22, 22, 31],
+    }))
+    fast = sorted(tuple(r) for r in dup_components(pairs).collect())
+    dist = sorted(tuple(r) for r in
+                  dup_components(pairs, driver_cutoff=0).collect())
+    assert fast == dist
+    assert fast == [(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10),
+                    (12, 10), (20, 20), (21, 20), (22, 20), (30, 30),
+                    (31, 30)]
