@@ -178,7 +178,7 @@ def q_dedup_components(spark, sf_dir):
     recursive CTE reachability min — exact agreement required."""
     from corenlp_spark.functions.dedup import dup_components, minhash_dup_pairs
 
-    d = _t(spark, sf_dir, "documents").select(
+    d = _spread(spark, _t(spark, sf_dir, "documents")).select(
         F.col("doc_id").cast("long").alias("doc_id"), "text")
     pairs = minhash_dup_pairs(d, n_bands=4, k=3, threshold=0.5).select(
         F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b"))
@@ -322,7 +322,7 @@ def q_dedup_minhash(spark, sf_dir):
     sizes (portable md5 hashing — DuckDB reproduces every signature)."""
     from corenlp_spark.functions.dedup import minhash_signatures
 
-    d = _t(spark, sf_dir, "documents").select(
+    d = _spread(spark, _t(spark, sf_dir, "documents")).select(
         F.col("doc_id").cast("long").alias("doc_id"), "text"
     )
     sig = minhash_signatures(d, n_bands=4, k=3)
@@ -342,7 +342,7 @@ def q_dedup_simhash(spark, sf_dir):
     reproduces every md5-derived bit (portable hashing)."""
     from corenlp_spark.functions.dedup import simhash
 
-    d = _t(spark, sf_dir, "documents").select(
+    d = _spread(spark, _t(spark, sf_dir, "documents")).select(
         F.col("doc_id").cast("long").alias("doc_id"), "text"
     )
     s = simhash(d).withColumn("bucket", F.shiftright("simhash", 44))
@@ -388,7 +388,7 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     """Exact n-gram Jaccard near-dup pairs (inverted-index join)."""
     from corenlp_spark.functions.dedup import ngram_jaccard_pairs
 
-    d = _t(spark, sf_dir, "documents").select(
+    d = _spread(spark, _t(spark, sf_dir, "documents")).select(
         F.col("doc_id").cast("long").alias("doc_id"), "text"
     )
     return ngram_jaccard_pairs(d, k=5, threshold=0.8).orderBy("doc_a", "doc_b")
