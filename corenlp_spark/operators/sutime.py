@@ -43,9 +43,35 @@ _FREQ_SETS = {"daily": "P1D", "weekly": "P1W", "monthly": "P1M",
 _ORDINAL_WORDS = {"first": 1, "second": 2, "third": 3, "fourth": 4}
 # fixed-date holidays (month, day) — english.sutime.txt holiday table subset
 _HOLIDAYS_FIXED = {
-    "christmas": (12, 25), "halloween": (10, 31), "valentine's": (2, 14),
-    "juneteenth": (6, 19), "epiphany": (1, 6),
+    "christmas": (12, 25), "halloween": (10, 31),
+    "juneteenth": (6, 19), "epiphany": (1, 6), "groundhog": (2, 2),
+    "inauguration": (1, 20),
 }
+# nth-weekday movable holidays (english.holidays.sutime.txt JH_* rules):
+# phrase words → (month, weekday 0=Mon, nth; -1 = last)
+_HOLIDAYS_NTH: dict[tuple[str, ...], tuple[int, int, int]] = {
+    ("martin", "luther", "king", "day"): (1, 0, 3),
+    ("mlk", "day"): (1, 0, 3),
+    ("presidents", "day"): (2, 0, 3),
+    ("memorial", "day"): (5, 0, -1),
+    ("labor", "day"): (9, 0, 1),
+    ("labour", "day"): (9, 0, 1),
+    ("columbus", "day"): (10, 0, 2),
+    # possessive names arrive clitic-split from the tokenizer
+    ("mother", "'s", "day"): (5, 6, 2),
+    ("father", "'s", "day"): (6, 6, 3),
+}
+
+
+def _nth_weekday(year: int, month: int, dow: int, nth: int):
+    """nth (1-based; -1 = last) weekday-of-month."""
+    if nth > 0:
+        d0 = datetime.date(year, month, 1)
+        return d0 + datetime.timedelta(
+            days=(dow - d0.weekday()) % 7 + 7 * (nth - 1))
+    nm = datetime.date(year + month // 12, month % 12 + 1, 1)
+    d = nm - datetime.timedelta(days=1)
+    return d - datetime.timedelta(days=(d.weekday() - dow) % 7)
 
 
 _MONTHS = {"january": 1, "february": 2, "march": 3, "april": 4, "may": 5,
@@ -116,10 +142,26 @@ def _holiday(words: list[str], lower: list[str], i: int, year: int):
     next_word = lower[i + 1] if i + 1 < len(lower) else None
     if lower_word in _HOLIDAYS_FIXED:
         m, d = _HOLIDAYS_FIXED[lower_word]
-        n = 2 if (lower_word == "valentine's" and next_word == "day") else 1
+        n = 2 if (lower_word in ("groundhog", "inauguration")
+                  and next_word == "day") else 1
         return f"{year}-{m:02d}-{d:02d}", n
+    # "Valentine's Day" arrives clitic-split: valentine + 's + day
+    if (lower_word == "valentine" and next_word == "'s"
+            and i + 2 < len(lower) and lower[i + 2] == "day"):
+        return f"{year}-02-14", 3
+    for phrase, (m, dow, nth) in _HOLIDAYS_NTH.items():
+        if tuple(lower[i:i + len(phrase)]) == phrase:
+            return _nth_weekday(year, m, dow, nth).isoformat(), len(phrase)
     if lower_word == "easter":
         return _easter(year).isoformat(), 1
+    # Easter-relative feasts (computus offsets; english.holidays.sutime.txt
+    # JH_GOOD_FRIDAY / JH_ASH_WEDNESDAY / JH_CLEAN_MONDAY)
+    if (lower_word, next_word) == ("good", "friday"):
+        return (_easter(year) - datetime.timedelta(days=2)).isoformat(), 2
+    if (lower_word, next_word) == ("ash", "wednesday"):
+        return (_easter(year) - datetime.timedelta(days=46)).isoformat(), 2
+    if (lower_word, next_word) == ("palm", "sunday"):
+        return (_easter(year) - datetime.timedelta(days=7)).isoformat(), 2
     if lower_word == "thanksgiving":
         return _thanksgiving(year).isoformat(), 1
     if lower_word == "new" and next_word in ("year's", "year"):

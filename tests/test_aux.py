@@ -272,3 +272,25 @@ def test_sutime_subday_vague_nth_weekday(spark):
     assert maps[4]["monday"] == ("DATE", "2020-03-02")
     # last Friday of June 2020 = 2020-06-26
     assert maps[4]["friday"] == ("DATE", "2020-06-26")
+
+
+def test_sutime_movable_holidays(spark):
+    """english.holidays.sutime.txt JH_* rules: nth-weekday US holidays,
+    Easter-relative feasts (computus offsets), clitic-split possessive
+    names (Mother's/Valentine's Day). Docdate 2020-06-15."""
+    docs = with_docdate(_docs(spark, [
+        "Memorial Day and Labor Day are holidays.",
+        "They married on Mother's Day. Cards arrive before Valentine's Day.",
+        "Good Friday precedes Easter. Ash Wednesday starts Lent.",
+        "Banks close on Martin Luther King Day and Columbus Day.",
+    ]), fixed="2020-06-15")
+    rows = sutime_docs(annotate(docs, upto="ner")).collect()
+    maps = [_tok_map(r) for r in rows]
+    assert maps[0]["memorial"] == ("DATE", "2020-05-25")
+    assert maps[0]["labor"] == ("DATE", "2020-09-07")
+    assert maps[1]["mother"] == ("DATE", "2020-05-10")
+    assert maps[1]["valentine"] == ("DATE", "2020-02-14")
+    assert maps[2]["good"] == ("DATE", "2020-04-10")
+    assert maps[2]["ash"] == ("DATE", "2020-02-26")
+    assert maps[3]["luther"] == ("DATE", "2020-01-20")
+    assert maps[3]["columbus"] == ("DATE", "2020-10-12")
