@@ -168,6 +168,9 @@ _RULES = [
     ("PROGLANG", r"[A-Za-z]#"),
     ("CENSORED", r"[A-Za-z]+\*+[A-Za-z*]*"),
     ("CURRENCY", r"(?:US|HK|A|C|NZ)?\$|£|€|¥"),
+    # letter-dot-digit product/version codes stay whole (PTBTokenizerTest
+    # apostropheGold: BA.2.12.1, BA.5, X.500, P.72)
+    ("PRODCODE", r"[A-Z][A-Za-z]*\.\d+(?:\.\d+)*(?!\.?\d)(?!\w)"),
     ("ACRONYM", r"(?:[A-Za-z]\.){2,}"),
     # inner-dot names: Ph.D, Mesa A.B (alpha parts joined by single dots)
     ("DOTTED", r"[A-Za-z]+(?:\.[A-Za-z]+)+"),
@@ -293,6 +296,22 @@ def _split_word(original: str, begin: int, opt: dict):
         return
     # clitic split: don't → do + n't ; Mary's → Mary + 's ; didn`t → did n't
     norm = original.replace("’", "'").replace("`", "'")
+    # apostrophe-PREFIX forms (PTBLexer APOWORD1 prefixes th'/y'/t'/d'/ol'):
+    # "Th'enchanting" → Th' + enchanting ; "y'all" → y' + all. Only these
+    # lexical prefixes split — "Qur'an" / "O'Malley" stay whole.
+    m_pre = re.match(r"(?i)^(th|y|t|d|ol)'(?=[A-Za-z]{3,})", norm)
+    if m_pre and norm.lower() not in ("they'll", "there's", "that's",
+                                      "this'll", "you'll", "you're"):
+        cut = m_pre.end()
+        yield (norm[:cut], original[:cut], begin, begin + cut)
+        yield from _split_word(original[cut:], begin + cut, opt)
+        return
+    # trailing 'em clitic pronoun: "shoot'em" → shoot + 'em
+    if norm.lower().endswith("'em") and len(norm) > 3:
+        cut = len(norm) - 3
+        yield from _split_word(original[:cut], begin, opt)
+        yield (norm[cut:], original[cut:], begin + cut, begin + len(original))
+        return
     for cl in CLITICS:
         if norm.lower().endswith(cl.lower()) and len(norm) > len(cl):
             stem_orig = original[: len(original) - len(cl)]

@@ -413,3 +413,32 @@ def test_fractions_dates_and_slash_split():
                  split_hyphenated=True, split_forward_slash=True) == \
         ["The", "Sydney", "-", "based", "and", "/", "or",
          "Paris", "-", "based", "teams", "."]
+
+
+def test_apostrophe_prefixes_em_clitic_prodcodes():
+    """PTBTokenizerTest testApostrophes tranche: APOWORD1 prefixes
+    (Th'/y'/t'/d'/ol' split after the apostrophe; Qur'an / O'Malley stay
+    whole), the 'em clitic pronoun, and letter-dot-digit product codes
+    (BA.2.12.1, X.500, P.72 one token)."""
+    from corenlp_spark.operators.tokenize import tokenize_text
+
+    def words(s):
+        return [t[0] for t in tokenize_text(s)]
+
+    assert words("Th'enchanting tale") == ["Th'", "enchanting", "tale"]
+    assert words("Y'know y'all want it") == \
+        ["Y'", "know", "y'", "all", "want", "it"]
+    assert words("Let's shoot'em up") == ["Let", "'s", "shoot", "'em", "up"]
+    assert words("The Qur'an's Allah") == ["The", "Qur'an", "'s", "Allah"]
+    assert words("Grace O'Malley's Castle.") == \
+        ["Grace", "O'Malley", "'s", "Castle", "."]
+    assert words("In Louis L'Amour's 1985 historical novel") == \
+        ["In", "Louis", "L'Amour", "'s", "1985", "historical", "novel"]
+    assert words("I'd've thought that they'd've liked it.") == \
+        ["I", "'d", "'ve", "thought", "that", "they", "'d", "'ve",
+         "liked", "it", "."]
+    assert words("I caught BA.2.12.1 and BA.5 while reading about X.500") == \
+        ["I", "caught", "BA.2.12.1", "and", "BA.5", "while", "reading",
+         "about", "X.500"]
+    assert words("IT IS ON P.72") == ["IT", "IS", "ON", "P.72"]
+    assert words("It is X.500.") == ["It", "is", "X.500", "."]
