@@ -57,6 +57,30 @@ def read_conllu(spark: SparkSession, path: str) -> DataFrame:
     return raw.mapInPandas(parse, schema=CONLLU_SCHEMA)
 
 
+# PTB xpos → UPOS (UniversalPOSMapper.java / the public UD v2 conversion
+# table, the subset of tags this pipeline emits)
+_UPOS_MAP = {
+    "NN": "NOUN", "NNS": "NOUN", "NNP": "PROPN", "NNPS": "PROPN",
+    "VB": "VERB", "VBD": "VERB", "VBG": "VERB", "VBN": "VERB",
+    "VBP": "VERB", "VBZ": "VERB", "MD": "AUX",
+    "JJ": "ADJ", "JJR": "ADJ", "JJS": "ADJ",
+    "RB": "ADV", "RBR": "ADV", "RBS": "ADV", "WRB": "ADV",
+    "PRP": "PRON", "PRP$": "PRON", "WP": "PRON", "WP$": "PRON",
+    "EX": "PRON",
+    "DT": "DET", "WDT": "DET", "PDT": "DET",
+    "IN": "ADP", "TO": "PART", "POS": "PART", "RP": "ADP",
+    "CC": "CCONJ", "CD": "NUM", "UH": "INTJ", "FW": "X", "LS": "X",
+    "SYM": "SYM", "$": "SYM", "#": "SYM",
+    ".": "PUNCT", ",": "PUNCT", ":": "PUNCT", "``": "PUNCT",
+    "''": "PUNCT", "-LRB-": "PUNCT", "-RRB-": "PUNCT", "HYPH": "PUNCT",
+}
+
+
+def _upos_expr(xpos):
+    m = F.create_map(*[F.lit(x) for kv in _UPOS_MAP.items() for x in kv])
+    return F.coalesce(m[xpos], F.lit("X"))
+
+
 def to_conllu_lines(annotated: DataFrame) -> DataFrame:
     """Annotated docs → CoNLL-U-formatted lines (token rows as TSV strings).
 
@@ -96,7 +120,7 @@ def to_conllu_lines(annotated: DataFrame) -> DataFrame:
         F.col("t.word").alias("form"),
         F.col("t.lemma").alias("lemma"),
         F.col("t.pos").alias("xpos"),
-    )
+    ).withColumn("upos", _upos_expr(F.col("xpos")))
     start = F.coalesce(F.col("_sstart")[F.col("sent_idx")], F.lit(0))
     local_id = F.col("idx") - start + 1
     edge = F.col("_edge")[F.col("idx")]
@@ -104,10 +128,15 @@ def to_conllu_lines(annotated: DataFrame) -> DataFrame:
         .otherwise(edge["head"] - start + 1)
     rel = F.when(edge.isNull(), F.lit("dep")) \
         .when(edge["head"] < 0, F.lit("root")).otherwise(edge["rel"])
+    # DEPS column: the enhanced graph as head:rel (CoNLLUOutputter writes
+    # the enhanced++ graph there; this engine's edge list IS the enhanced
+    # graph after enhance_edges, one head per token)
+    deps_col = F.when(edge.isNull(), F.lit("_")).otherwise(
+        F.concat(head.cast("string"), F.lit(":"), rel))
     line = F.concat_ws(
         "\t",
         local_id.cast("string"), "form", "lemma",
-        F.lit("_"), "xpos", F.lit("_"), head.cast("string"), rel,
-        F.lit("_"), F.lit("_"),
+        "upos", "xpos", F.lit("_"), head.cast("string"), rel,
+        deps_col, F.lit("_"),
     )
     return tok.select("doc_id", "sent_idx", line.alias("line"))

@@ -109,3 +109,20 @@ def test_conllu_real_heads_and_sentence_local_ids(spark, tmp_path):
         f.write("\n")
     back = read_conllu(spark, path).collect()
     assert {r.deprel for r in back} >= {"root", "nsubj"}
+
+
+def test_conllu_upos_and_enhanced_deps(spark):
+    """UPOS column via the UniversalPOSMapper table and the enhanced graph
+    in the DEPS column (head:rel — CoNLLUOutputter enhanced++ output)."""
+    from corenlp_spark.plans.fused import annotate_fused
+    from corenlp_spark.sources.conllu import to_conllu_lines
+
+    ann = annotate_fused(_docs(spark, ["Obama visited Paris."]))
+    cols = {r.line.split("\t")[1]: r.line.split("\t")
+            for r in to_conllu_lines(ann).collect()}
+    assert cols["Obama"][3] == "PROPN"
+    assert cols["visited"][3] == "VERB"
+    assert cols["."][3] == "PUNCT"
+    # DEPS = head:rel, root as 0:root
+    assert cols["visited"][8] == "0:root"
+    assert cols["Obama"][8] == f"{cols['visited'][0]}:nsubj"
