@@ -83,6 +83,9 @@ GOLDEN_SENTENCES: list[str] = [
     "Revenues rose in early 2015.",
     "It happened the week before last.",
     "The trial lasts 2-3 weeks.",
+    "Banks close on Memorial Day.",
+    "They meet the first Monday of March.",
+    "The drive took half an hour.",
 ]
 
 MEDIA_REFS: list[str] = [
