@@ -477,7 +477,7 @@ def _ann_tokens_path() -> str:
     # bump on annotation-semantics changes so a stale /tmp parquet from an
     # older code version is regenerated (both engines always read the same
     # bytes either way — this only keeps the snapshot current)
-    h = hashlib.md5(("ann-v27" + "".join(GOLDEN_SENTENCES)).encode())
+    h = hashlib.md5(("ann-v28" + "".join(GOLDEN_SENTENCES)).encode())
     import os
 
     for name in ("pos.json.gz", "ner.json.gz", "parser.json.gz",
@@ -1826,14 +1826,28 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, start_tok, end_tok,
                      bool_or(lemma IN {_SPEECH_VERBS_SQL}
                              OR lower(word) IN {_SPEECH_VERBS_SQL}) AS has_verb,
-                     min_by(word, idx) FILTER (WHERE ner = 'PERSON') AS person
-              FROM win GROUP BY 1, 2, 3)
-            SELECT g.doc_id, g.start_tok, g.end_tok, g.quote,
-                   coalesce(CASE WHEN a.has_verb THEN a.person END, '') AS speaker
-            FROM gloss g LEFT JOIN attr a
-              ON a.doc_id = g.doc_id AND a.start_tok = g.start_tok
-             AND a.end_tok = g.end_tok
-            ORDER BY g.doc_id, g.start_tok, g.end_tok
+                     min_by(word, idx) FILTER (WHERE ner = 'PERSON') AS person,
+                     min_by(word, idx) FILTER (
+                       WHERE lower(word) IN ('he','she','they','i','we'))
+                       AS pron
+              FROM win GROUP BY 1, 2, 3),
+            direct AS (
+              SELECT g.doc_id, g.start_tok, g.end_tok, g.quote,
+                     CASE WHEN a.has_verb
+                          THEN coalesce(a.person, a.pron) END AS own
+              FROM gloss g LEFT JOIN attr a
+                ON a.doc_id = g.doc_id AND a.start_tok = g.start_tok
+               AND a.end_tok = g.end_tok)
+            SELECT doc_id, start_tok, end_tok, quote,
+                   coalesce(own,
+                     CASE WHEN start_tok
+                            - lag(end_tok) OVER w <= 3
+                          THEN lag(own) OVER w END,
+                     '') AS speaker
+            FROM direct
+            WINDOW w AS (PARTITION BY doc_id
+                         ORDER BY start_tok, end_tok)
+            ORDER BY doc_id, start_tok, end_tok
         """,
         # deterministic decode arithmetic replayed over materialized payloads
         "media_features_oracle": f"""

@@ -99,6 +99,15 @@ def quote_docs(df: DataFrame) -> DataFrame:
                             if toks[k].get("ner") == "PERSON":
                                 speaker = toks[k]["word"]
                                 break
+                        if speaker is None:
+                            # pronoun speaker ('"…," he said.') — the
+                            # reference's QuoteAttribution pronoun sieve;
+                            # downstream coref canonicalization resolves it
+                            for k in window:
+                                if toks[k]["word"].lower() in (
+                                        "he", "she", "they", "i", "we"):
+                                    speaker = toks[k]["word"]
+                                    break
                     quotes.append({"start_tok": open_i, "end_tok": close_i + 1,
                                    "text": text, "speaker": speaker})
 
@@ -122,6 +131,14 @@ def quote_docs(df: DataFrame) -> DataFrame:
                         oi, _ = stack.pop()
                         emit(oi, i)
                 quotes.sort(key=lambda q: (q["start_tok"], q["end_tok"]))
+                # conversation continuation (QuoteAttribution conversational
+                # sieve, simplified): an unattributed quote directly
+                # following an attributed one (≤3 non-quote tokens between)
+                # keeps that speaker ('"A," said John. "B."')
+                for qi in range(1, len(quotes)):
+                    q, prev = quotes[qi], quotes[qi - 1]
+                    if q["speaker"] is None and prev["speaker"] is not None                             and q["start_tok"] - prev["end_tok"] <= 3:
+                        q["speaker"] = prev["speaker"]
                 quotes_col.append(quotes)
             pdf = pdf.copy()
             pdf["quotes"] = quotes_col

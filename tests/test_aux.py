@@ -294,3 +294,22 @@ def test_sutime_movable_holidays(spark):
     assert maps[2]["ash"] == ("DATE", "2020-02-26")
     assert maps[3]["luther"] == ("DATE", "2020-01-20")
     assert maps[3]["columbus"] == ("DATE", "2020-10-12")
+
+
+def test_quote_pronoun_speaker_and_continuation(spark):
+    """QuoteAttribution depth (r4): pronoun speakers ('\"...,\" he said.')
+    and the conversational continuation sieve (an unattributed quote
+    directly after an attributed one keeps the speaker)."""
+    from corenlp_spark.operators.aux_annotators import quote_docs
+    from corenlp_spark.plans.pipeline import annotate
+
+    docs = _docs(spark, [
+        '"We will win," he said.',
+        '"We start today," said John McCain. "Nothing stops us."',
+    ])
+    rows = quote_docs(annotate(docs, upto="ner")).collect()
+    q0 = rows[0]["quotes"]
+    assert len(q0) == 1 and q0[0]["speaker"] == "he"
+    q1 = sorted(rows[1]["quotes"], key=lambda q: q["start_tok"])
+    assert q1[0]["speaker"] in ("John", "McCain")
+    assert q1[1]["speaker"] == q1[0]["speaker"]
