@@ -83,6 +83,13 @@ def encode_token(t: dict, polarity: str | None = None) -> bytes:
         out.append(_u32(12, int(t["end"])))
     if polarity:
         out.append(_str(39, polarity))
+    # Timex submessage (CoreNLP.proto Token.timexValue = 19; Timex fields
+    # value=1, type=4): emitted for temporal NER classes; the TIMEX3 value
+    # is the nner string minus this engine's |MOD suffix serialization
+    # (the reference proto carries no mod field)
+    if t.get("ner") in ("DATE", "TIME", "DURATION", "SET") and t.get("nner"):
+        val = str(t["nner"]).split("|", 1)[0]
+        out.append(_msg(19, _str(1, val) + _str(4, t["ner"])))
     return b"".join(out)
 
 
@@ -194,6 +201,14 @@ def decode_document(buf: bytes) -> dict:
                             tok["begin"] = tv
                         elif tf == 12:
                             tok["end"] = tv
+                        elif tf == 19:
+                            tx = {}
+                            for xf, xw, xv in _fields(tv):
+                                if xf == 1:
+                                    tx["value"] = xv.decode("utf-8")
+                                elif xf == 4:
+                                    tx["type"] = xv.decode("utf-8")
+                            tok["timex"] = tx
                     sent["tokens"].append(tok)
                 elif sf == 2:
                     sent["start_tok"] = sv

@@ -72,3 +72,29 @@ def test_polarity_field_roundtrips(spark):
     doc = decode_document(buf)
     pol = {t["word"]: t.get("polarity") for t in doc["sentences"][0]["tokens"]}
     assert pol["politician"] == "down" and pol["likes"] == "down"
+
+
+def test_timex_submessage_roundtrip():
+    """Token.timexValue (CoreNLP.proto field 19, Timex value=1/type=4):
+    temporal tokens carry a Timex submessage; the |MOD suffix (this
+    engine's serialization of the separate TIMEX3 mod attribute) is
+    stripped to the clean value the reference proto carries."""
+    from corenlp_spark.sources.protobuf_out import (
+        decode_document, encode_document,
+    )
+
+    tokens = [
+        {"word": "about", "pos": "RB", "ner": "DURATION",
+         "nner": "P3W|APPROX", "lemma": "about", "idx": 0, "sent": 0},
+        {"word": "yesterday", "pos": "NN", "ner": "DATE",
+         "nner": "2020-06-14", "lemma": "yesterday", "idx": 1, "sent": 0},
+        {"word": "ran", "pos": "VBD", "ner": "O", "nner": None,
+         "lemma": "run", "idx": 2, "sent": 0},
+    ]
+    sentences = [{"sent_idx": 0, "start_tok": 0, "end_tok": 3}]
+    buf = encode_document("d1", "about yesterday ran", tokens, sentences, {})
+    doc = decode_document(buf)
+    toks = doc["sentences"][0]["tokens"]
+    assert toks[0]["timex"] == {"value": "P3W", "type": "DURATION"}
+    assert toks[1]["timex"] == {"value": "2020-06-14", "type": "DATE"}
+    assert "timex" not in toks[2]
