@@ -2,7 +2,8 @@
 
 Behavioral reference (re-expressed): ``pipeline/JSONOutputter.java`` —
 document JSON with ``sentences[] → {index, tokens[] → {index, word,
-originalText, characterOffsetBegin/End, pos, lemma, ner, normalizedNER},
+originalText, characterOffsetBegin/End, pos, lemma, ner, normalizedNER,
+timex{type,value} on temporal tokens},
 basicDependencies[]}`` plus doc-level ``corefs``.
 
 Pure column algebra: the nested structure is built with ``F.struct`` /
@@ -28,6 +29,16 @@ def to_corenlp_json(annotated: DataFrame) -> DataFrame:
         t["lemma"].alias("lemma"),
         t["ner"].alias("ner"),
         t["nner"].alias("normalizedNER"),
+        # JSONOutputter emits a timex object {type, value} on temporal
+        # tokens; |MOD suffix stripped to the clean TIMEX3 value
+        F.when(
+            t["ner"].isin("DATE", "TIME", "DURATION", "SET")
+            & t["nner"].isNotNull(),
+            F.struct(
+                t["ner"].alias("type"),
+                F.split(t["nner"], r"\|")[0].alias("value"),
+            ),
+        ).alias("timex"),
     )
     sent_json = lambda s: F.struct(
         s["sent_idx"].alias("index"),

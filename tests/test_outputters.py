@@ -126,3 +126,21 @@ def test_conllu_upos_and_enhanced_deps(spark):
     # DEPS = head:rel, root as 0:root
     assert cols["visited"][8] == "0:root"
     assert cols["Obama"][8] == f"{cols['visited'][0]}:nsubj"
+
+
+def test_json_timex_object(spark):
+    """JSONOutputter timex object on temporal tokens: {type, value} with
+    the |MOD serialization stripped to the clean TIMEX3 value."""
+    import json
+
+    from corenlp_spark.operators.sutime import sutime_docs, with_docdate
+    from corenlp_spark.plans.pipeline import annotate
+    from corenlp_spark.sources.json_out import to_corenlp_json
+
+    docs = with_docdate(_docs(spark, ["It took about three weeks."]),
+                        fixed="2020-06-15")
+    ann = sutime_docs(annotate(docs, upto="depparse"))
+    j = json.loads(to_corenlp_json(ann).collect()[0]["json"])
+    toks = {t["word"]: t for t in j["sentences"][0]["tokens"]}
+    assert toks["weeks"]["timex"] == {"type": "DURATION", "value": "P3W"}
+    assert "timex" not in toks["took"]
