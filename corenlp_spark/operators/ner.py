@@ -159,6 +159,14 @@ NUMBER_WORDS = {"one": 1, "two": 2, "three": 3, "four": 4, "five": 5,
 
 # compositional written numbers (QuantifiableEntityNormalizer re-expressed:
 # edu/stanford/nlp/ie/QuantifiableEntityNormalizer.java wordsToValues)
+# plural/singular fraction denominators (QuantifiableEntityNormalizer
+# fraction-word table subset)
+_FRACTION_WORDS = {
+    "half": 0.5, "halves": 0.5, "third": 1 / 3, "thirds": 1 / 3,
+    "quarter": 0.25, "quarters": 0.25, "fourth": 0.25, "fourths": 0.25,
+    "fifth": 0.2, "fifths": 0.2, "tenth": 0.1, "tenths": 0.1,
+}
+
 _NUM_UNITS = dict(NUMBER_WORDS, **{
     "eleven": 11, "twelve": 12, "thirteen": 13, "fourteen": 14,
     "fifteen": 15, "sixteen": 16, "seventeen": 17, "eighteen": 18,
@@ -328,13 +336,27 @@ def numeric_pass(words: list[str], ner: list[str], nner: list[str]) -> None:
             ner[t], nner[t] = "NUMBER", f"{val:.1f}"
             t += 1
             continue
+        # written fractions (QuantifiableEntityNormalizer fraction words):
+        # "two thirds" → 0.6667, "three quarters" → 0.75, "half a million"
+        # → 500000
+        if lw == "half" and t + 2 < n and words[t + 1].lower() in ("a", "an") \
+                and words[t + 2].lower() in _NUM_SCALES:
+            val = 0.5 * _NUM_SCALES[words[t + 2].lower()]
+            for k in range(t, t + 3):
+                ner[k], nner[k] = "NUMBER", f"{val:.1f}"
+            t += 3
+            continue
         # written-number runs: "two hundred [and five]" → one span, one
         # value; a following currency unit upgrades the span to MONEY
         span = _word_number_span(words, t)
         if span is not None:
             end, val = span
             cls, v = "NUMBER", f"{float(val):.1f}"
-            if end < n and words[end].lower() in _CURRENCY_UNITS:
+            if end < n and words[end].lower() in _FRACTION_WORDS:
+                frac = float(val) * _FRACTION_WORDS[words[end].lower()]
+                v = f"{frac:.4f}".rstrip("0").rstrip(".")
+                end += 1
+            elif end < n and words[end].lower() in _CURRENCY_UNITS:
                 cls, v = "MONEY", f"${float(val):.1f}"
                 end += 1
             for k in range(t, end):

@@ -102,3 +102,26 @@ def test_percent_class():
     assert (ner[2], nner[2]) == ("PERCENT", "%40.0")
     assert (ner[3], nner[3]) == ("PERCENT", "%40.0")
     assert (ner[6], nner[6]) == ("PERCENT", "%12.0")
+
+
+def test_written_fractions_and_half_scale():
+    """QuantifiableEntityNormalizer fraction words: 'two thirds' → 0.6667,
+    'three quarters' → 0.75, 'half a million' → 500000."""
+    from corenlp_spark.operators.ner import tag_sentence_ner
+    from corenlp_spark.operators.tag import pos_tag
+
+    def vals(s):
+        w = s.split()
+        ner, nner = tag_sentence_ner(w, pos_tag(w, {0}))
+        return [(a, c) for a, b, c in zip(w, ner, nner) if b == "NUMBER"]
+
+    assert vals("He spent two thirds of the budget .") == \
+        [("two", "0.6667"), ("thirds", "0.6667")]
+    assert vals("The firm lost three quarters of its value .") == \
+        [("three", "0.75"), ("quarters", "0.75")]
+    assert vals("Nearly half a million people attended .") == \
+        [("half", "500000.0"), ("a", "500000.0"), ("million", "500000.0")]
+    # ordinal 'fourth' is NOT a fraction without a preceding cardinal
+    w = "She was fourth .".split()
+    ner, _ = tag_sentence_ner(w, pos_tag(w, {0}))
+    assert ner[2] == "ORDINAL"
