@@ -360,6 +360,14 @@ def pos_corpus() -> list[tuple[list[str], list[str]]]:
         add([("He", "PRP"), (vbd, "VBD"), ("her", "PRP$"), (ns, "NN"), (".", ".")])
         add([("They", "PRP"), (vb, "VBP"), (np_, "NNS"), (".", ".")])
         add([("She", "PRP"), ("was", "VBD"), ("a", "DT"), (ns, "NN"), (".", ".")])
+        # indefinite pronouns are NN in PTB ("Nobody likes delays"):
+        # sentence-initial capitalized + VBZ context
+        _INDEF = ["Nobody", "Everyone", "Someone", "Anyone", "Everybody",
+                  "Nothing", "Somebody", "Anybody"]
+        add([(_pick(_INDEF, i), "NN"), (vbz, "VBZ"), ("the", "DT"),
+             (ns2, "NN"), (".", ".")])
+        add([(_pick(_INDEF, i + 3), "NN"), (vbz, "VBZ"), (np2, "NNS"),
+             (".", ".")])
         # nationality adjectives are JJ (PTB convention, capitalized
         # mid-sentence): "The German government denied the report ."
         add([("The", "DT"), (_pick(NATIONALITIES, i), "JJ"),

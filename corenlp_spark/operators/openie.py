@@ -42,11 +42,20 @@ _NEG_DETS = {"no", "not", "never", "n't", "without"}
 # "up" entries need no flip record, "flat" marks non-monotone contexts.
 _QUANT_OPS = {
     "all": ("down", "up"), "every": ("down", "up"), "each": ("down", "up"),
+    "any": ("down", "up"),
     "no": ("down", "down"), "neither": ("down", "down"),
+    "none": ("down", "down"),
     "few": ("down", "down"),
     "most": ("flat", "up"),
 }
-_NEG_ADVERBS = {"not", "n't", "never"}
+# unary negative pronouns: downward over the whole clause they head-govern
+# (Operator.java "no one"/"nobody"/"nothing" rows)
+_NEG_PRONOUNS = {"nobody", "nothing", "noone"}
+_NEG_ADVERBS = {"not", "n't", "never",
+                # downward-monotone frequency adverbs (Operator.java
+                # rarely/seldom/hardly/scarcely rows): weaker than clausal
+                # negation but the same scope flip
+                "rarely", "seldom", "hardly", "scarcely"}
 
 _NP_MODS = {"amod", "compound", "nummod", "nmod:poss", "flat"}
 _DET_LIKE = {"det", "punct", "case", "mark", "cc"}
@@ -184,6 +193,12 @@ def compute_polarity(g: _Graph) -> list[str]:
                 if vh is not None and vh[1].startswith("nsubj"):
                     scope = g.subtree(vh[0]) - g.subtree(head)
                     flips.append((scope, smono))
+            continue
+        if w in _NEG_PRONOUNS:
+            # "Nobody likes delays": flip the governing clause
+            vh = g.parent.get(t)
+            if vh is not None and vh[1].startswith("nsubj"):
+                flips.append((g.subtree(vh[0]) - {t}, "down"))
             continue
         if hr is None:
             continue

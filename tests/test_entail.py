@@ -66,3 +66,41 @@ def test_entailed_docs_operator(spark):
     assert len(frs) > 0
     assert all(0.0 < r.score <= 1.0 for r in frs)
     assert all(r.fragment for r in frs)
+
+
+def test_natlog_operator_lexicon_widening():
+    """Operator.java lexicon breadth (r4): negative pronouns (nobody/
+    nothing) flip their clause, downward frequency adverbs (rarely/seldom)
+    flip the verb scope, 'any' marks its restrictor downward — and
+    extraction is blocked under the flipped scopes."""
+    from corenlp_spark.operators.depparse import parse_sentence
+    from corenlp_spark.operators.openie import compute_polarity, extract_sentence
+    from corenlp_spark.operators.tag import lemmatize, pos_tag
+    from corenlp_spark.operators.tokenize import tokenize_text
+    from corenlp_spark.plans.fused import _Graph
+
+    def g_of(s):
+        toks = tokenize_text(s)
+        words = [t[0] for t in toks]
+        pos = pos_tag(words, {0})
+        lem = [lemmatize(w, p) for w, p in zip(words, pos)]
+        return words, _Graph(words, lem, parse_sentence(words, pos, lem), 0, pos)
+
+    words, g = g_of("Nobody likes delays.")
+    pol = dict(zip(words, compute_polarity(g)))
+    assert pol["likes"] == "down" and pol["delays"] == "down"
+    assert list(extract_sentence(g)) == []
+
+    words, g = g_of("He rarely visits Paris.")
+    pol = dict(zip(words, compute_polarity(g)))
+    assert pol["visits"] == "down"
+    assert list(extract_sentence(g)) == []
+
+    words, g = g_of("Any student can win.")
+    pol = dict(zip(words, compute_polarity(g)))
+    assert pol["student"] == "down"
+
+    # positive control: the plain clause still extracts
+    words, g = g_of("He visits Paris.")
+    assert [(a, b, c) for a, b, c, _, _, _ in extract_sentence(g)] == \
+        [("He", "visits", "Paris")]
