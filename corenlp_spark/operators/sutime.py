@@ -515,16 +515,18 @@ def _resolve(words: list[str], lower: list[str], docdate: datetime.date):
 
 
 def _mark_ranges(toks: list[dict], lower: list[str]) -> None:
-    """Temporal ranges: "from <DATE> to <DATE>" / "between <DATE> and
-    <DATE>" → ISO-8601 interval value "v1/v2" over the whole span (the
-    TIMEX3 beginPoint/endPoint pair SUTime emits for ranges)."""
+    """Temporal ranges: "from <DATE|TIME> to <DATE|TIME>" / "between <X>
+    and <X>" → ISO-8601 interval value "v1/v2" over the whole span (the
+    TIMEX3 beginPoint/endPoint pair SUTime emits for ranges). Both sides
+    must carry the SAME class ("from 5 pm to 7 pm" → T17:00/T19:00 TIME;
+    dates as before)."""
     n = len(toks)
 
-    def date_run(k):
-        if k >= n or toks[k].get("ner") != "DATE":
+    def run_of(k, cls):
+        if k >= n or toks[k].get("ner") != cls:
             return None
         e = k
-        while e < n and toks[e].get("ner") == "DATE":
+        while e < n and toks[e].get("ner") == cls:
             e += 1
         return k, e
 
@@ -532,22 +534,24 @@ def _mark_ranges(toks: list[dict], lower: list[str]) -> None:
         pairs = {"from": "to", "between": "and"}
         if lower[i] not in pairs:
             continue
-        r1 = date_run(i + 1)
-        if r1 is None:
-            continue
-        mid = r1[1]
-        if mid >= n or lower[mid] != pairs[lower[i]]:
-            continue
-        r2 = date_run(mid + 1)
-        if r2 is None:
-            continue
-        v1 = toks[r1[0]].get("nner") or ""
-        v2 = toks[r2[0]].get("nner") or ""
-        if not v1 or not v2 or "/" in v1 or "/" in v2:
-            continue
-        val = f"{v1}/{v2}"
-        for k in range(r1[0], r2[1]):
-            toks[k]["ner"], toks[k]["nner"] = "DATE", val
+        for cls in ("DATE", "TIME"):
+            r1 = run_of(i + 1, cls)
+            if r1 is None:
+                continue
+            mid = r1[1]
+            if mid >= n or lower[mid] != pairs[lower[i]]:
+                continue
+            r2 = run_of(mid + 1, cls)
+            if r2 is None:
+                continue
+            v1 = toks[r1[0]].get("nner") or ""
+            v2 = toks[r2[0]].get("nner") or ""
+            if not v1 or not v2 or "/" in v1 or "/" in v2:
+                continue
+            val = f"{v1}/{v2}"
+            for k in range(r1[0], r2[1]):
+                toks[k]["ner"], toks[k]["nner"] = cls, val
+            break
 
 
 _MOD_PREFIX: dict[tuple[str, ...], tuple[str, str]] = {

@@ -313,3 +313,17 @@ def test_quote_pronoun_speaker_and_continuation(spark):
     q1 = sorted(rows[1]["quotes"], key=lambda q: q["start_tok"])
     assert q1[0]["speaker"] in ("John", "McCain")
     assert q1[1]["speaker"] == q1[0]["speaker"]
+
+
+def test_sutime_time_ranges(spark):
+    """Clock-time ranges: 'from 5 pm to 7 pm' → one TIME interval
+    T17:00/T19:00 (TIMEX3 beginPoint/endPoint, same as the date ranges).
+    Docdate 2020-06-15."""
+    docs = with_docdate(_docs(spark, [
+        "The event runs from 5 pm to 7 pm.",
+        "He worked from 1992 to 2004.",
+    ]), fixed="2020-06-15")
+    rows = sutime_docs(annotate(docs, upto="ner")).collect()
+    maps = [_tok_map(r) for r in rows]
+    assert maps[0]["pm"] == ("TIME", "T17:00/T19:00")
+    assert maps[1]["1992"] == ("DATE", "1992/2004")
