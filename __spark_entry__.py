@@ -26,16 +26,21 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
-    """Round-robin the input across all cores before a CPU-bound scan.
+    """Round-robin the input across all cores before a CPU-bound scan —
+    ONLY when the scan would otherwise under-parallelize.
 
     The test-data tables arrive as ONE small parquet file (one row group →
     one input split), so an expression-heavy scan (lang_id's per-script
-    regexp_counts, quality scoring) would run on a single core. The
+    regexp_counts, quality scoring) would run on a single core; the
     repartition shuffle moves well under 1 MB here — noise next to the
     regex compute it parallelizes (measured: lang_id 2.0 s → sub-second).
-    At production scale the scan already arrives in ≥cores splits and AQE
-    coalesces, so this is a no-op-by-size there; repartition cost stays
-    O(bytes) while the scan compute is O(bytes × regex passes)."""
+    At production scale the scan already arrives in ≥cores splits, so the
+    gate below returns the input UNCHANGED (no Exchange in the plan —
+    tests/test_plans.py asserts it) instead of paying a full shuffle
+    rewrite of a 100 TB table. The partition probe plans the scan's input
+    splits without reading data."""
+    if df.rdd.getNumPartitions() >= spark.sparkContext.defaultParallelism:
+        return df
     return df.repartition(spark.sparkContext.defaultParallelism)
 
 
@@ -96,11 +101,28 @@ def q_top_orders_per_segment(spark, sf_dir):
     )
 
 
+_DUP_PROBES = [
+    ("__dup_a", "deterministic duplicate probe alpha text"),
+    ("__dup_b", "deterministic duplicate probe alpha text"),
+    ("__dup_c", "deterministic duplicate probe alpha text"),
+    ("__dup_d", "deterministic duplicate probe beta text"),
+    ("__dup_e", "deterministic duplicate probe beta text"),
+]
+
+
 def q_dedup_exact(spark, sf_dir):
+    """Exact-dup clusters over documents ∪ deterministic duplicate probes.
+
+    The synthetic documents table contains no byte-identical texts, so the
+    probe rows (two clusters, sizes 3 and 2) keep the group-by + HAVING
+    logic genuinely exercised under the oracle (VERDICT r4 #3) instead of
+    certifying an empty set."""
     from corenlp_spark.functions.dedup import exact_dup_clusters
 
-    d = _t(spark, sf_dir, "documents")
-    return exact_dup_clusters(d.select(F.col("doc_id").cast("string").alias("doc_id"), "text"))
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text")
+    probes = spark.createDataFrame(_DUP_PROBES, "doc_id string, text string")
+    return exact_dup_clusters(d.unionByName(probes))
 
 
 def q_fingerprint(spark, sf_dir):
@@ -1349,9 +1371,19 @@ def oracle_sql() -> dict[str, str]:
             FROM j WHERE rk <= 3
         """,
         "dedup_exact": """
+            WITH input AS (
+              SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents
+              UNION ALL
+              SELECT * FROM (VALUES
+                ('__dup_a', 'deterministic duplicate probe alpha text'),
+                ('__dup_b', 'deterministic duplicate probe alpha text'),
+                ('__dup_c', 'deterministic duplicate probe alpha text'),
+                ('__dup_d', 'deterministic duplicate probe beta text'),
+                ('__dup_e', 'deterministic duplicate probe beta text')
+              ) v(doc_id, text))
             SELECT md5(text) AS fingerprint, count(*) AS n_docs,
-                   min(CAST(doc_id AS VARCHAR)) AS keep_doc_id
-            FROM documents GROUP BY 1 HAVING count(*) > 1
+                   min(doc_id) AS keep_doc_id
+            FROM input GROUP BY 1 HAVING count(*) > 1
         """,
         "doc_fingerprint": f"""
             SELECT doc_id, md5(list_aggregate({_TOKENS}, 'string_agg', ' ')) AS fp

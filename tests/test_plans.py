@@ -162,3 +162,26 @@ def test_bucketed_join_is_exchange_free(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS b_docs")
         spark.sql("DROP TABLE IF EXISTS b_stats")
+
+
+def test_spread_is_noop_when_input_presplit(spark, tmp_path):
+    """_spread must NOT shuffle an input that already arrives in >= cores
+    partitions (VERDICT r4 #1): at 100 TB the scan is pre-split and an
+    unconditional repartition would pay a full rewrite of the table."""
+    from pyspark.sql import functions as F
+
+    n = spark.sparkContext.defaultParallelism
+    wide = spark.range(10_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("text "), F.col("id")).alias("text"))
+    wide.repartition(n * 2).write.mode("overwrite").parquet(
+        str(tmp_path / "wide"))
+    presplit = spark.read.parquet(str(tmp_path / "wide"))
+    out = em._spread(spark, presplit)
+    assert out is presplit
+    assert "Exchange" not in plan_of(out.select(F.length("text")))
+    # and the sandbox path (1 input split) still spreads
+    wide.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "one"))
+    single = spark.read.parquet(str(tmp_path / "one"))
+    spread = em._spread(spark, single)
+    assert spread.rdd.getNumPartitions() == n
