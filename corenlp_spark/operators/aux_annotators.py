@@ -137,7 +137,9 @@ def quote_docs(df: DataFrame) -> DataFrame:
                 # keeps that speaker ('"A," said John. "B."')
                 for qi in range(1, len(quotes)):
                     q, prev = quotes[qi], quotes[qi - 1]
-                    if q["speaker"] is None and prev["speaker"] is not None                             and q["start_tok"] - prev["end_tok"] <= 3:
+                    if (q["speaker"] is None
+                            and prev["speaker"] is not None
+                            and q["start_tok"] - prev["end_tok"] <= 3):
                         q["speaker"] = prev["speaker"]
                 quotes_col.append(quotes)
             pdf = pdf.copy()

@@ -59,7 +59,8 @@ GAZETTEER: dict[str, list[tuple[tuple[str, ...], float]]] = {
         (("Columbia", "University"), 2.0),
     ],
     "LOCATION": [
-        (("United", "States"), 2.0), (("Hawaii",), 1.5), (("Paris",), 1.5),
+        (("United", "States"), 2.0), (("US",), 1.2), (("U.S.",), 1.2),
+        (("UK",), 1.2), (("Hawaii",), 1.5), (("Paris",), 1.5),
         (("Armonk",), 1.5), (("California",), 1.5), (("Berlin",), 1.5),
         (("Honolulu",), 1.5), (("Sydney",), 1.5), (("Chicago",), 1.5),
     ],
@@ -395,7 +396,10 @@ def _ner_force_o(words: list[str]) -> set[int]:
         if not w[:1].isalpha()
         or any(c.isdigit() for c in w)  # Q3, 4:45pm — numeric pass owns
         or w.lower() in MONTHS or w.lower() in _DAY_WORDS
-        or w.lower() in _PRONOUN_WORDS
+        # exempt multi-char ALL-CAPS tokens: 'US'/'IT' in headline case are
+        # acronyms ('the US' = LOCATION), not the pronouns us/it
+        or (w.lower() in _PRONOUN_WORDS
+            and not (len(w) > 1 and w.isupper()))
     }
 
 

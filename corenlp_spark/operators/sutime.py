@@ -53,6 +53,10 @@ _HOLIDAYS_NTH: dict[tuple[str, ...], tuple[int, int, int]] = {
     ("martin", "luther", "king", "day"): (1, 0, 3),
     ("mlk", "day"): (1, 0, 3),
     ("presidents", "day"): (2, 0, 3),
+    # standard punctuated spellings tokenize with a clitic apostrophe:
+    # Presidents' -> presidents + ' ; President's -> president + 's
+    ("presidents", "'", "day"): (2, 0, 3),
+    ("president", "'s", "day"): (2, 0, 3),
     ("memorial", "day"): (5, 0, -1),
     ("labor", "day"): (9, 0, 1),
     ("labour", "day"): (9, 0, 1),

@@ -249,6 +249,11 @@ def _gen_seq(items, toks, ti, groups):
         yield from _gen_seq(items[1:], toks, ti2, g2)
 
 
+# complexity guards for quantified-Group backtracking (see _gen_item)
+_REPS_CAND_CAP = 64
+_REPS_STEP_BUDGET = 10_000
+
+
 def _gen_item(item, toks, ti, groups):
     if isinstance(item, Elem):
         lo, hi = item.bounds(len(toks) - ti)
@@ -264,19 +269,38 @@ def _gen_item(item, toks, ti, groups):
             yield ti + take, g2
         return
     # Group: greedy repetition with backtracking; each repetition tries
-    # alternatives longest-first (TokensRegex maximal-match semantics)
+    # alternatives longest-first (TokensRegex maximal-match semantics).
+    # Work is bounded: at most _REPS_CAND_CAP candidates per repetition
+    # level and _REPS_STEP_BUDGET expansions per Group — a user-supplied
+    # quantified group with optional inner elements over a long token run
+    # degrades to the greedy-first prefix of the search instead of
+    # exponential time/space.
     lo, hi = item.bounds(len(toks) - ti)
     start0 = ti
+    budget = [_REPS_STEP_BUDGET]
 
     def reps(n, t, g):
-        if n < hi:
+        if n < hi and budget[0] > 0:
             cands = []
             for alt in item.alts:
-                cands.extend(_gen_seq(alt, toks, t, g))
+                for cand in _gen_seq(alt, toks, t, g):
+                    cands.append(cand)
+                    budget[0] -= 1
+                    if len(cands) >= _REPS_CAND_CAP or budget[0] <= 0:
+                        break
+                if len(cands) >= _REPS_CAND_CAP or budget[0] <= 0:
+                    break
             cands.sort(key=lambda r: -r[0])
             for t2, g2 in cands:
                 if t2 == t:
-                    continue  # zero-width repetition: no progress
+                    # zero-width repetition: no progress, so never recurse —
+                    # but when the minimum is unmet, one zero-width match
+                    # stands in for ALL remaining required reps (repeating
+                    # it changes nothing), matching java.util.regex where
+                    # (X?){n} satisfies its minimum via empty matches
+                    if n < lo:
+                        yield t2, g2
+                    continue
                 yield from reps(n + 1, t2, g2)
         if n >= lo:
             yield t, g

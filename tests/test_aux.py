@@ -327,3 +327,20 @@ def test_sutime_time_ranges(spark):
     maps = [_tok_map(r) for r in rows]
     assert maps[0]["pm"] == ("TIME", "T17:00/T19:00")
     assert maps[1]["1992"] == ("DATE", "1992/2004")
+
+
+def test_presidents_day_clitic_forms(spark):
+    """The standard punctuated spellings "Presidents' Day" / "President's
+    Day" tokenize with a clitic apostrophe and must resolve like the bare
+    form (english.holidays.sutime.txt JH_PRESIDENTS_DAY; 2020 → Feb 17)."""
+    docs = with_docdate(_docs(spark, [
+        "Presidents' Day is a holiday.",
+        "President's Day closes banks.",
+        "Presidents Day is in February.",
+    ]), fixed="2020-06-15")
+    rows = sutime_docs(annotate(docs, upto="ner")).collect()
+    for r in rows:
+        vals = {t["nner"] for t in r["tokens"]
+                if t["ner"] == "DATE" and t["word"] in
+                ("Presidents", "President", "'", "'s", "Day")}
+        assert vals == {"2020-02-17"}, (r["doc_id"], vals)

@@ -125,3 +125,22 @@ def test_written_fractions_and_half_scale():
     w = "She was fourth .".split()
     ner, _ = tag_sentence_ner(w, pos_tag(w, {0}))
     assert ner[2] == "ORDINAL"
+
+
+def test_allcaps_acronyms_not_pronoun_pinned():
+    """'US'/'UK' in headline case are acronyms, not the pronouns us/it —
+    the pronoun force-O pin must exempt multi-char all-uppercase tokens
+    (the reference tags 'the US' LOCATION). Lowercase pronouns stay O."""
+    from corenlp_spark.operators.ner import tag_sentence_ner
+    from corenlp_spark.operators.tag import pos_tag
+
+    def ner_of(s):
+        w = s.split()
+        ner, _ = tag_sentence_ner(w, pos_tag(w, {0}))
+        return dict(zip(w, ner))
+
+    assert ner_of("He moved to the US last year .")["US"] == "LOCATION"
+    assert ner_of("Firms in the UK hired us .")["UK"] == "LOCATION"
+    m = ner_of("Firms in the UK hired us .")
+    assert m["us"] == "O"
+    assert ner_of("It is raining .")["It"] == "O"
