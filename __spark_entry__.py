@@ -406,6 +406,66 @@ def _simhash_oracle() -> str:
     """
 
 
+_ND_BASE = ("the quick brown fox jumps over a lazy dog while rain falls on "
+            "green hills and rivers flow toward distant silver mountains "
+            "under bright morning skies with soft wind and quiet song")
+# one-word variants empirically at simhash hamming 1 from _ND_BASE — they
+# exercise the pair join with guaranteed-recall bucketing
+_NEAR_DUP_PROBES = [
+    ("__nd_base", _ND_BASE),
+    ("__nd_grove", _ND_BASE.replace("quick", "grove")),
+    ("__nd_haze", _ND_BASE.replace("quick", "haze")),
+]
+
+
+def q_dedup_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup PAIRS with multi-table bucketing (4×15-bit blocks —
+    guaranteed hamming-≤3 recall, VERDICT r4 #4) over documents ∪ probe
+    near-dups. The DuckDB oracle verifies via an exhaustive all-pairs
+    hamming join, so any recall miss in the Spark bucketing hash-fails."""
+    from corenlp_spark.functions.dedup import simhash_dup_pairs
+
+    d = _spread(spark, _t(spark, sf_dir, "documents")).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text")
+    probes = spark.createDataFrame(_NEAR_DUP_PROBES,
+                                   "doc_id string, text string")
+    return (simhash_dup_pairs(d.unionByName(probes), max_hamming=3)
+            .orderBy("doc_a", "doc_b"))
+
+
+def _simhash_pairs_oracle() -> str:
+    """All-pairs hamming-≤3 oracle over the same simhash signatures: the
+    ground truth the multi-table bucketing must fully recall."""
+    bit_sums = ", ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(60)
+    )
+    sim = " + ".join(
+        f"(CASE WHEN b{b} > 0 THEN CAST({2 ** b} AS BIGINT) ELSE 0 END)"
+        for b in range(60)
+    )
+    probes = ", ".join(f"('{i}', '{t}')" for i, t in _NEAR_DUP_PROBES)
+    return f"""
+        WITH input AS (
+          SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents
+          UNION ALL SELECT * FROM (VALUES {probes}) v(doc_id, text)),
+        t AS (
+          SELECT doc_id, unnest(list_distinct({_TOKENS})) AS tok
+          FROM input),
+        h AS (
+          SELECT doc_id,
+                 CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h
+          FROM t),
+        bits AS (SELECT doc_id, {bit_sums} FROM h GROUP BY doc_id),
+        sim AS (SELECT doc_id, {sim} AS simhash FROM bits)
+        SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+               bit_count(xor(x.simhash, y.simhash)) AS hamming
+        FROM sim x JOIN sim y ON x.doc_id < y.doc_id
+        WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
+        ORDER BY doc_a, doc_b
+    """
+
+
 def q_dedup_ngram_jaccard(spark, sf_dir):
     """Exact n-gram Jaccard near-dup pairs (inverted-index join)."""
     from corenlp_spark.functions.dedup import ngram_jaccard_pairs
@@ -1253,6 +1313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "doc_fingerprint": q_fingerprint,
         "rolling_fingerprints": q_rolling_fingerprints,
@@ -1537,6 +1598,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "embedding_dups": _lsh_dups_oracle(),
         "dedup_simhash": _simhash_oracle(),
+        "dedup_simhash_pairs": _simhash_pairs_oracle(),
         "events_sessions": """
             WITH s AS (
               SELECT user_id,

@@ -144,25 +144,56 @@ def simhash(docs: DataFrame, bits: int = 64) -> DataFrame:
     return sim
 
 
-def simhash_dup_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs by simhash hamming distance, bucketed by 16-bit prefix
-    so the self-join never goes cartesian."""
-    s = simhash(docs).withColumn("bucket", F.shiftright("simhash", 44))
+#: the 60-bit simhash split into 4 disjoint 15-bit blocks — by pigeonhole
+#: any pair with hamming distance ≤ 3 agrees on at least one whole block
+#: (Charikar multi-table recipe), so bucketing each block guarantees every
+#: hamming-≤3 pair a collision; the old single 16-bit-prefix bucket missed
+#: pairs whose differing bits all fell inside the prefix.
+_SIMHASH_BLOCKS = 4
+_SIMHASH_BLOCK_BITS = 15
+
+
+def simhash_pairs_from_sigs(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs from a (doc_id, simhash) signature table.
+
+    Multi-table LSH: each signature is posted under 4 (block_id, block_key)
+    buckets; candidates come from 4 equi-joins (unioned via explode), are
+    distinct-ed, then verified by exact hamming. Guaranteed recall for
+    hamming ≤ 3 with 60-bit hashes; no all-pairs compare — the join stays
+    an equi-join AQE can split on skewed buckets."""
+    mask = (1 << _SIMHASH_BLOCK_BITS) - 1
+    posted = sigs.select(
+        "doc_id", "simhash",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                F.shiftright("simhash", t * _SIMHASH_BLOCK_BITS)
+                .bitwiseAND(F.lit(mask)).alias("key"))
+            for t in range(_SIMHASH_BLOCKS)
+        ])).alias("b"),
+    ).select("doc_id", "simhash", "b.tbl", "b.key")
     pairs = (
-        s.alias("x").join(s.alias("y"), "bucket")
+        posted.alias("x").join(posted.alias("y"), ["tbl", "key"])
         .filter(F.col("x.doc_id") < F.col("y.doc_id"))
-        .withColumn(
-            "hamming",
-            F.bit_count(F.col("x.simhash").bitwiseXOR(F.col("y.simhash"))),
-        )
-        .filter(F.col("hamming") <= max_hamming)
         .select(
             F.col("x.doc_id").alias("doc_a"),
             F.col("y.doc_id").alias("doc_b"),
-            "hamming",
+            F.col("x.simhash").alias("sim_a"),
+            F.col("y.simhash").alias("sim_b"),
         )
+        .distinct()  # a pair may collide in several tables
+        .withColumn("hamming",
+                    F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
     )
     return pairs
+
+
+def simhash_dup_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by simhash hamming distance, multi-table-bucketed so
+    the self-join never goes cartesian AND every hamming-≤3 pair is found."""
+    return simhash_pairs_from_sigs(simhash(docs), max_hamming)
 
 
 def ngram_jaccard_pairs(

@@ -346,3 +346,22 @@ def test_dup_components_hybrid_paths_agree(spark):
     assert fast == [(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10),
                     (12, 10), (20, 20), (21, 20), (22, 20), (30, 30),
                     (31, 30)]
+
+
+def test_simhash_multitable_finds_prefix_blind_pair(spark):
+    """Guaranteed hamming-≤3 recall (Charikar multi-table bucketing): a pair
+    whose differing bits ALL fall in the old single 16-bit prefix (bits
+    59/58/57) collides in none of the old buckets but MUST surface from the
+    4×15-bit block tables — any ≤3 differing bits leave ≥1 block equal."""
+    from corenlp_spark.functions.dedup import simhash_pairs_from_sigs
+
+    base = 0x0ABCDEF12345678  # 60-bit signature
+    flipped = base ^ (0b111 << 57)  # 3 diffs, all inside simhash >> 44
+    far = base ^ 0x00000F0F0F0F0F0  # many diffs — must NOT pair
+    sigs = spark.createDataFrame(
+        [("a", base), ("b", flipped), ("c", far)], "doc_id string, simhash long")
+    # old bucketing misses it:
+    assert (base >> 44) != (flipped >> 44)
+    got = {(r.doc_a, r.doc_b): r.hamming
+           for r in simhash_pairs_from_sigs(sigs, max_hamming=3).collect()}
+    assert got == {("a", "b"): 3}
