@@ -886,9 +886,72 @@ class RelationClassifier:
 
     NONE = "NONE"
 
+    #: NER classes the reference types via regexner gazetteers — for these
+    #: the object HEAD lemma itself is predictive (KBPStatisticalExtractor
+    #: dependencyFeatures: `if input.objectType.isRegexNERType`)
+    REGEXNER_TYPES = frozenset(
+        {"CRIMINAL_CHARGE", "CAUSE_OF_DEATH", "RELIGION", "TITLE", "URL"})
+
     def __init__(self):
         self.weights: dict[str, dict[str, float]] = {}
         self.classes: list[str] = []
+
+    @staticmethod
+    def _chop_appos(path: list[str]) -> list[str]:
+        """Drop appos hops from the path (an appositive is the same entity,
+        not a step in the relation). The reference collects the appos edge +
+        adjacent node indices (KBPStatisticalExtractor.java:377-397; its
+        removal loop then removes by loop counter — we remove the collected
+        indices, the evident intent)."""
+        drop = set()
+        for i in range(1, len(path) - 1):
+            if path[i] == "-appos->":
+                drop.add(i)
+                if i != 1:
+                    drop.add(i - 1)
+            elif path[i] == "<-appos-":
+                drop.add(i)
+                if i < len(path) - 1:
+                    drop.add(i + 1)
+        if not drop:
+            return path
+        return [x for i, x in enumerate(path) if i not in drop]
+
+    @classmethod
+    def dep_features(cls, dep: dict, sner: str, oner: str) -> list[str]:
+        """Dependency-path feature templates after
+        ``ie/KBPStatisticalExtractor.java:363-437`` (dependencyFeatures):
+        path-length buckets, tag/ner-anchored inner paths, path-node words,
+        edge bigrams and trigrams over the alternating
+        [lemma, <-rel-/-rel->, lemma, ...] path between the mention heads.
+
+        ``dep`` keys: path (alternating list), spos/opos (head POS tags),
+        obj_head (object head lemma)."""
+        feats = []
+        path = dep.get("path") or []
+        if not path:
+            return feats
+        if len(path) > 3:
+            path = cls._chop_appos(path)
+        n = len(path)
+        bucket = ("<=3" if n == 3 else "<=5" if n <= 5 else
+                  "<=7" if n <= 7 else "<=9" if n <= 9 else
+                  "<=13" if n <= 13 else "<=17" if n <= 17 else ">10")
+        feats.append(f"pdist={bucket}")
+        if 2 < n <= 7:
+            inner = "".join(path[1:-1])
+            feats.append(f"deppath_w/tag={dep.get('spos', '')}{inner}{dep.get('opos', '')}")
+            feats.append(f"deppath_w/ner={sner}{inner}{oner}")
+        for node in path:
+            if not node.startswith("-") and not node.startswith("<-"):
+                feats.append(f"deppath_word={node}")
+        for i in range(n - 1):
+            feats.append(f"deppath_edge={path[i]}{path[i + 1]}")
+        for i in range(n - 2):
+            feats.append(f"deppath_chunk={path[i]}{path[i + 1]}{path[i + 2]}")
+        if oner in cls.REGEXNER_TYPES and dep.get("obj_head"):
+            feats.append(f"object_head={dep['obj_head']}")
+        return feats
 
     @staticmethod
     def featurize(lemmas: list[str], sner: str, oner: str) -> list[str]:
@@ -924,6 +987,16 @@ class RelationClassifier:
         feats.append(f"comma_parity={'even' if commas % 2 == 0 else 'odd'}")
         return feats
 
+    @classmethod
+    def featurize_pair(cls, lemmas: list[str], sner: str, oner: str,
+                       dep: dict | None = None) -> list[str]:
+        """Surface features + (when a parse is available) dependency-path
+        features — the full KBPStatisticalExtractor frame."""
+        feats = cls.featurize(lemmas, sner, oner)
+        if dep:
+            feats.extend(cls.dep_features(dep, sner, oner))
+        return feats
+
     def _scores(self, feats: list[str]) -> dict[str, float]:
         sc: dict[str, float] = defaultdict(float)
         for f in feats:
@@ -933,7 +1006,8 @@ class RelationClassifier:
                     sc[c] += w
         return sc
 
-    def predict(self, lemmas: list[str], sner: str, oner: str) -> tuple[str, float]:
+    def predict(self, lemmas: list[str], sner: str, oner: str,
+                dep: dict | None = None) -> tuple[str, float]:
         """(relation|NONE, confidence) — confidence from the margin over the
         runner-up, squashed to (0, 0.85] (the ensemble rank: statistical arm
         below both pattern arms, KBPEnsembleExtractor priority)."""
@@ -941,17 +1015,19 @@ class RelationClassifier:
 
         if not self.classes:
             return self.NONE, 0.0
-        sc = self._scores(self.featurize(lemmas, sner, oner))
+        sc = self._scores(self.featurize_pair(lemmas, sner, oner, dep))
         ranked = sorted(self.classes, key=lambda c: (sc.get(c, 0.0), c))
         best = ranked[-1]
         margin = sc.get(best, 0.0) - (sc.get(ranked[-2], 0.0) if len(ranked) > 1 else 0.0)
         conf = min(0.85, 1.0 / (1.0 + math.exp(-margin / 2.0)))
         return best, round(conf, 4)
 
-    def train(self, rows: list[tuple[list[str], str, str, str]], epochs: int = 10):
-        """rows: [(lemmas, subj_ner, obj_ner, relation|NONE)]; deterministic,
-        averaged."""
-        self.classes = sorted({r for _, _, _, r in rows})
+    def train(self, rows: list[tuple], epochs: int = 10):
+        """rows: [(lemmas, subj_ner, obj_ner, relation|NONE)] or 5-tuples
+        with a dep-path dict before the label; deterministic, averaged."""
+        rows = [r if len(r) == 5 else (r[0], r[1], r[2], None, r[3])
+                for r in rows]
+        self.classes = sorted({r[-1] for r in rows})
         totals: dict[tuple[str, str], float] = defaultdict(float)
         stamps: dict[tuple[str, str], int] = defaultdict(int)
         step = 0
@@ -964,8 +1040,8 @@ class RelationClassifier:
             self.weights[f][c] = cur + delta
 
         for _ in range(epochs):
-            for lemmas, sner, oner, gold in rows:
-                feats = self.featurize(lemmas, sner, oner)
+            for lemmas, sner, oner, dep, gold in rows:
+                feats = self.featurize_pair(lemmas, sner, oner, dep)
                 sc = self._scores(feats)
                 pred = max(self.classes, key=lambda c: (sc.get(c, 0.0), c))
                 if pred != gold:

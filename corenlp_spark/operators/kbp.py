@@ -338,10 +338,64 @@ def kbp_semgrex_relations(annotated: DataFrame) -> DataFrame:
 
 
 # statistical arm: TRAINED multiclass relation classifier over between-
-# mention lemma + type-signature features (``ie/KBPStatisticalExtractor.java:
-# 190-664`` re-expressed). Weights are trained by scripts/train_models.py on
-# the synthesized distant-supervision rows (data/kbp_corpus.lr_training_rows)
-# and shipped as a committed artifact, loaded once per executor process.
+# mention lemma + type-signature features PLUS dependency-path features
+# (``ie/KBPStatisticalExtractor.java:190-437`` re-expressed: surface frames
+# 246-310, dependencyFeatures 363-437). Weights are trained by
+# scripts/train_models.py on the synthesized distant-supervision rows
+# (data/kbp_corpus.lr_training_rows — parsed with the SAME trained parser
+# used at inference, so the path-feature distributions match) and shipped
+# as a committed artifact, loaded once per executor process.
+
+
+def span_head(parent: dict, s0: int, s1: int) -> int:
+    """Head of token span [s0, s1): the last token governed from outside
+    the span (simple/SentenceAlgorithms.headOfSpan semantics)."""
+    for k in range(s1 - 1, s0 - 1, -1):
+        h = parent.get(k, (-1, ""))[0]
+        if h < s0 or h >= s1:
+            return k
+    return s1 - 1
+
+
+def dep_path(parent: dict, lemmas: list[str], a: int, b: int,
+             max_steps: int = 64) -> list[str] | None:
+    """Alternating [lemma, edge, lemma, …] path between tokens a and b over
+    the parent map {dep: (head, rel)} — up-edges render ``<-rel-``,
+    down-edges ``-rel->`` (simple/SentenceAlgorithms.dependencyPathBetween:
+    449-512 output shape). Returns None when no tree path exists."""
+    chain = {a: 0}
+    order = [a]
+    cur = a
+    while cur in parent and parent[cur][0] != -1:
+        nxt = parent[cur][0]
+        if nxt in chain or len(order) > max_steps:
+            return None  # loopy parse — skip path features
+        chain[nxt] = len(order)
+        order.append(nxt)
+        cur = nxt
+    up_b: list[int] = []
+    cur = b
+    seen = {b}
+    while cur not in chain:
+        e = parent.get(cur)
+        if e is None or e[0] == -1 or e[0] in seen or len(up_b) > max_steps:
+            return None
+        up_b.append(cur)
+        cur = e[0]
+        seen.add(cur)
+    lca = cur
+    path = [lemmas[a]]
+    cur = a
+    while cur != lca:
+        h, rel = parent[cur]
+        path.append(f"<-{rel}-")
+        path.append(lemmas[h])
+        cur = h
+    for node in reversed(up_b):
+        _, rel = parent[node]
+        path.append(f"-{rel}->")
+        path.append(lemmas[node])
+    return path
 _REL_MODEL = None
 
 
@@ -373,7 +427,16 @@ def kbp_statistical_relations(annotated: DataFrame, threshold: float = 0.5) -> D
         for pdf in batches:
             rows = {k: [] for k in ("doc_id", "sent_idx", "subj", "relation",
                                     "obj", "confidence")}
-            for doc_id, toks, sents in zip(pdf["doc_id"], pdf["tokens"], pdf["sentences"]):
+            has_deps = "deps" in pdf.columns
+            deps_iter = pdf["deps"] if has_deps else [None] * len(pdf)
+            for doc_id, toks, sents, deps in zip(
+                pdf["doc_id"], pdf["tokens"], pdf["sentences"], deps_iter
+            ):
+                # doc-level parent map (indices already doc-level)
+                parent = ({e["dep"]: (e["head"], e["rel"]) for e in deps}
+                          if deps is not None else {})
+                doc_lemmas = [t["lemma"] for t in toks]
+                doc_pos = [t["pos"] for t in toks]
                 for s in sents:
                     a, b = s["start_tok"], s["end_tok"]
                     seg = [dict(t) for t in toks[a:b]]
@@ -401,7 +464,17 @@ def kbp_statistical_relations(annotated: DataFrame, threshold: float = 0.5) -> D
                                 between = lemmas[s1:o0]
                             else:
                                 between = lemmas[o1:s0] + ["inv"]
-                            rel, conf = model.predict(between, sner, oner)
+                            dep = None
+                            if parent:
+                                sh = span_head(parent, a + s0, a + s1)
+                                oh = span_head(parent, a + o0, a + o1)
+                                path = dep_path(parent, doc_lemmas, sh, oh)
+                                if path:
+                                    dep = {"path": path,
+                                           "spos": doc_pos[sh],
+                                           "opos": doc_pos[oh],
+                                           "obj_head": doc_lemmas[oh]}
+                            rel, conf = model.predict(between, sner, oner, dep)
                             # taxonomy type check (the reference's per-
                             # relation signature validation)
                             sig = RELATION_TAXONOMY.get(rel)

@@ -156,12 +156,17 @@ def main():
     save_weights("parser", ap.to_broadcastable())
 
     # ---- KBP statistical arm --------------------------------------------
+    # NOTE: must run AFTER the parser save — lr_training_rows parses its
+    # synthesized sentences with the freshly-trained parser so the dep-path
+    # feature distributions match inference
     rows = lr_training_rows()
+    n_with_path = sum(1 for r in rows if r[3] and r[3].get("path"))
+    print(f"KBP rows: {len(rows)}, with dep path: {n_with_path}")
     rc = RelationClassifier()
     rc.train(rows, epochs=10)
     right = total = 0
-    for lemmas, sner, oner, gold in rows:
-        pred, _ = rc.predict(lemmas, sner, oner)
+    for lemmas, sner, oner, dep, gold in rows:
+        pred, _ = rc.predict(lemmas, sner, oner, dep)
         right += pred == gold
         total += 1
     acc_k = right / max(total, 1)
