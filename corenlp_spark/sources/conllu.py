@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 CONLLU_SCHEMA = (
     "doc_id string, sent_idx int, tok_id int, form string, lemma string, "
-    "upos string, xpos string, head int, deprel string"
+    "upos string, xpos string, feats string, head int, deprel string"
 )
 
 
@@ -31,7 +31,8 @@ def read_conllu(spark: SparkSession, path: str) -> DataFrame:
         # per-partition state: lines of one file arrive in order within a split
         for pdf in batches:
             rows = {k: [] for k in ("doc_id", "sent_idx", "tok_id", "form",
-                                    "lemma", "upos", "xpos", "head", "deprel")}
+                                    "lemma", "upos", "xpos", "feats",
+                                    "head", "deprel")}
             sent = 0
             for file, line in zip(pdf["file"], pdf["value"]):
                 line = line.strip()
@@ -50,6 +51,7 @@ def read_conllu(spark: SparkSession, path: str) -> DataFrame:
                 rows["lemma"].append(cols[2])
                 rows["upos"].append(cols[3])
                 rows["xpos"].append(cols[4])
+                rows["feats"].append(cols[5])
                 rows["head"].append(int(cols[6]) if cols[6].isdigit() else 0)
                 rows["deprel"].append(cols[7])
             yield pd.DataFrame(rows)
@@ -79,6 +81,40 @@ _UPOS_MAP = {
 def _upos_expr(xpos):
     m = F.create_map(*[F.lit(x) for kv in _UPOS_MAP.items() for x in kv])
     return F.coalesce(m[xpos], F.lit("X"))
+
+
+# xpos → UD v2 FEATS (the deterministic English subset a tag alone fixes —
+# Number/Tense/Person/Degree/PronType/VerbForm/Mood/NumType/Poss; behavioral
+# reference pipeline/CoNLLUOutputter.java:54 via UDFeatureAnnotator, public
+# UD English-EWT conventions). Feature names alphabetical per the UD spec.
+_FEATS_MAP = {
+    "NN": "Number=Sing", "NNP": "Number=Sing",
+    "NNS": "Number=Plur", "NNPS": "Number=Plur",
+    "VB": "VerbForm=Inf",
+    "VBP": "Mood=Ind|Tense=Pres|VerbForm=Fin",
+    "VBZ": "Mood=Ind|Number=Sing|Person=3|Tense=Pres|VerbForm=Fin",
+    "VBD": "Mood=Ind|Tense=Past|VerbForm=Fin",
+    "VBG": "Tense=Pres|VerbForm=Part",
+    "VBN": "Tense=Past|VerbForm=Part",
+    "MD": "VerbForm=Fin",
+    "JJ": "Degree=Pos", "JJR": "Degree=Cmp", "JJS": "Degree=Sup",
+    "RBR": "Degree=Cmp", "RBS": "Degree=Sup",
+    "PRP": "PronType=Prs", "PRP$": "Poss=Yes|PronType=Prs",
+    "WP": "PronType=Int", "WP$": "Poss=Yes|PronType=Int",
+    "WDT": "PronType=Int", "WRB": "PronType=Int",
+    "CD": "NumType=Card",
+}
+
+
+def _feats_expr(xpos, lemma):
+    """FEATS column expression. DT splits on the lemma (the one tag the
+    xpos alone cannot fix): the → Definite=Def, a/an → Definite=Ind,
+    demonstratives → PronType=Dem."""
+    m = F.create_map(*[F.lit(x) for kv in _FEATS_MAP.items() for x in kv])
+    dt = (F.when(lemma == "the", F.lit("Definite=Def|PronType=Art"))
+          .when(lemma.isin("a", "an"), F.lit("Definite=Ind|PronType=Art"))
+          .otherwise(F.lit("PronType=Dem")))
+    return F.when(xpos == "DT", dt).otherwise(F.coalesce(m[xpos], F.lit("_")))
 
 
 def to_conllu_lines(annotated: DataFrame) -> DataFrame:
@@ -136,7 +172,7 @@ def to_conllu_lines(annotated: DataFrame) -> DataFrame:
     line = F.concat_ws(
         "\t",
         local_id.cast("string"), "form", "lemma",
-        "upos", "xpos", F.lit("_"), head.cast("string"), rel,
-        deps_col, F.lit("_"),
+        "upos", "xpos", _feats_expr(F.col("xpos"), F.col("lemma")),
+        head.cast("string"), rel, deps_col, F.lit("_"),
     )
     return tok.select("doc_id", "sent_idx", line.alias("line"))

