@@ -559,7 +559,7 @@ def _ann_tokens_path() -> str:
     # bump on annotation-semantics changes so a stale /tmp parquet from an
     # older code version is regenerated (both engines always read the same
     # bytes either way — this only keeps the snapshot current)
-    h = hashlib.md5(("ann-v31" + "".join(GOLDEN_SENTENCES)).encode())
+    h = hashlib.md5(("ann-v32" + "".join(GOLDEN_SENTENCES)).encode())
     import os
 
     for name in ("pos.json.gz", "ner.json.gz", "parser.json.gz",
@@ -1109,6 +1109,10 @@ _QUOTE_POOL = [
     'He wrote "hello world" on the whiteboard.',
     '"This is fine," Susan Smith noted dryly.',
     '"Never," he replied.',
+    # trigram sieve: Mary sits in the ±5 window but John is verb-adjacent
+    'After Mary left, "It is done," said John.',
+    # vocative sieve: the reply is attributed to the addressee
+    '"Tell me, John, what happened." "It went well."',
 ] * 8
 
 
@@ -1910,6 +1914,22 @@ def oracle_sql() -> dict[str, str]:
                 ON t.doc_id = s.doc_id
                AND t.idx BETWEEN s.start_tok + 1 AND s.end_tok - 2
               GROUP BY 1, 2, 3),
+            win3 AS (
+              SELECT s.doc_id, s.start_tok, s.end_tok, t.idx, t.word, t.lemma, t.ner
+              FROM spans s JOIN toks t
+                ON t.doc_id = s.doc_id
+               AND (t.idx BETWEEN s.start_tok - 3 AND s.start_tok - 1
+                 OR t.idx BETWEEN s.end_tok AND s.end_tok + 2)),
+            tri AS (
+              SELECT p.doc_id, p.start_tok, p.end_tok,
+                     min_by(p.word, p.idx) AS tri_person
+              FROM win3 p JOIN win3 v
+                ON v.doc_id = p.doc_id AND v.start_tok = p.start_tok
+               AND v.end_tok = p.end_tok AND abs(v.idx - p.idx) = 1
+              WHERE p.ner = 'PERSON'
+                AND (v.lemma IN {_SPEECH_VERBS_SQL}
+                     OR lower(v.word) IN {_SPEECH_VERBS_SQL})
+              GROUP BY 1, 2, 3),
             win AS (
               SELECT s.doc_id, s.start_tok, s.end_tok, t.idx, t.word, t.lemma, t.ner
               FROM spans s JOIN toks t
@@ -1925,20 +1945,43 @@ def oracle_sql() -> dict[str, str]:
                        WHERE lower(word) IN ('he','she','they','i','we'))
                        AS pron
               FROM win GROUP BY 1, 2, 3),
+            voc AS (
+              SELECT s.doc_id, s.start_tok, s.end_tok,
+                     min_by(p.word, p.idx) AS voc_person
+              FROM spans s
+              JOIN toks p ON p.doc_id = s.doc_id
+               AND p.idx BETWEEN s.start_tok + 1 AND s.end_tok - 2
+               AND p.ner = 'PERSON'
+              JOIN toks c ON c.doc_id = p.doc_id AND abs(c.idx - p.idx) = 1
+               AND c.idx BETWEEN s.start_tok + 1 AND s.end_tok - 2
+               AND c.word = ','
+              GROUP BY 1, 2, 3),
             direct AS (
               SELECT g.doc_id, g.start_tok, g.end_tok, g.quote,
-                     CASE WHEN a.has_verb
-                          THEN coalesce(a.person, a.pron) END AS own
-              FROM gloss g LEFT JOIN attr a
-                ON a.doc_id = g.doc_id AND a.start_tok = g.start_tok
-               AND a.end_tok = g.end_tok)
+                     coalesce(t.tri_person,
+                              CASE WHEN a.has_verb
+                                   THEN coalesce(a.person, a.pron) END) AS own,
+                     v.voc_person
+              FROM gloss g
+              LEFT JOIN attr a ON a.doc_id = g.doc_id
+               AND a.start_tok = g.start_tok AND a.end_tok = g.end_tok
+              LEFT JOIN tri t ON t.doc_id = g.doc_id
+               AND t.start_tok = g.start_tok AND t.end_tok = g.end_tok
+              LEFT JOIN voc v ON v.doc_id = g.doc_id
+               AND v.start_tok = g.start_tok AND v.end_tok = g.end_tok),
+            step1 AS (
+              SELECT doc_id, start_tok, end_tok, quote,
+                     coalesce(own, lag(voc_person) OVER w) AS own2
+              FROM direct
+              WINDOW w AS (PARTITION BY doc_id
+                           ORDER BY start_tok, end_tok))
             SELECT doc_id, start_tok, end_tok, quote,
-                   coalesce(own,
+                   coalesce(own2,
                      CASE WHEN start_tok
                             - lag(end_tok) OVER w <= 3
-                          THEN lag(own) OVER w END,
+                          THEN lag(own2) OVER w END,
                      '') AS speaker
-            FROM direct
+            FROM step1
             WINDOW w AS (PARTITION BY doc_id
                          ORDER BY start_tok, end_tok)
             ORDER BY doc_id, start_tok, end_tok

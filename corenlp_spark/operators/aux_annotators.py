@@ -82,34 +82,62 @@ def quote_docs(df: DataFrame) -> DataFrame:
                 toks = list(toks)
                 quotes = []
 
+                def _is_verb(t):
+                    return (t["lemma"] in _SPEECH_VERBS
+                            or t["word"].lower() in _SPEECH_VERBS)
+
                 def emit(open_i: int, close_i: int):
                     text = " ".join(x["word"] for x in toks[open_i + 1: close_i])
-                    # attribution: nearest PERSON token within 5 tokens of
-                    # either quote edge, gated by a speech verb nearby
-                    speaker = None
+                    # staged attribution cascade
+                    # (pipeline/QuoteAttributionAnnotator.java:12-28 sieve
+                    # order, the deterministic subset; r5 per VERDICT r4 #6):
+                    # 1. trigram speech-verb: a PERSON directly ADJACENT to a
+                    #    speech verb inside the 3-token edge windows
+                    #    ('"…," said John.') — highest precision
+                    # 2. named-speaker proximity: first PERSON in the ±5-token
+                    #    edge windows, gated on a speech verb anywhere there
+                    # 3. pronoun speaker ('"…," he said.') — coref
+                    #    canonicalization resolves it downstream
+                    # (4. vocative and 5. conversational continuation run in
+                    #  the ordered pass below — they look across quotes)
+                    win3 = list(range(max(0, open_i - 3), open_i)) + \
+                        list(range(close_i + 1, min(len(toks), close_i + 4)))
+                    tri = None
+                    for k in win3:
+                        if toks[k].get("ner") == "PERSON" and (
+                                (k - 1 in win3 and _is_verb(toks[k - 1]))
+                                or (k + 1 in win3 and _is_verb(toks[k + 1]))):
+                            tri = toks[k]["word"]
+                            break
+                    speaker = tri
                     window = list(range(max(0, open_i - 5), open_i)) + \
                         list(range(close_i + 1, min(len(toks), close_i + 6)))
-                    has_verb = any(
-                        toks[k]["lemma"] in _SPEECH_VERBS
-                        or toks[k]["word"].lower() in _SPEECH_VERBS
-                        for k in window
-                    )
-                    if has_verb:
+                    has_verb = any(_is_verb(toks[k]) for k in window)
+                    if speaker is None and has_verb:
                         for k in window:
                             if toks[k].get("ner") == "PERSON":
                                 speaker = toks[k]["word"]
                                 break
                         if speaker is None:
-                            # pronoun speaker ('"…," he said.') — the
-                            # reference's QuoteAttribution pronoun sieve;
-                            # downstream coref canonicalization resolves it
                             for k in window:
                                 if toks[k]["word"].lower() in (
                                         "he", "she", "they", "i", "we"):
                                     speaker = toks[k]["word"]
                                     break
+                    # vocative: a PERSON set off by a comma INSIDE this quote
+                    # ('"Tell me, John, …"') names the addressee — the NEXT
+                    # quote (the reply) is attributed to them
+                    voc = None
+                    for k in range(open_i + 1, close_i):
+                        if toks[k].get("ner") == "PERSON" and (
+                                (k - 1 > open_i and toks[k - 1]["word"] == ",")
+                                or (k + 1 < close_i
+                                    and toks[k + 1]["word"] == ",")):
+                            voc = toks[k]["word"]
+                            break
                     quotes.append({"start_tok": open_i, "end_tok": close_i + 1,
-                                   "text": text, "speaker": speaker})
+                                   "text": text, "speaker": speaker,
+                                   "_voc": voc})
 
                 # NESTED quotes via a typed open-quote stack (QuoteAnnotator
                 # nesting semantics): `` … '' may contain ` … ' and vice
@@ -131,16 +159,24 @@ def quote_docs(df: DataFrame) -> DataFrame:
                         oi, _ = stack.pop()
                         emit(oi, i)
                 quotes.sort(key=lambda q: (q["start_tok"], q["end_tok"]))
-                # conversation continuation (QuoteAttribution conversational
-                # sieve, simplified): an unattributed quote directly
-                # following an attributed one (≤3 non-quote tokens between)
-                # keeps that speaker ('"A," said John. "B."')
-                for qi in range(1, len(quotes)):
-                    q, prev = quotes[qi], quotes[qi - 1]
-                    if (q["speaker"] is None
-                            and prev["speaker"] is not None
-                            and q["start_tok"] - prev["end_tok"] <= 3):
-                        q["speaker"] = prev["speaker"]
+                # ordered sieves — both ONE-STEP (non-cascading) so the
+                # DuckDB oracle can replay each as a single lag() window:
+                # 4. vocative: an unattributed quote takes the addressee
+                #    named in the directly-preceding quote
+                for qi, q in enumerate(quotes):
+                    prev = quotes[qi - 1] if qi else None
+                    q["_own2"] = (q["speaker"] if q["speaker"] is not None
+                                  else (prev["_voc"] if prev else None))
+                # 5. conversation continuation: an unattributed quote
+                #    directly following an attributed one (≤3 tokens
+                #    between) keeps that speaker ('"A," said John. "B."')
+                for qi, q in enumerate(quotes):
+                    prev = quotes[qi - 1] if qi else None
+                    q["speaker"] = q["_own2"] if q["_own2"] is not None else (
+                        prev["_own2"] if prev is not None
+                        and q["start_tok"] - prev["end_tok"] <= 3 else None)
+                for q in quotes:
+                    del q["_own2"], q["_voc"]
                 quotes_col.append(quotes)
             pdf = pdf.copy()
             pdf["quotes"] = quotes_col

@@ -344,3 +344,41 @@ def test_presidents_day_clitic_forms(spark):
                 if t["ner"] == "DATE" and t["word"] in
                 ("Presidents", "President", "'", "'s", "Day")}
         assert vals == {"2020-02-17"}, (r["doc_id"], vals)
+
+
+def _quotes_of(spark, text):
+    from corenlp_spark.operators.aux_annotators import quote_docs
+
+    r = quote_docs(annotate(_docs(spark, [text]), upto="ner")).first()
+    return [(q["text"], q["speaker"]) for q in r["quotes"]]
+
+
+def test_quote_trigram_sieve_beats_proximity(spark):
+    """Sieve 1 (trigram speech-verb, QuoteAttributionAnnotator QM sieve
+    order): the verb-ADJACENT person wins even when another PERSON sits
+    earlier in the ±5 proximity window."""
+    got = _quotes_of(spark, 'After Mary left, "It is done," said John.')
+    assert got == [("It is done ,", "John")]
+
+
+def test_quote_vocative_sieve(spark):
+    """Sieve 4 (vocative): a comma-set-off PERSON inside a quote names the
+    addressee — the following reply is attributed to them."""
+    got = _quotes_of(spark, '"Tell me, John, what happened." "It went well."')
+    assert got[1] == ("It went well .", "John")
+    # the vocative quote itself stays unattributed (no nearby speech verb)
+    assert got[0][1] is None
+
+
+def test_quote_continuation_is_one_step(spark):
+    """Sieve 5 stays NON-cascading (one lag step — the SQL-replayable
+    contract): a third unattributed quote after a continuation-filled one
+    still inherits only from a DIRECTLY-attributed predecessor."""
+    got = _quotes_of(
+        spark, 'Maria Quinn shouted, "Go!" Then silence came. "Now." "Run."')
+    # trigram sieve: the verb-adjacent name token
+    assert got[0] == ("Go !", "Quinn")
+    # "Now." is >3 tokens after "Go!" → no continuation; "Run." follows an
+    # UNattributed quote → the one-step rule must not cascade Quinn forward
+    assert got[1] == ("Now .", None)
+    assert got[2] == ("Run .", None)
