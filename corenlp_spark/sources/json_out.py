@@ -16,6 +16,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# words that mark a temporal span as deictically resolved (anchored to the
+# document creation time): any token of the span matching one of these ⇒
+# the whole same-value span gets anchorTimeID="t0"
+_DEICTIC = ("yesterday", "today", "tomorrow", "tonight", "now", "ago",
+            "last", "next", "this", "coming", "past")
+
 
 def to_corenlp_json(annotated: DataFrame) -> DataFrame:
     """(doc_id, tokens, sentences, deps, [coref]) → (doc_id, json)."""
@@ -29,14 +35,28 @@ def to_corenlp_json(annotated: DataFrame) -> DataFrame:
         t["lemma"].alias("lemma"),
         t["ner"].alias("ner"),
         t["nner"].alias("normalizedNER"),
-        # JSONOutputter emits a timex object {type, value} on temporal
-        # tokens; |MOD suffix stripped to the clean TIMEX3 value
+        # JSONOutputter emits a timex object {type, value[, mod,
+        # anchorTimeID]} on temporal tokens; the engine's |MOD value
+        # suffix is split back into the separate TIMEX3 mod attribute,
+        # and deictically-resolved DATE/TIME spans (yesterday, last week,
+        # two days ago, …) carry anchorTimeID="t0" — the document creation
+        # time, as SUTime anchors relative expressions to the DCT
         F.when(
             t["ner"].isin("DATE", "TIME", "DURATION", "SET")
             & t["nner"].isNotNull(),
             F.struct(
                 t["ner"].alias("type"),
                 F.split(t["nner"], r"\|")[0].alias("value"),
+                F.when(F.size(F.split(t["nner"], r"\|")) > 1,
+                       F.split(t["nner"], r"\|")[1]).alias("mod"),
+                F.when(
+                    t["ner"].isin("DATE", "TIME")
+                    & F.exists(
+                        F.col("tokens"),
+                        lambda x: (x["nner"] == t["nner"])
+                        & F.lower(x["word"]).isin(*_DEICTIC)),
+                    F.lit("t0"),
+                ).alias("anchorTimeID"),
             ),
         ).alias("timex"),
     )

@@ -382,3 +382,44 @@ def test_quote_continuation_is_one_step(spark):
     # UNattributed quote → the one-step rule must not cascade Quinn forward
     assert got[1] == ("Now .", None)
     assert got[2] == ("Run .", None)
+
+
+def test_sutime_periodic_sets_and_pod_composition(spark):
+    """'every other week' → P2W SET, 'every three days' → P3D SET
+    (PeriodicTemporal), and part-of-day composed with an explicit date:
+    'the morning of June 5' → 2020-06-05TMO (VERDICT r4 missing #4)."""
+    docs = with_docdate(_docs(spark, [
+        "They meet every other week. He trains every three days.",
+        "It happened on the morning of June 5.",
+        "She left on the evening of 5 June.",
+    ]), fixed="2020-06-15")
+    rows = sutime_docs(annotate(docs, upto="ner")).collect()
+    maps = [_tok_map(r) for r in rows]
+    assert maps[0]["other"] == ("SET", "P2W")
+    assert maps[0]["three"] == ("SET", "P3D")
+    assert maps[1]["morning"] == ("TIME", "2020-06-05TMO")
+    assert maps[1]["5"] == ("TIME", "2020-06-05TMO")
+    assert maps[2]["evening"] == ("TIME", "2020-06-05TEV")
+
+
+def test_json_timex_mod_and_anchor(spark):
+    """JSONOutputter timex objects carry the TIMEX3 mod attribute (split
+    from the engine's |MOD value suffix) and anchorTimeID='t0' on
+    deictically-resolved spans."""
+    import json
+
+    from corenlp_spark.sources.json_out import to_corenlp_json
+
+    docs = with_docdate(_docs(spark, [
+        "He left early 2015. She arrives tomorrow. They met in June 1990.",
+    ]), fixed="2020-06-15")
+    ann = sutime_docs(annotate(docs))
+    doc = json.loads(to_corenlp_json(ann).first()["json"])
+    tx = {t["word"]: t.get("timex") for s in doc["sentences"]
+          for t in s["tokens"]}
+    assert tx["2015"]["value"] == "2015" and tx["2015"]["mod"] == "START"
+    assert tx["tomorrow"]["value"] == "2020-06-16"
+    assert tx["tomorrow"]["anchorTimeID"] == "t0"
+    # an absolute date gets no anchor and no mod
+    assert tx["1990"].get("anchorTimeID") is None
+    assert tx["1990"].get("mod") is None

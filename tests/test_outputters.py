@@ -142,7 +142,8 @@ def test_json_timex_object(spark):
     ann = sutime_docs(annotate(docs, upto="depparse"))
     j = json.loads(to_corenlp_json(ann).collect()[0]["json"])
     toks = {t["word"]: t for t in j["sentences"][0]["tokens"]}
-    assert toks["weeks"]["timex"] == {"type": "DURATION", "value": "P3W"}
+    assert toks["weeks"]["timex"] == {"type": "DURATION", "value": "P3W",
+                                      "mod": "APPROX"}
     assert "timex" not in toks["took"]
 
 
