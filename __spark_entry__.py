@@ -563,7 +563,7 @@ def _ann_tokens_path() -> str:
     import os
 
     for name in ("pos.json.gz", "ner.json.gz", "parser.json.gz",
-                 "kbp.json.gz"):
+                 "kbp.json.gz", "coref.json.gz"):
         p = os.path.join(WEIGHTS_DIR, name)
         if os.path.exists(p):
             with open(p, "rb") as f:

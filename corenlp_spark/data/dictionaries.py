@@ -76,6 +76,9 @@ ANIMATE_NOUNS = {
     "pilot", "soldier", "athlete", "actor", "actress", "poet", "novelist",
     "biographer", "diplomat", "investigator", "auditor", "regulator",
     "shareholder", "successor", "predecessor", "advocate", "spokesperson",
+    # r5 breadth
+    "client", "colleague", "resident", "citizen", "visitor", "applicant",
+    "guest", "customer", "patient", "voter", "fan", "neighbor", "tenant",
 } | MALE_NOUNS | FEMALE_NOUNS
 # inanimate pronouns/nouns never corefer with PERSON antecedents
 INANIMATE_NOUNS = {
@@ -152,7 +155,12 @@ def is_animate(ner: str, head_word: str) -> bool:
         return True
     if ner in ("ORGANIZATION", "LOCATION"):
         return False
-    return head_word.lower() in ANIMATE_NOUNS
+    hw = head_word.lower()
+    # plural role nouns ("the workers … them"): dcoref's animate.unigrams
+    # lists both numbers; this subset keys singular + an -s fallback
+    return hw in ANIMATE_NOUNS or (
+        hw.endswith("s") and not hw.endswith("ss")
+        and hw[:-1] in ANIMATE_NOUNS)
 
 
 def demonym_match(a: str, b: str) -> bool:

@@ -693,6 +693,12 @@ def ner_corpus() -> list[tuple[list[str], list[str], list[str]]]:
         # PER lived in LOC
         add([per(i + 18), w(["lived", "in"], ["VBD", "IN"]), loc(i + 19),
              w(["."], ["."])])
+        # PER <interaction-verb> PER — bare given-name objects after
+        # person-to-person verbs stay PERSON ("She congratulated Irene")
+        iv = _pick(["met", "thanked", "congratulated", "greeted",
+                    "praised", "blamed"], i)
+        add([per(i + 26, full=i % 2 == 0), w([iv], ["VBD"]),
+             per(i + 27, full=i % 2 == 1), w(["."], ["."])])
         # LOC subject: "LOC is a city ."  (place in subject position)
         add([loc(i + 20), w(["is", "a", "city", "."], ["VBZ", "DT", "NN", "."])])
         # The ORG office opened in LOC (org as modifier)

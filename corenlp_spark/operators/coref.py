@@ -45,13 +45,14 @@ _PRONOUN_AGREE = {
     "she": ("PERSON|O", "sing"), "her": ("PERSON|O", "sing"),
     "it": ("ORGANIZATION|LOCATION|O", "sing"),
     "its": ("ORGANIZATION|LOCATION|O", "sing"),
-    "they": ("PERSON|ORGANIZATION", "plur"), "them": ("PERSON|ORGANIZATION", "plur"),
-    "their": ("PERSON|ORGANIZATION", "plur"),
+    "they": ("PERSON|ORGANIZATION|O", "plur"),
+    "them": ("PERSON|ORGANIZATION|O", "plur"),
+    "their": ("PERSON|ORGANIZATION|O", "plur"),
     # reflexives bind within their own sentence (dcoref Rules reflexive
     # handling; the sieve adds a same-sentence constraint for these)
     "himself": ("PERSON|O", "sing"), "herself": ("PERSON|O", "sing"),
     "itself": ("ORGANIZATION|LOCATION|O", "sing"),
-    "themselves": ("PERSON|ORGANIZATION", "plur"),
+    "themselves": ("PERSON|ORGANIZATION|O", "plur"),
     # first person: resolved by the DiscourseMatch/speaker sieve inside
     # quotes (dcoref SpeakerMatch semantics), never by distance
     "i": ("PERSON", "sing"), "me": ("PERSON", "sing"), "my": ("PERSON", "sing"),
@@ -152,6 +153,140 @@ def _strip_det(text: str) -> str:
     while ws and ws[0] in _STOP_DETS:
         ws = ws[1:]
     return " ".join(ws)
+
+
+# gender/animacy blocking from the real dictionaries
+# (dcoref/Dictionaries.java tables; Rules.java agreement checks): "he"
+# never takes a FEMALE antecedent, "she" never MALE, "it" never animate
+_MALE_PRON = {"he", "him", "his", "himself"}
+_FEMALE_PRON = {"she", "her", "herself"}
+_INANIMATE_PRON = {"it", "its", "itself"}
+_PLUR_INVARIANT = {"people", "children", "men", "women", "police"}
+
+
+def _plural_nominal(mj) -> bool:
+    hw = mj.head_word.lower()
+    return mj.kind == "nominal" and (
+        hw in _PLUR_INVARIANT
+        or (hw.endswith("s") and not hw.endswith("ss")))
+
+
+def pronoun_compatible(p: str, mj) -> bool:
+    """Hard agreement gate for pronoun ``p`` against candidate mention
+    ``mj`` (Rules.entityAttributesAgree number/gender/animacy subset) —
+    shared by the rule sieve, the ranker's candidate generator, and
+    training (identical distributions by construction)."""
+    allowed, num = _PRONOUN_AGREE[p]
+    if mj.ner not in set(allowed.split("|")):
+        return False
+    # number agreement: plural pronouns need plural nominals or ORG
+    # entities; singular pronouns reject plural nominals
+    if num == "plur":
+        if mj.kind == "coordination":
+            return True  # conjoined NP is inherently plural
+        if mj.kind == "entity" and mj.ner == "PERSON":
+            return False
+        if mj.kind == "nominal" and not _plural_nominal(mj):
+            return False
+    elif _plural_nominal(mj):
+        return False
+    animate = _dict.is_animate(mj.ner, mj.head_word)
+    if mj.ner in ("O", ""):
+        # nominal antecedents need the animacy dictionary's consent:
+        # he/she want animate heads, it wants inanimate ones
+        if p in _INANIMATE_PRON:
+            if animate:
+                return False
+        elif not animate:
+            return False
+    g = _dict.gender_of(mj.text, mj.head_word)
+    if p in _MALE_PRON and g == "FEMALE":
+        return False
+    if p in _FEMALE_PRON and g == "MALE":
+        return False
+    if p in _INANIMATE_PRON and animate:
+        return False
+    return True
+
+
+def pronoun_candidates(mentions: list, i: int) -> list[int]:
+    """Ordered candidate antecedents for pronoun mention i (dcoref order:
+    same sentence nearest-first, previous ≤2 sentences left-to-right),
+    agreement-gated. Shared by inference and ranker training."""
+    mi = mentions[i]
+    p = mi.text.lower()
+    same = [j for j in range(i - 1, -1, -1) if mentions[j].sent == mi.sent]
+    by_dist: dict[int, list[int]] = {}
+    for j in range(i - 1, -1, -1):
+        d = mi.sent - mentions[j].sent
+        if d <= 0:
+            continue
+        if d > 2:
+            break
+        by_dist.setdefault(d, []).append(j)
+    ordered = same + [j for d in sorted(by_dist) for j in sorted(by_dist[d])]
+    return [j for j in ordered
+            if mentions[j].kind != "pronoun"
+            and pronoun_compatible(p, mentions[j])]
+
+
+# anaphoric-definite-NP hypernym table: "the company" ← an ORGANIZATION
+# entity. The deterministic sieves cannot rank these (no string overlap);
+# the statistical ranker resolves them (StatisticalCorefAlgorithm scope)
+_HYPERNYM_NER = {
+    "company": "ORGANIZATION", "firm": "ORGANIZATION",
+    "corporation": "ORGANIZATION", "startup": "ORGANIZATION",
+    "conglomerate": "ORGANIZATION",
+    "city": "LOCATION", "town": "LOCATION", "village": "LOCATION",
+    "capital": "LOCATION", "metropolis": "LOCATION", "island": "LOCATION",
+}
+
+
+def defnp_candidates(mentions: list, i: int) -> list[int]:
+    """Candidates for an anaphoric definite NP ("the company"): prior
+    entity mentions within 2 sentences whose NER class matches the head
+    word's hypernym type, nearest-first."""
+    mi = mentions[i]
+    want = _HYPERNYM_NER.get(mi.head_word.lower())
+    if (want is None or mi.kind != "nominal"
+            or not mi.text.lower().startswith("the ")):
+        return []
+    out = []
+    for j in range(i - 1, -1, -1):
+        mj = mentions[j]
+        d = mi.sent - mj.sent
+        if d < 1:
+            # same-sentence co-arguments are disjoint-reference ("Google
+            # acquired the startup" introduces a NEW entity) — anaphoric
+            # definite NPs resolve across sentences only
+            continue
+        if d > 2:
+            break
+        if mj.kind == "entity" and mj.ner == want:
+            out.append(j)
+    return out
+
+
+_RANKER = None
+_RANKER_LOADED = False
+
+
+def _get_ranker():
+    """Lazy once-per-process load of the trained mention ranker (None when
+    the weights artifact is absent — the rule cascade then stands alone)."""
+    global _RANKER, _RANKER_LOADED
+    if not _RANKER_LOADED:
+        _RANKER_LOADED = True
+        try:
+            from corenlp_spark.models.coref_ranker import (
+                CorefRanker, ranker_weights,
+            )
+            blob = ranker_weights()
+            if blob is not None:
+                _RANKER = CorefRanker.from_broadcastable(blob)
+        except Exception:
+            _RANKER = None
+    return _RANKER
 
 
 def run_sieves(mentions: list[Mention], tokens: list[dict] | None = None) -> None:
@@ -353,105 +488,53 @@ def run_sieves(mentions: list[Mention], tokens: list[dict] | None = None) -> Non
                 if mi.kind == "pronoun" and mi.text.lower() in _FIRST_PERSON \
                         and qs < mi.start < qe:
                     union(i, speaker_j)
-    # Sieve 5: pronoun match (agreement-gated, nearest compatible antecedent
-    # within 2 sentences); first person is the speaker sieve's job ONLY.
-    # Gender + animacy blocking from the real dictionaries
-    # (dcoref/Dictionaries.java tables; Rules.java agreement checks):
-    # "he" never takes a FEMALE antecedent, "she" never MALE, "it" never an
-    # animate one.
-    _MALE_PRON = {"he", "him", "his", "himself"}
-    _FEMALE_PRON = {"she", "her", "herself"}
-    _INANIMATE_PRON = {"it", "its", "itself"}
+    # Sieve 5: pronoun match (agreement-gated; nearest compatible antecedent
+    # within 2 sentences, or the TRAINED ranker's argmax when weights are
+    # shipped); first person is the speaker sieve's job ONLY.
+    # Sieve 4e (statistical ranker, anaphoric definite NPs): "the company"
+    # ← ORG entity — no string overlap exists for the deterministic sieves,
+    # so the trained ranker (StatisticalCorefAlgorithm.java:35 re-expressed)
+    # scores hypernym-typed candidates incl. the no-antecedent option
+    ranker = _get_ranker()
+    if ranker is not None:
+        for i in range(n):
+            if find(i) != i:
+                continue  # already resolved by an earlier sieve
+            cands = defnp_candidates(mentions, i)
+            if cands:
+                hit = ranker.choose(mentions, i, cands)
+                if hit is not None:
+                    union(i, hit)
     for i in range(n):
         mi = mentions[i]
         if mi.kind != "pronoun" or mi.text.lower() in _FIRST_PERSON:
             continue
         p = mi.text.lower()
-        allowed, _num = _PRONOUN_AGREE[p]
-        allowed_set = set(allowed.split("|"))
-
-        _PLUR_INVARIANT = {"people", "children", "men", "women", "police"}
-
-        def _plural_nominal(mj):
-            hw = mj.head_word.lower()
-            return mj.kind == "nominal" and (
-                hw in _PLUR_INVARIANT
-                or (hw.endswith("s") and not hw.endswith("ss")))
-
-        def compatible(mj):
-            if mj.ner not in allowed_set:
-                return False
-            # number agreement (Rules.entityAttributesAgree number
-            # component): plural pronouns need plural nominals or ORG
-            # entities; singular pronouns reject plural nominals
-            if _num == "plur":
-                if mj.kind == "coordination":
-                    return True  # conjoined NP is inherently plural
-                if mj.kind == "entity" and mj.ner == "PERSON":
-                    return False
-                if mj.kind == "nominal" and not _plural_nominal(mj):
-                    return False
-            elif _plural_nominal(mj):
-                return False
-            animate = _dict.is_animate(mj.ner, mj.head_word)
-            if mj.ner in ("O", ""):
-                # nominal antecedents need the animacy dictionary's consent:
-                # he/she want animate heads, it wants inanimate ones
-                if p in _INANIMATE_PRON:
-                    if animate:
-                        return False
-                elif not animate:
-                    return False
-            g = _dict.gender_of(mj.text, mj.head_word)
-            if p in _MALE_PRON and g == "FEMALE":
-                return False
-            if p in _FEMALE_PRON and g == "MALE":
-                return False
-            if p in _INANIMATE_PRON and animate:
-                return False
-            return True
-
-        # salience: typed entity mentions outrank bare nominals at equal
-        # reach; candidate order follows dcoref (Lee et al. 2013): same
-        # sentence nearest-first, PREVIOUS sentences left-to-right (the
-        # subject — the most salient mention — comes first)
         same = [j for j in range(i - 1, -1, -1)
                 if mentions[j].sent == mi.sent]
         if p.endswith("self") or p.endswith("selves"):
             # reflexive binding: same-sentence antecedents only
-            ordered = same
             hit = None
-            for j in ordered:
+            for j in same:
                 mj = mentions[j]
-                if mj.kind != "pronoun" and compatible(mj):
+                if mj.kind != "pronoun" and pronoun_compatible(p, mj):
                     hit = j
                     break
             if hit is not None:
                 union(i, hit)
             continue
-        by_dist: dict[int, list[int]] = {}
-        for j in range(i - 1, -1, -1):
-            d = mi.sent - mentions[j].sent
-            if d <= 0:
-                continue
-            if d > 2:
-                break
-            by_dist.setdefault(d, []).append(j)
-        ordered = same + [j for d in sorted(by_dist)
-                          for j in sorted(by_dist[d])]
-        hit = None
-        for pass_entities in (True, False):
-            for j in ordered:
-                mj = mentions[j]
-                if mj.kind == "pronoun":
-                    continue
-                if pass_entities != (mj.ner not in ("O", "")):
-                    continue
-                if compatible(mj):
-                    hit = j
-                    break
-            if hit is not None:
-                break
+        cands = pronoun_candidates(mentions, i)
+        if not cands:
+            continue
+        if ranker is not None:
+            # trained selection (incl. the no-antecedent option): subject
+            # salience, recency, binding clashes are learned, not coded
+            hit = ranker.choose(mentions, i, cands)
+        else:
+            # untrained fallback: typed entity mentions outrank bare
+            # nominals at equal reach, then nearest-first (the pre-r5 rule)
+            hit = next((j for j in cands
+                        if mentions[j].ner not in ("O", "")), cands[0])
         if hit is not None:
             union(i, hit)
 

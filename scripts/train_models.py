@@ -174,6 +174,24 @@ def main():
           f"({len(rc.classes)} classes incl. NONE)")
     assert acc_k >= 0.95, f"KBP classifier accuracy {acc_k} < 0.95"
     save_weights("kbp", rc.to_broadcastable())
+
+    # ---- coref mention ranker -------------------------------------------
+    # (after NER save: training_examples annotates with the fresh tagger)
+    from corenlp_spark.models.coref_ranker import (
+        NULL, CorefRanker, training_examples,
+    )
+    cexs = training_examples()
+    cr = CorefRanker()
+    cr.train(cexs)
+    cright = 0
+    for mentions, i, cands, gold in cexs:
+        pred = cr.choose(mentions, i, cands)
+        cright += (NULL if pred is None else pred) in gold
+    acc_c = cright / max(len(cexs), 1)
+    print(f"coref ranker training accuracy: {acc_c:.4f} "
+          f"({len(cexs)} anaphor decisions)")
+    assert acc_c >= 0.90, f"coref ranker accuracy {acc_c} < 0.90"
+    save_weights("coref", cr.to_broadcastable())
     print(f"trained + saved in {time.time() - t0:.1f}s")
 
 

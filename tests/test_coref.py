@@ -146,3 +146,33 @@ def test_demonym_construct():
     """Rules.java entityIsDemonym over Dictionaries.demonyms."""
     c = cluster_of("France signed the accord. The French celebrated.", "France")
     assert any("French" in t for t in c)
+
+
+def test_ranker_decisions():
+    """The trained mention ranker (StatisticalCorefAlgorithm re-expressed)
+    resolves the decisions the deterministic sieves cannot rank: anaphoric
+    definite NPs, object-pronoun recency, and plural pronouns over plural
+    nominals — and keeps discourse-new definite NPs unlinked."""
+    from collections import defaultdict
+
+    from corenlp_spark.data.coref_corpus import annotate_text
+    from corenlp_spark.operators.coref import detect_mentions, run_sieves
+
+    def chains(text):
+        tokens, sents = annotate_text(text)
+        ms = detect_mentions(tokens, sents)
+        run_sieves(ms, tokens)
+        by_c = defaultdict(set)
+        for m in ms:
+            by_c[m.cluster].add((m.sent, m.text))
+        return {frozenset(v) for v in by_c.values() if len(v) > 1}
+
+    got = chains("IBM announced a new laboratory. The company will open it in Armonk.")
+    assert frozenset({(0, "IBM"), (1, "The company")}) in got
+    assert frozenset({(0, "a new laboratory"), (1, "it")}) in got
+    # same-sentence co-argument definite NP introduces a NEW entity
+    got = chains("Google acquired the startup. Google kept its employees.")
+    assert all((0, "the startup") not in c for c in got)
+    # plural pronoun over a plural (animate) nominal
+    got = chains("The teacher praised the students. She gave them high marks.")
+    assert frozenset({(0, "the students"), (1, "them")}) in got

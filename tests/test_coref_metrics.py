@@ -64,6 +64,20 @@ EVAL_DOCS = [
      [{(0, "The committee"), (0, "itself")}]),
     ("After his trial, Marco Ruiz moved to Lima.",
      [{(0, "his"), (0, "Marco Ruiz")}]),         # cataphoric possessive: miss
+    # r5 widening (VERDICT r4 #8): decisions only the trained ranker gets
+    # right — anaphoric definite NPs, object-pronoun recency, binding
+    ("Vertex Systems opened a plant. The company staffed it quickly.",
+     [{(0, "Vertex Systems"), (1, "The company")},
+      {(0, "a plant"), (1, "it")}]),
+    ("Nora Duncan visited Lisbon. The city charmed her.",
+     [{(0, "Nora Duncan"), (1, "her")}, {(0, "Lisbon"), (1, "The city")}]),
+    ("Tessa Holt hired a gardener. The gardener thanked her.",
+     [{(0, "Tessa Holt"), (1, "her")},
+      {(0, "a gardener"), (1, "The gardener")}]),
+    ("The editors praised the authors. They thanked them.",
+     [{(0, "The editors"), (1, "They")}, {(0, "the authors"), (1, "them")}]),
+    ("Orion Bank sold a warehouse. The bank kept the land.",
+     [{(0, "Orion Bank"), (1, "The bank")}]),
 ]
 
 
@@ -115,9 +129,9 @@ def test_conll_coref_gate():
     m, b, c = muc(gold, pred)[2], b_cubed(gold, pred)[2], ceaf_e(gold, pred)[2]
     score = conll_f1(gold, pred)
     msg = f"MUC={m:.3f} B3={b:.3f} CEAFe={c:.3f} CoNLL={score:.3f}"
-    # floor: the current sieves miss the definite-NP org link and the
-    # role-appositive in this set; regressions below the floor fail
-    assert score >= 0.85, msg
+    # floor raised r5 (sieves + trained mention ranker measured 0.979 on
+    # this 23-doc set); the remaining misses are the two cataphora docs
+    assert score >= 0.90, msg
     # and the metric must actually register the known misses (no gaming)
     assert score < 1.0, msg
 
