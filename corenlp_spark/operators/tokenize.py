@@ -134,7 +134,8 @@ _RULES = [
                  r"html?|txt|doc|docx|xlsx?|csv|tsv|zip|tar|gz|bz2|mp[34]|"
                  r"wav|avi|mov|mkv|py|java|cpp|js|rs|go|sh)(?![\w.])"),
     ("HANDLE", r"[@#][A-Za-z_][\w]*"),  # @Harry_Styles, #hashtag
-    ("EMOTICON", r"\^_\^|<3|[<>]?[:;=8][\-o*']?[)\](\[dDpP/\\|@3]"),
+    # ":/" frowny must not eat the colon of a non-URL "://" run (htvp://…)
+    ("EMOTICON", r"\^_\^|<3|[<>]?[:;=8][\-o*']?[)\](\[dDpP/\\|@3](?!/)"),
     # company/product names with a trailing bang (PTBLexer's lexical list)
     ("BANGWORD", r"(?<![A-Za-z])(?:Yahoo|Jeopardy|OK|E)!"),
     # spaced ellipsis ". . ." normalizes to "..." (one token)
@@ -488,7 +489,25 @@ def tokenize_text_with_barriers(text: str, options: dict | None = None):
         elif kind == "SPACEDOTS":
             el = opt["ellipses"]
             word = "..." if el == "ptb3" else "\u2026" if el == "unicode" else raw
-            out.append((word, raw, m.start(), m.end()))
+            if matched.count(".") >= 4:
+                # 4+ dots = ellipsis + the sentence-final period
+                # (PTBTokenizerTest "First sentence . . . . Second" gold)
+                if el not in ("ptb3", "unicode"):
+                    word = raw[:-1].rstrip()
+                out.append((word, text[m.start():m.end() - 1],
+                            m.start(), m.end() - 1))
+                out.append((".", ".", m.end() - 1, m.end()))
+            else:
+                out.append((word, raw, m.start(), m.end()))
+        elif kind == "ELLIPSIS" and set(matched) == {"."} \
+                and len(matched) >= 4:
+            # "sentence...." \u2192 "..." + "." (ellipsis, then the terminator)
+            el = opt["ellipses"]
+            word = ("\u2026" if el == "unicode"
+                    else matched[:-1] if el == "original" else "...")
+            out.append((word, text[m.start():m.end() - 1],
+                        m.start(), m.end() - 1))
+            out.append((".", ".", m.end() - 1, m.end()))
         elif kind == "SPACEDFRAC":
             # "5 7/8" — one NBSP-joined token (normalizeSpace), or two
             # tokens under strictFraction (PTBTokenizer.java:152-171)

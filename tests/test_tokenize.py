@@ -45,8 +45,43 @@ GOLDEN = [
     ("I lived in O\x92Malley.", ["I", "lived", "in", "O'Malley", "."]),
     ("No. I like No. 24 and no.47.",
      ["No", ".", "I", "like", "No.", "24", "and", "no.", "47", "."]),
+    # 4+ dots (spaced or not) = ellipsis + the sentence-final period
+    # (reference ptbGold; the pre-r5 single-"..." expectation was wrong)
     ("First sentence . . . . Second.",
-     ["First", "sentence", "...", "Second", "."]),
+     ["First", "sentence", "...", ".", "Second", "."]),
+    ("First sentence.... Second sentence.",
+     ["First", "sentence", "...", ".", "Second", "sentence", "."]),
+    ("Here is one: htvp://google.com.",
+     ["Here", "is", "one", ":", "htvp", ":", "/", "/", "google.com", "."]),
+    ("Download from svn://user@location.edu/path/to/magic/unicorns",
+     ["Download", "from", "svn://user@location.edu/path/to/magic/unicorns"]),
+    ("Download from svn+ssh://user@location.edu/path/to/magic/unicorns",
+     ["Download", "from",
+      "svn+ssh://user@location.edu/path/to/magic/unicorns"]),
+    ("NBC Live will be available free through the Yahoo! Chat Web site.",
+     ["NBC", "Live", "will", "be", "available", "free", "through", "the",
+      "Yahoo!", "Chat", "Web", "site", "."]),
+    ("I lived in O’Malley and read OK! Magazine.",
+     ["I", "lived", "in", "O'Malley", "and", "read", "OK!", "Magazine", "."]),
+    ("60-90's", ["60-90", "'s"]),
+    ("From July 23-24. Radisson Miyako Hotel.",
+     ["From", "July", "23-24", ".", "Radisson", "Miyako", "Hotel", "."]),
+    ("23 percent-2 percent higher than today",
+     ["23", "percent-2", "percent", "higher", "than", "today"]),
+    ("23 percent--2 percent higher than today",
+     ["23", "percent", "--", "2", "percent", "higher", "than", "today"]),
+    ("438798-438804", ["438798-438804"]),
+    ("a top-35 finish.", ["a", "top-35", "finish", "."]),
+    ("the 5:30-to-10 a.m. show.",
+     ["the", "5:30-to-10", "a.m.", "show", "."]),
+    ("The .38-Magnum bullet, a TRS-80, and IBM OS/2 sophisticated sound/graphics",
+     ["The", ".38-Magnum", "bullet", ",", "a", "TRS-80", ",", "and", "IBM",
+      "OS/2", "sophisticated", "sound/graphics"]),
+    ("i got (89.2%) in my exams",
+     ["i", "got", "(", "89.2", "%", ")", "in", "my", "exams"]),
+    ("I like: •wine, cheese, ‣salami, & ⁃speck.",
+     ["I", "like", ":", "•", "wine", ",", "•", "cheese", ",",
+      "‣", "salami", ",", "&", "⁃", "speck", "."]),
     ("@Harry_Styles didn`t like Mu`ammar al-Qaddafi",
      ["@Harry_Styles", "did", "n't", "like", "Mu'ammar", "al-Qaddafi"]),
     ("a B.S. or a Ph.D from Stanford",
