@@ -126,17 +126,21 @@ def simhash(docs: DataFrame, bits: int = 64) -> DataFrame:
     t = docs.select("doc_id", F.explode(F.array_distinct(toks)).alias("tok"))
     # 64-bit value from first 16 hex chars of md5
     t = t.withColumn("h", F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long"))
+    # per-bit ±1 sign-sum rewritten as 2·ones − n (identical majority vote,
+    # value-checked against the DuckDB ±1 oracle): summing the raw bit
+    # drops 60 CASE branches from the codegen'd agg — measured 1.7× faster
+    # at sf0.1 (r5, the dedup_simhash perf watch)
     per_bit = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b{b}")
+        F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))).alias(f"o{b}")
         for b in range(60)
     ]
-    agg = t.groupBy("doc_id").agg(*per_bit)
+    agg = t.groupBy("doc_id").agg(F.count("*").alias("n"), *per_bit)
     sim = agg.select(
         "doc_id",
         sum(
-            [F.when(F.col(f"b{b}") > 0, F.lit(2 ** b).cast("long")).otherwise(F.lit(0).cast("long"))
+            [F.when(2 * F.col(f"o{b}") > F.col("n"),
+                    F.lit(2 ** b).cast("long"))
+             .otherwise(F.lit(0).cast("long"))
              for b in range(60)],
             F.lit(0).cast("long"),
         ).alias("simhash"),
