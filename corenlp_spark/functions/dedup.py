@@ -235,7 +235,7 @@ def ngram_jaccard_pairs(
 
 def dup_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
                    max_iter: int = 15,
-                   driver_cutoff: int = 1_000_000) -> DataFrame:
+                   driver_cutoff: int = 500_000) -> DataFrame:
     """Connected components over a duplicate-pair table → (id, component)
     with component = min id reachable — the step that turns pair output
     into actual dedup decisions (keep one representative per component).
@@ -267,7 +267,10 @@ def dup_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
     # (component = min reachable id), same DuckDB oracle.
     n_edges = edges.count()
     if n_edges <= driver_cutoff:
-        rows = edges.collect()
+        # collect as plain 2-tuples, not Rows (~5× lighter on the driver:
+        # ≤500k edges ≈ tens of MB; VERDICT r4 audit watch-item)
+        rows = [(r[0], r[1]) for r in
+                edges.toLocalIterator(prefetchPartitions=True)]
         parent: dict = {}
 
         def find(x):
@@ -278,13 +281,13 @@ def dup_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
                 parent[x], x = root, parent[x]
             return root
 
-        for r in rows:
-            ra, rb = find(r["src"]), find(r["dst"])
+        for src, dst in rows:
+            ra, rb = find(src), find(dst)
             if ra != rb:
                 # union by MIN id so the representative is deterministic
                 lo, hi = (ra, rb) if ra < rb else (rb, ra)
                 parent[hi] = lo
-        ids = sorted({r["src"] for r in rows})
+        ids = sorted({src for src, _ in rows})
         out = [(i, find(i)) for i in ids]
         id_type = edges.schema["src"].dataType.simpleString()
         return edges.sparkSession.createDataFrame(
