@@ -108,6 +108,17 @@ VERBS: list[tuple[str, str, str, str, str]] = [
     ("headquarter", "headquarters", "headquartered", "headquartering", "headquartered"),
     ("teach", "teaches", "taught", "teaching", "taught"),
     ("raise", "raises", "raised", "raising", "raised"),
+    # r5 breadth: common irregular pasts the OOD set showed untrained
+    ("find", "finds", "found", "finding", "found"),
+    ("rise", "rises", "rose", "rising", "risen"),
+    ("fall", "falls", "fell", "falling", "fallen"),
+    ("prove", "proves", "proved", "proving", "proven"),
+    ("reach", "reaches", "reached", "reaching", "reached"),
+    ("approve", "approves", "approved", "approving", "approved"),
+    ("depend", "depends", "depended", "depending", "depended"),
+    ("warn", "warns", "warned", "warning", "warned"),
+    ("argue", "argues", "argued", "arguing", "argued"),
+    ("uphold", "upholds", "upheld", "upholding", "upheld"),
     ("serve", "serves", "served", "serving", "served"),
     ("see", "sees", "saw", "seeing", "seen"),
     ("arrive", "arrives", "arrived", "arriving", "arrived"),
@@ -166,6 +177,9 @@ ADJS = [
     "mighty", "genuine", "marine", "severe", "sincere", "remote", "polite",
     "intense", "immense", "vivid", "solid", "rapid", "crisp", "bleak",
     "grim", "stark", "sleek", "plain", "stale", "dense", "sparse",
+    # r5 breadth: -ing/-ic/-al adjectives the OOD set showed untrained
+    "pending", "optimistic", "international", "reluctant", "gradual",
+    "domestic", "economic", "strategic", "historic", "widespread",
 ]
 
 ADVS = ["quickly", "slowly", "well", "badly", "carefully", "easily",
@@ -284,6 +298,19 @@ def pos_corpus() -> list[tuple[list[str], list[str]]]:
         # simple transitive: "The quick cat visited the garden ."
         add([(d1t, "DT"), (jj, "JJ"), (ns, "NN"), (vbd, "VBD"),
              ("the", "DT"), (ns2, "NN"), (".", ".")])
+        # non-restrictive relative clause: "The firm , which grew in 1988 ,
+        # attracts buyers ." — WDT + VBD inside commas, VBZ after the close
+        # comma (the r5 OOD set showed this shape untrained: "opened" →
+        # VBN, "attracts" → NNS after ', ')
+        if i % 3 == 0:
+            cd = str(1900 + (i * 7) % 120)
+            add([("The", "DT"), (ns, "NN"), (",", ","), ("which", "WDT"),
+                 (vbd, "VBD"), ("in", "IN"), (cd, "CD"), (",", ","),
+                 (vbz, "VBZ"), (np2, "NNS"), (".", ".")])
+        # plural subject + irregular past: "Prices fell sharply ."
+        if i % 3 == 1:
+            add([("The", "DT"), (np_, "NNS"), (vbd, "VBD"),
+                 (rb, "RB"), (".", ".")])
         # plural present: "Happy cats visit gardens well ." — JJ-initial kept
         # RARE (every 4th) so the sentence-initial prior stays NNP-leaning,
         # as in real text
