@@ -35,6 +35,10 @@ _UNIT = {"day": "D", "days": "D", "week": "W", "weeks": "W",
          "month": "M", "months": "M", "year": "Y", "years": "Y"}
 _CARDINALS = {"two": 2, "three": 3, "four": 4, "five": 5, "six": 6,
               "seven": 7, "eight": 8, "nine": 9, "ten": 10}
+# common zone abbreviations (time/SUTime timezone tokens join the TIME
+# span; values stay zone-free — no tz database in this engine)
+_TZ_ABBREVS = {"est", "edt", "cst", "cdt", "mst", "mdt", "pst", "pdt",
+               "gmt", "utc", "bst", "cet", "cest", "jst", "ist"}
 _REF = {"now": "PRESENT_REF", "currently": "PRESENT_REF",
         "recently": "PAST_REF", "formerly": "PAST_REF", "soon": "FUTURE_REF"}
 _WEEKDAYS = {"monday": 0, "tuesday": 1, "wednesday": 2, "thursday": 3,
@@ -400,12 +404,21 @@ def _resolve(words: list[str], lower: list[str], docdate: datetime.date):
             yield i, i + 3, "DURATION", val
             i += 3
             continue
-        # clock hour + meridiem: "7 pm" → T19:00
+        # clock hour + meridiem: "7 pm" → T19:00; a trailing zone token
+        # ("5 pm EST", "noon GMT") joins the span — the value stays
+        # zone-free like the reference's default (no tz database loaded)
         if (w.isdigit() and 1 <= int(w) <= 12 and i + 1 < n
                 and lower[i + 1] in ("pm", "p.m.", "am", "a.m.")):
             hh = int(w) % 12 + (12 if lower[i + 1].startswith("p") else 0)
-            yield i, i + 2, "TIME", f"T{hh:02d}:00"
-            i += 2
+            end = i + 2
+            if end < n and lower[end] in _TZ_ABBREVS:
+                # authoritative: the CRF tags bare all-caps zone tokens as
+                # ORGANIZATION; the clock context is decisive
+                yield i, end + 1, "TIME", f"T{hh:02d}:00", True
+                i = end + 1
+                continue
+            yield i, end, "TIME", f"T{hh:02d}:00"
+            i = end
             continue
         # weekends: "next weekend" → ISO week + -WE (SUTime week-part value)
         if (w in ("last", "next", "this") and i + 1 < n

@@ -423,3 +423,14 @@ def test_json_timex_mod_and_anchor(spark):
     # an absolute date gets no anchor and no mod
     assert tx["1990"].get("anchorTimeID") is None
     assert tx["1990"].get("mod") is None
+
+
+def test_sutime_timezone_joins_clock_span(spark):
+    """'5 pm EST' — the zone abbreviation joins the TIME span; the value
+    stays zone-free like the reference's default (no tz database)."""
+    docs = with_docdate(_docs(spark, ["The call is at 5 pm EST today."]),
+                        fixed="2020-06-15")
+    out = sutime_docs(annotate(docs, upto="ner")).first()
+    m = _tok_map(out)
+    assert m["5"] == ("TIME", "T17:00")
+    assert m["est"] == ("TIME", "T17:00")
