@@ -82,7 +82,8 @@ def main() -> None:
     # operator suite (the SQL-checkable queries, run as actions)
     suite = [
         "pricing_summary", "top_orders_per_segment", "dedup_exact",
-        "dedup_minhash", "dedup_simhash", "dedup_ngram_jaccard",
+        "dedup_minhash", "dedup_simhash", "dedup_simhash_pairs",
+        "dedup_ngram_jaccard",
         "doc_fingerprint", "rolling_fingerprints", "token_count",
         "quality_score", "lang_id", "ann_cosine_topk", "embedding_dups",
         "events_sessions", "events_daily", "events_funnel",
