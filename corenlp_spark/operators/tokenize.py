@@ -47,13 +47,24 @@ ABBREVS = {
     "oct.", "nov.", "dec.", "mon.", "tue.", "wed.", "thu.", "fri.", "sat.",
     "sun.", "approx.", "appt.", "est.", "min.", "max.", "misc.",
     "p.m.", "a.m.", "ore.", "calif.", "ave.", "blvd.", "rd.",
+    # r5 tranche (PTBLexer.flex ABTITLE/ABCOMP2/ABVARIA additions): Amb for
+    # Ambassador, Br for brother, loc./cit. for "loc. cit.", Eng/Det/Insp/
+    # Asst titles, Govt, viz, tel/ext/sq (ABNUM)
+    "amb.", "br.", "loc.", "cit.", "eng.", "det.", "insp.", "asst.",
+    "govt.", "viz.", "tel.", "ext.", "sq.",
 }
+
+# case-sensitive lowercase-only abbreviations (PTBLexer ABVARIA spells them
+# [m][i][n]|[m][a][x]): "max." is an abbreviation, "Max." is a name followed
+# by a sentence-ending period ("iPhone 11 Pro Max. The iPhone family …")
+LOWER_ONLY_ABBREVS = {"min.", "max."}
 
 # ambiguous abbreviations: the period belongs to the token only when a digit
 # follows ("No. 24", "Art. 53", "ca. 1300"); otherwise it ends the sentence
 # ("I like Art. And I like History.") — PTBLexer's context-gated abbrevs
 CONTEXT_ABBREVS = {"no.", "art.", "fig.", "sec.", "op.", "ch.", "ca.", "pp.",
-                   "so."}
+                   "so.", "para.", "paras.", "vol.", "vols.", "sect.",
+                   "prop.", "nr."}
 
 # direction/ordinal abbreviations kept before the specific place names the
 # reference allows (``PTBLexer.flex:1138`` — {ABBREVSN}/{SPACENL}+(Africa|
@@ -98,12 +109,16 @@ _SENT_STARTERS = {
     "You",
 }
 _ACRO_RE = re.compile(r"(?:[A-Za-z]\.){2,}")
+_ACRO1_RE = re.compile(r"(?:[A-Za-z]\.)+")  # incl. single initials ("A.")
 
 # cp1252 control-range bytes inherited into text → unicode equivalents
 # (PTBLexer cp1252 normalization set; 1:1 so char offsets are preserved)
 CP1252 = {"\x91": "\u2018", "\x92": "\u2019", "\x93": "\u201c",
           "\x94": "\u201d", "\x95": "\u2022", "\x96": "\u2013",
-          "\x97": "\u2014", "\x85": "\u2026"}
+          "\x97": "\u2014", "\x85": "\u2026",
+          # r5: euro sign and low-9 quotes (PTBLexer QUOTES class carries
+          # \u0082/\u0084 raw; DOLSIGN2 carries \u0080)
+          "\x80": "\u20ac", "\x82": "\u201a", "\x84": "\u201e"}
 _CP1252_RE = re.compile("[" + "".join(CP1252) + "]")
 
 # multi-word split table: PTBLexer splits these informal contractions
@@ -116,9 +131,17 @@ SPLIT_WORDS = {
     "outta": ("out", "ta"),
     "dunno": ("du", "n", "no"),
     "cannot": ("can", "not"),
+    # r5: apostrophe-less negations/contractions (PTBLexer ASSIMILATIONS2 —
+    # "wont" excluded there too, as it is also a word)
+    "dont": ("do", "nt"),
+    "doesnt": ("does", "nt"),
+    "didnt": ("did", "nt"),
+    "aint": ("ai", "nt"),
+    "theyre": ("they", "re"),
 }
 
-CLITICS = ("'s", "'m", "'re", "'ve", "'ll", "'d", "n't", "'S", "'M", "'RE", "'VE", "'LL", "'D", "N'T")
+CLITICS = ("n'ts", "'s", "'m", "'re", "'ve", "'ll", "'d", "n't", "'S", "'M",
+           "'RE", "'VE", "'LL", "'D", "N'T")  # n'ts: plural "don'ts" → do n'ts
 
 _RULES = [
     # SGML/XML markup: recognized first, excluded from linguistic tokens,
@@ -133,7 +156,12 @@ _RULES = [
     ("FILENAME", r"[\w\-]+(?:\.[\w\-]+)*\.(?:jpe?g|png|gif|bmp|tiff?|pdf|"
                  r"html?|txt|doc|docx|xlsx?|csv|tsv|zip|tar|gz|bz2|mp[34]|"
                  r"wav|avi|mov|mkv|py|java|cpp|js|rs|go|sh)(?![\w.])"),
-    ("HANDLE", r"[@#][A-Za-z_][\w]*"),  # @Harry_Styles, #hashtag
+    # ".@name" mentions stay one token (they match the reference's EMAIL
+    # rule — "." is a valid local part; PTBTokenizerTest tweetGold)
+    ("DOTAT", r"\.[@＠][A-Za-z_]\w*"),
+    # TWITTER_NAME special-cases "@50cent" verbatim (PTBLexer.flex:678 —
+    # digit-start names would disable "@" as "at" before quantities)
+    ("HANDLE", r"[@＠](?:[A-Za-z_]\w*|50cent)|[#＃][A-Za-z_][\w]*"),
     # ":/" frowny must not eat the colon of a non-URL "://" run (htvp://…)
     ("EMOTICON", r"\^_\^|<3|[<>]?[:;=8][\-o*']?[)\](\[dDpP/\\|@3](?!/)"),
     # company/product names with a trailing bang (PTBLexer's lexical list)
@@ -165,10 +193,16 @@ _RULES = [
     ("NEGNUM", r"(?<!\S)-\d+(?:,\d{3})*(?:\.\d+)?(?![\w-])"),
     ("VERSION", r"\d+\.[A-Za-z]\w*"),  # Windows 3.x
     ("NUMPLURAL", r"['’]?\d+s(?!\w)"),  # decades/plural numbers: 1990s, '60s
-    ("NUMBER", r"\d{1,3}(?:,\d{3})+(?:\.\d+)?|\d+\.\d+|\d+"),
+    # digit groups joined by thin/narrow-NBSP/soft-hyphen separators are one
+    # number; the separators vanish from the normalized form ("3 456 473.89"
+    # with U+202F → "3456473.89"; PTBLexer NUM separator class)
+    ("SEPNUM", "\\d+(?:[\\u2009\\u202f\\u00ad]\\d+)+(?:\\.\\d+)?"),
+    # European decimal-comma numbers ("1,7 GHz") — PTBLexer NUM takes any
+    # comma-joined digit groups; thousands-grouping alternative tried first
+    ("NUMBER", r"\d{1,3}(?:,\d{3})+(?:\.\d+)?|\d+\.\d+|\d+(?:,\d{1,2})+(?!\d)|\d+"),
     ("PROGLANG", r"[A-Za-z]#"),
     ("CENSORED", r"[A-Za-z]+\*+[A-Za-z*]*"),
-    ("CURRENCY", r"(?:US|HK|A|C|NZ)?\$|£|€|¥"),
+    ("CURRENCY", r"\$\$+|(?:US|HK|A|C|NZ)?\$|£|€|¥"),  # $$+ one DOLSIGN token
     # letter-dot-digit product/version codes stay whole (PTBTokenizerTest
     # apostropheGold: BA.2.12.1, BA.5, X.500, P.72)
     ("PRODCODE", r"[A-Z][A-Za-z]*\.\d+(?:\.\d+)*(?!\.?\d)(?!\w)"),
@@ -183,18 +217,24 @@ _RULES = [
     # (O'Malley, anti-acquisition, Sydney-based, Mu`ammar); soft hyphens
     # (\u00AD) ride inside and are stripped from the normalized word.
     # Trailing clitics split in post-pass.
-    ("WORD", r"[A-Za-zÀ-ɏ0-9_\u00AD]+(?:[-/'’`][A-Za-zÀ-ɏ0-9_\u00AD]+)*(?:\.(?!\.))?"),
+    # a letter-final word glued to a decimal/dotted number splits before
+    # the number ("SPSS28.0" -> SPSS 28.0, "RM460.35" -> RM 460.35 --
+    # PTBLexer {WORD_LETTER}/{LEADING_NUM} currency-prefix rule, flex:940)
+    ("WORDNUM", r"[A-Za-z\u00c0-\u024f_](?:[A-Za-z\u00c0-\u024f0-9_]*[A-Za-z\u00c0-\u024f])?(?=\d+(?:[.:,]\d+)+)"),
+    # \u00b4 (acute) counts as an apostrophe inside words (PTBLexer APOS)
+    ("WORD", r"[A-Za-zÀ-ɏ0-9_\u00AD]+(?:[-/'’`´][A-Za-zÀ-ɏ0-9_\u00AD]+)*(?:\.(?!\.))?"),
     ("MULTIPUNCT", r"[?!]+"),
     ("DASH", r"--+|—|–"),
-    ("QUOTE", r"``|''|[\"'`‘’“”]"),
+    ("QUOTE", r"``|''|[\"'`‘’“”‚„]"),
     ("PUNCT", r"[^\sA-Za-z0-9]"),
 ]
 MASTER = re.compile("|".join(f"(?P<{n}>{p})" for n, p in _RULES))
 
 # normalization map (PTBLexer quote/dash/ellipsis normalization, default opts)
 _NORM = {"‘": "`", "’": "'", "“": "``", "”": "''",
+         "‚": "`", "„": "``",
          "—": "--", "–": "--", "…": "..."}
-_NORM_QUOTES = {"‘", "’", "“", "”"}
+_NORM_QUOTES = {"‘", "’", "“", "”", "‚", "„"}
 _NORM_DASHES = {"—", "–"}
 
 # PTBTokenizer option surface (process/PTBTokenizer.java:61-177 subset):
@@ -248,9 +288,11 @@ def _resolve_options(options: dict | None) -> dict:
 
 # quote mapping tables per enum value (PTBLexer latexQuotes/unicodeQuotes/
 # asciiQuotes). Straight " is handled contextually (opening vs closing).
-_QUOTES_LATEX = {"‘": "`", "’": "'", "“": "``", "”": "''"}
+_QUOTES_LATEX = {"‘": "`", "’": "'", "“": "``", "”": "''",
+                 "‚": "`", "„": "``"}
 _QUOTES_UNICODE = {"`": "‘", "'": "’", "``": "“", "''": "”"}
 _QUOTES_ASCII = {"‘": "'", "’": "'", "`": "'", "“": '"', "”": '"',
+                 "‚": "'", "„": '"',
                  "``": '"', "''": '"'}
 
 # PTB3 bracket token forms (PTBLexer normalizeParentheses/normalizeOtherBrackets)
@@ -279,7 +321,8 @@ def _split_word(original: str, begin: int, opt: dict):
     # (CONTEXT_ABBREVS kept here; tokenize_text re-splits them when no digit
     # follows — the context the lexer state machine sees)
     if original.endswith("."):
-        if lower in ABBREVS or lower in CONTEXT_ABBREVS:
+        if (lower in ABBREVS or lower in CONTEXT_ABBREVS) and not (
+                lower in LOWER_ONLY_ABBREVS and original != lower):
             yield (original, original, begin, begin + len(original))
             return
         core = original[:-1]
@@ -296,7 +339,7 @@ def _split_word(original: str, begin: int, opt: dict):
             pos += len(seg)
         return
     # clitic split: don't → do + n't ; Mary's → Mary + 's ; didn`t → did n't
-    norm = original.replace("’", "'").replace("`", "'")
+    norm = original.replace("’", "'").replace("`", "'").replace("´", "'")
     # apostrophe-PREFIX forms (PTBLexer APOWORD1 prefixes th'/y'/t'/d'/ol'):
     # "Th'enchanting" → Th' + enchanting ; "y'all" → y' + all. Only these
     # lexical prefixes split — "Qur'an" / "O'Malley" stay whole.
@@ -317,7 +360,7 @@ def _split_word(original: str, begin: int, opt: dict):
         if norm.lower().endswith(cl.lower()) and len(norm) > len(cl):
             stem_orig = original[: len(original) - len(cl)]
             cl_orig = original[len(original) - len(cl):]
-            if cl.lower() == "n't":
+            if cl.lower().startswith("n't"):
                 yield (stem_orig, stem_orig, begin, begin + len(stem_orig))
             else:
                 yield from _split_word(stem_orig, begin, opt)
@@ -428,7 +471,7 @@ def _abbrev_sentence_end(tokens, barriers, norm_text, opt):
         lw = w.lower()
         is_a1 = lw in _ABBREV1 and w.endswith(".")
         is_a2 = (not is_a1 and w.endswith(".")
-                 and (lw in _ABBREV2_TITLES or _ACRO_RE.fullmatch(w)))
+                 and (lw in _ABBREV2_TITLES or _ACRO1_RE.fullmatch(w)))
         fire = False
         if is_a1 and _sentend_follows(norm_text, e):
             nxt = tokens[i + 1][0] if i + 1 < n else ""
@@ -477,6 +520,10 @@ def tokenize_text_with_barriers(text: str, options: dict | None = None):
         if kind == "XMLTAG":
             barriers.add(len(out))
             continue
+        if matched == "\ufeff":
+            # byte-order mark is deleted outright (PTBTokenizerTest
+            # hyphenGold: BOM-led input starts at the first real token)
+            continue
         if kind == "WORD":
             # words split on NORMALIZED text; originals re-sliced from the
             # raw input at the same offsets (1:1 mapping → invertible)
@@ -508,6 +555,11 @@ def tokenize_text_with_barriers(text: str, options: dict | None = None):
             out.append((word, text[m.start():m.end() - 1],
                         m.start(), m.end() - 1))
             out.append((".", ".", m.end() - 1, m.end()))
+        elif kind == "SEPNUM":
+            # thin/narrow-NBSP/soft-hyphen digit separators vanish from the
+            # normalized number, stay in the original (invertible)
+            out.append((re.sub("[\u2009\u202f\u00ad]", "", matched), raw,
+                        m.start(), m.end()))
         elif kind == "SPACEDFRAC":
             # "5 7/8" — one NBSP-joined token (normalizeSpace), or two
             # tokens under strictFraction (PTBTokenizer.java:152-171)
@@ -527,7 +579,7 @@ def tokenize_text_with_barriers(text: str, options: dict | None = None):
                 word = _PAREN_NORM[matched]
             if kind == "CLITICTOK":
                 word = matched.replace("\u2019", "'")
-            if kind == "QUOTE" and matched == '"' \
+            if kind == "QUOTE" and matched in ('"', "''") \
                     and opt["quotes"] in ("latex", "unicode"):
                 # straight double quote is directional: ``/\u201c if opening
                 # else ''/\u201d
@@ -536,6 +588,31 @@ def tokenize_text_with_barriers(text: str, options: dict | None = None):
                 word = ("``" if prev_sp else "''") if opt["quotes"] == "latex" \
                     else ("\u201c" if prev_sp else "\u201d")
             out.append((word, raw, m.start(), m.end()))
+    # single-initial merge: a lone capital letter + glued period re-joins
+    # into one token when a capitalized word follows ("I met A. I. Markov" —
+    # PTBLexer ACRO = [A-Za-z](\.[A-Za-z])* covers single initials; the
+    # ABBREV2 sentence-starter pass below re-splits "He got an A. The …")
+    merged: list[tuple[str, str, int, int]] = []
+    drops: list[int] = []
+    i = 0
+    while i < len(out):
+        w, o, b, e = out[i]
+        if (len(w) == 1 and w.isupper() and w.isalpha()
+                and i + 1 < len(out) and out[i + 1][0] == "."
+                and out[i + 1][1] == "." and out[i + 1][2] == e
+                and i + 2 < len(out) and out[i + 2][0][:1].isupper()
+                and i + 1 not in barriers):
+            merged.append((w + ".", o + out[i + 1][1], b, out[i + 1][3]))
+            drops.append(i + 1)
+            i += 2
+            continue
+        merged.append((w, o, b, e))
+        i += 1
+    if drops:
+        barriers = {x - sum(1 for p in drops if p < x) for x in barriers}
+        out = merged
+    else:
+        out = merged
     # context gate for ambiguous abbreviations: "No. 24" keeps the period,
     # "I like Art. And…" detaches it (sentence boundary). Split positions are
     # recorded in INPUT space and all barriers remapped once at the end —

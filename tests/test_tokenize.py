@@ -477,3 +477,64 @@ def test_apostrophe_prefixes_em_clitic_prodcodes():
          "about", "X.500"]
     assert words("IT IS ON P.72") == ["IT", "IS", "ON", "P.72"]
     assert words("It is X.500.") == ["It", "is", "X.500", "."]
+
+
+def test_r5_tranche_initials_bom_sepnum_abbrevs():
+    """PTBTokenizerTest r5 tranche: single-initial merge (ACRO covers
+    single initials before a capitalized continuation; ABBREV2
+    sentence-starter logic still ends 'He got an A.'), BOM deletion
+    (hyphenGold fixture leads with U+FEFF), thin/narrow-NBSP/soft-hyphen
+    digit separators (PTBLexer SEPNUM — vanish from normalized token,
+    preserved in original), case-sensitive min./max. abbreviations, and
+    the r5 ABTITLE/ABNUM/context tranche (Amb., Insp., para., vol.)."""
+    from corenlp_spark.operators.tokenize import (tokenize_text,
+                                                  tokenize_text_with_barriers)
+
+    def words(s, **o):
+        return [t[0] for t in tokenize_text(s, o or None)]
+
+    # single-initial merge vs grade-'A.' sentence end
+    assert words("I met A. I. Markov yesterday.") == \
+        ["I", "met", "A.", "I.", "Markov", "yesterday", "."]
+    assert words("He got an A. The grade pleased him.") == \
+        ["He", "got", "an", "A", ".", "The", "grade", "pleased", "him", "."]
+    # BOM deleted, offsets start at the first real character
+    toks, _ = tokenize_text_with_barriers("﻿Hello world.")
+    assert [t[0] for t in toks] == ["Hello", "world", "."]
+    assert toks[0][2] == 1  # offset past the BOM (original text preserved)
+    # SEPNUM: narrow-NBSP-grouped digits are one numeric token, original kept
+    toks, _ = tokenize_text_with_barriers("1 000 000 people")
+    assert [t[0] for t in toks] == ["1000000", "people"]
+    assert toks[0][1] == "1 000 000"
+    assert words("5 000 units") == ["5000", "units"]
+    # case-sensitive lower-only abbreviations
+    assert words("iPhone 11 Pro Max. The iPhone family grew.") == \
+        ["iPhone", "11", "Pro", "Max", ".", "The", "iPhone", "family",
+         "grew", "."]
+    assert words("max. 5 units") == ["max.", "5", "units"]
+    assert words("min. 3 chars needed") == ["min.", "3", "chars", "needed"]
+    # new title/context abbreviations
+    assert words("Amb. Smith and Insp. Jones arrived.") == \
+        ["Amb.", "Smith", "and", "Insp.", "Jones", "arrived", "."]
+    assert words("See para. 7 and vol. 2.") == \
+        ["See", "para.", "7", "and", "vol.", "2", "."]
+    assert words("Govt. policy, viz. the tax code.") == \
+        ["Govt.", "policy", ",", "viz.", "the", "tax", "code", "."]
+
+
+def test_r5_cp1252_euro_low9_quotes():
+    """cp1252 control bytes 0x80/0x82/0x84 normalize to euro and low-9
+    quotes; low-9 quotes participate in the latex/ascii quote maps
+    (PTBLexer QUOTES/DOLSIGN2 classes)."""
+    from corenlp_spark.operators.tokenize import tokenize_text
+
+    def words(s, **o):
+        return [t[0] for t in tokenize_text(s, o or None)]
+
+    assert words("It cost \x80100 total.")[2:4] == ["€", "100"]
+    # \x93 is cp1252 U+201C (an OPENING quote even when German usage closes
+    # with it) — latex maps it positionally-blind to ``
+    assert words("\x84Guten Tag\x93, sagte er.", quotes="latex") == \
+        ["``", "Guten", "Tag", "``", ",", "sagte", "er", "."]
+    assert words("‚ein‘ Wort", quotes="ascii") == \
+        ["'", "ein", "'", "Wort"]
