@@ -192,6 +192,82 @@ def q_gopher_quality(spark, sf_dir):
     )
 
 
+def q_gopher_repetition(spark, sf_dir):
+    """Gopher REPETITION rules (Rae et al. 2021 Table A1 — top n-gram and
+    duplicate n-gram character fractions) per document, aggregated to
+    distribution stats + pass count (order-independent result)."""
+    from corenlp_spark.functions.textstats import gopher_repetition
+
+    d = _spread(spark, _t(spark, sf_dir, "documents")).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text")
+    r = gopher_repetition(d)
+    return r.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("passes_repetition").cast("long")).alias("n_pass"),
+        F.round(F.avg("top2_frac"), 6).alias("avg_top2"),
+        F.round(F.avg("top3_frac"), 6).alias("avg_top3"),
+        F.round(F.avg("top4_frac"), 6).alias("avg_top4"),
+        F.round(F.max("dup5_frac"), 6).alias("max_dup5"),
+        F.round(F.max("dup10_frac"), 6).alias("max_dup10"),
+        F.round(F.sum("top2_frac"), 4).alias("sum_top2"),
+        F.round(F.sum("dup5_frac"), 4).alias("sum_dup5"),
+    )
+
+
+# deterministic PII probe docs (the synthetic corpus is PII-free by
+# construction, so — same de-vacuation policy as _DUP_PROBES — these keep
+# the detection/redaction logic genuinely exercised under the oracle)
+_PII_PROBES = [
+    ("__pii_a", "contact jane.doe+test@example.org or call 415-555-0173 now"),
+    ("__pii_b", "ssn 078-05-1120 card 4111-1111-1111-1111 host 10.0.42.7"),
+    ("__pii_c", "mail root@sub.domain.co then ping 192.168.001.254 twice"),
+    ("__pii_d", "no structural pii here just ordinary words and 12345 digits"),
+]
+
+
+def q_pii_scan(spark, sf_dir):
+    """Structural-PII scan over documents ∪ probe docs: per-kind counts and
+    the md5 of the redacted text for every doc containing any PII (the
+    violation list a 100 TB pipeline materializes, not the full corpus)."""
+    from corenlp_spark.functions.pii import pii_scan
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text")
+    probes = spark.createDataFrame(_PII_PROBES, "doc_id string, text string")
+    return pii_scan(d.unionByName(probes)).orderBy("doc_id")
+
+
+# a small "benchmark" set + one seeded-contaminated probe doc: the corpus
+# is random word-soup, so an exact 8-gram collision with these is
+# (deterministically) confined to the probe — the oracle replays the same
+# join over documents ∪ probe and certifies both the hit and the non-hits
+_BENCH_ITEMS = [
+    ("bench-001", "the quick brown fox jumps over the lazy dog near the river"),
+    ("bench-002", "pack my box with five dozen liquor jugs before noon today"),
+]
+_CONTAM_PROBES = [
+    ("__contam_a", "filler words then the quick brown fox jumps over the "
+                   "lazy dog near more filler after"),
+    ("__contam_b", "entirely unrelated text with no benchmark overlap at all "
+                   "in any span of eight words"),
+]
+
+
+def q_decontam(spark, sf_dir):
+    """Benchmark decontamination: training docs (∪ seeded probes) sharing
+    any exact 8-gram with the benchmark set, via a broadcast n-gram join
+    (the corpus side is one narrow pass — no corpus-side shuffle)."""
+    from corenlp_spark.functions.decontam import contaminated_docs
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text")
+    probes = spark.createDataFrame(_CONTAM_PROBES,
+                                   "doc_id string, text string")
+    bench = spark.createDataFrame(_BENCH_ITEMS, "bench_id string, text string")
+    return (contaminated_docs(d.unionByName(probes), bench, n=8)
+            .orderBy("doc_id", "bench_id"))
+
+
 def q_dedup_components(spark, sf_dir):
     """Near-dup CONNECTED COMPONENTS over the minhash pair graph — the
     operation that turns pair output into dedup decisions (one
@@ -1324,6 +1400,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": q_token_count,
         "quality_score": q_quality,
         "gopher_quality": q_gopher_quality,
+        "gopher_repetition": q_gopher_repetition,
+        "pii_scan": q_pii_scan,
+        "decontam_overlap": q_decontam,
         "lang_id": q_langid,
         "dedup_components": q_dedup_components,
         "ann_cosine_topk": q_ann_topk,
@@ -1412,6 +1491,118 @@ def _lsh_dups_oracle(dim=64, n_bands=8, band_bits=8, threshold=0.2) -> str:
         SELECT id_a, id_b, score FROM cand
         WHERE score >= {threshold}
         ORDER BY score DESC, id_a, id_b LIMIT 20
+    """
+
+
+def _gopher_repetition_oracle() -> str:
+    """DuckDB twin of textstats.gopher_repetition + the q_ aggregate:
+    same n-gram generation (1-based list slices), same capped product-form
+    character accounting, same thresholds."""
+    from corenlp_spark.functions.textstats import (GOPHER_DUP_NGRAM,
+                                                   GOPHER_TOP_NGRAM)
+
+    ns = sorted(GOPHER_TOP_NGRAM) + sorted(GOPHER_DUP_NGRAM)
+    top_cols = ",\n          ".join(
+        f"round(least(coalesce(max(CASE WHEN n = {n} THEN top_chars END), 0)"
+        f" / greatest(total, 1), 1.0), 6) AS top{n}_frac"
+        for n in sorted(GOPHER_TOP_NGRAM))
+    dup_cols = ",\n          ".join(
+        f"round(least(coalesce(max(CASE WHEN n = {n} THEN dup_chars END), 0)"
+        f" / greatest(total, 1), 1.0), 6) AS dup{n}_frac"
+        for n in sorted(GOPHER_DUP_NGRAM))
+    passes = " AND ".join(
+        [f"top{n}_frac <= {t}" for n, t in sorted(GOPHER_TOP_NGRAM.items())]
+        + [f"dup{n}_frac <= {t}" for n, t in sorted(GOPHER_DUP_NGRAM.items())])
+    return f"""
+        WITH tk AS (
+          SELECT doc_id, {_TOKENS} AS tk FROM documents),
+        tot AS (
+          SELECT doc_id, length(array_to_string(tk, ' ')) AS total, tk
+          FROM tk),
+        grams AS (
+          SELECT doc_id, total, n,
+                 array_to_string(tk[i : i + n - 1], ' ') AS gram
+          FROM tot,
+               unnest([{', '.join(str(n) for n in ns)}]) AS u(n),
+               unnest(generate_series(1, len(tk) - n + 1)) AS s(i)),
+        pg AS (
+          SELECT doc_id, total, n, gram, count(*) AS cnt
+          FROM grams GROUP BY ALL),
+        pdn AS (
+          SELECT doc_id, total, n,
+                 max(cnt * length(gram)) AS top_chars,
+                 sum(CASE WHEN cnt > 1 THEN cnt * length(gram) ELSE 0 END)
+                   AS dup_chars
+          FROM pg GROUP BY ALL),
+        wide AS (
+          SELECT doc_id, total,
+          {top_cols},
+          {dup_cols}
+          FROM pdn GROUP BY doc_id, total)
+        SELECT count(*) AS n_docs,
+               CAST(sum(CASE WHEN {passes} THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_pass,
+               round(avg(top2_frac), 6) AS avg_top2,
+               round(avg(top3_frac), 6) AS avg_top3,
+               round(avg(top4_frac), 6) AS avg_top4,
+               round(max(dup5_frac), 6) AS max_dup5,
+               round(max(dup10_frac), 6) AS max_dup10,
+               round(sum(top2_frac), 4) AS sum_top2,
+               round(sum(dup5_frac), 4) AS sum_dup5
+        FROM wide
+    """
+
+
+def _pii_oracle() -> str:
+    """DuckDB twin of functions/pii.pii_scan over documents ∪ probes: RE2
+    and java.util.regex agree on the lookaround-free pattern subset, so
+    counts AND every redacted byte (md5) must match."""
+    from corenlp_spark.functions.pii import PII_PATTERNS
+
+    probes = ", ".join(f"('{i}', '{t}')" for i, t in _PII_PROBES)
+    counts = ",\n                 ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_{kind}"
+        for kind, pat, _ in PII_PATTERNS)
+    red = "text"
+    for _, pat, repl in PII_PATTERNS:
+        red = f"regexp_replace({red}, '{pat}', '{repl}', 'g')"
+    total = " + ".join(f"n_{kind}" for kind, _, _ in PII_PATTERNS)
+    return f"""
+        WITH input AS (
+          SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents
+          UNION ALL SELECT * FROM (VALUES {probes}) v(doc_id, text)),
+        c AS (
+          SELECT doc_id,
+                 {counts},
+                 md5({red}) AS redacted_md5
+          FROM input)
+        SELECT *, {total} AS n_pii FROM c
+        WHERE {total} > 0 ORDER BY doc_id
+    """
+
+
+def _decontam_oracle() -> str:
+    """All-in-SQL replay of the broadcast 8-gram decontamination join."""
+    probes = ", ".join(f"('{i}', '{t}')" for i, t in _CONTAM_PROBES)
+    bench = ", ".join(f"('{i}', '{t}')" for i, t in _BENCH_ITEMS)
+    return f"""
+        WITH input AS (
+          SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents
+          UNION ALL SELECT * FROM (VALUES {probes}) v(doc_id, text)),
+        ctk AS (SELECT doc_id, {_TOKENS} AS tk FROM input),
+        cg AS (
+          SELECT DISTINCT doc_id, array_to_string(tk[i : i + 7], ' ') AS gram
+          FROM ctk, unnest(generate_series(1, len(tk) - 7)) AS s(i)),
+        btk AS (
+          SELECT bench_id, {_TOKENS} AS tk
+          FROM (VALUES {bench}) b(bench_id, text)),
+        bg AS (
+          SELECT DISTINCT bench_id, array_to_string(tk[i : i + 7], ' ') AS gram
+          FROM btk, unnest(generate_series(1, len(tk) - 7)) AS s(i))
+        SELECT doc_id, bench_id, count(*) AS n_hits
+        FROM cg JOIN bg USING (gram)
+        GROUP BY doc_id, bench_id
+        ORDER BY doc_id, bench_id
     """
 
 
@@ -1526,6 +1717,9 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n_req) AS BIGINT) AS total_req_stops
             FROM r
         """,
+        "gopher_repetition": _gopher_repetition_oracle(),
+        "pii_scan": _pii_oracle(),
+        "decontam_overlap": _decontam_oracle(),
         "quality_score": f"""
             WITH t AS (
               SELECT doc_id, {_TOKENS} AS toks,

@@ -1,0 +1,68 @@
+"""PII detection and redaction for training-data pipelines.
+
+A fixed, ordered cascade of structural PII patterns (emails, SSNs, credit
+cards, phone numbers, IPv4 addresses) expressed as pure ``regexp_count`` /
+``regexp_replace`` column algebra — JVM-side, codegen'd, and restricted to
+the regex subset Java and RE2 evaluate identically (no lookaround, no
+backreferences), so a DuckDB oracle replays every count and every redacted
+byte.
+
+This is the structural arm of a PII pipeline; a production deployment adds
+an NER-backed contextual arm (names/addresses) via the same trained-NER
+operators this engine ships (``operators/ner.py``) — the regex cascade
+here is the part that must run on every byte of a 100 TB corpus, so it
+stays in whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: ordered (kind, pattern, replacement) cascade. Order matters for
+#: redaction: more-specific digit shapes run before broader ones (SSN
+#: 3-2-4 before phone 3-3-4; 4x4 cards before either; emails first since
+#: they may embed digits/dots the later rules would mangle).
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("card", r"\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}\b", "[CARD]"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "[SSN]"),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "[PHONE]"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+]
+
+
+def pii_counts(col) -> list[Column]:
+    """Per-kind match counts on the ORIGINAL text (count before redaction:
+    the cascade rewrites bytes, so counting after would undercount kinds
+    whose shapes overlap an earlier replacement)."""
+    return [
+        F.regexp_count(col, F.lit(pat)).cast("long").alias(f"n_{kind}")
+        for kind, pat, _ in PII_PATTERNS
+    ]
+
+
+def pii_redact(col) -> Column:
+    """Redacted text: the cascade applied in declared order. Each step is a
+    global regexp_replace — one codegen'd pass per pattern, no UDF."""
+    out = col
+    for _, pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def pii_scan(docs: DataFrame, text_col: str = "text",
+             id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, n_email..n_ip, n_pii, redacted_md5) for documents containing
+    any structural PII. The filter keeps the result proportional to the
+    PII incidence, not the corpus size — at 100 TB the output is the
+    (small) violation list, and the counts/filter push into the scan."""
+    counts = pii_counts(F.col(text_col))
+    out = docs.select(F.col(id_col).alias("doc_id"), *counts,
+                      F.md5(pii_redact(F.col(text_col))).alias("redacted_md5"))
+    total = None
+    for kind, _, _ in PII_PATTERNS:
+        c = F.col(f"n_{kind}")
+        total = c if total is None else total + c
+    return (out.withColumn("n_pii", total)
+            .filter(F.col("n_pii") > 0))

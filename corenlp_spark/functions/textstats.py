@@ -193,3 +193,96 @@ def gopher_quality(col) -> Column:
         r7.alias("ok_required_stops"),
         (r1 & r2 & r3 & r4 & r5 & r6 & r7).alias("passes"),
     )
+
+
+# Gopher repetition-rule thresholds (Rae et al. 2021, Table A1): the
+# "top n-gram character fraction" rules for n=2..4 and the "duplicate
+# n-gram character fraction" rules for n=5..10. The line/paragraph dup
+# rules from the same table live on the raw-line axis and are covered by
+# exact/fingerprint dedup upstream.
+GOPHER_TOP_NGRAM = {2: 0.20, 3: 0.18, 4: 0.16}
+GOPHER_DUP_NGRAM = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
+
+
+def gopher_repetition(df, text_col: str = "text", id_col: str = "doc_id"):
+    """Gopher repetition signals (Rae et al. 2021 Appendix A): per document,
+    the character fraction of the heaviest n-gram (n=2..4) and of all
+    duplicated n-grams (n=5..10), with the published pass thresholds.
+
+    Character accounting is the deterministic product form
+    ``count(gram) * length(gram) / length(all tokens joined)``, capped at
+    1.0 — an UPPER BOUND on the published covered-character fraction
+    (overlapping occurrences count their characters once per occurrence,
+    the published rule counts each covered position once). The bound makes
+    the pass thresholds conservative: surrogate ≤ threshold implies the
+    true coverage is too, so every document the published filter rejects,
+    this filter rejects. Tie-free (the published "most frequent n-gram" is
+    ambiguous under count ties) and replayable exactly in SQL.
+
+    Scale shape: ONE explode over (n, gram) rows — ~``sum(T-n+1)`` rows per
+    doc — then a single map-side-combining groupBy on (doc, n, gram) and a
+    per-doc rollup. Linear in corpus size, no self-joins; the wide result
+    is a pivot of 9 small aggregates, not 9 passes over the text.
+    """
+    toks = tokens(F.col(text_col))
+    ns = sorted(GOPHER_TOP_NGRAM) + sorted(GOPHER_DUP_NGRAM)
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        toks.alias("_tk"),
+    ).select(
+        "_id",
+        F.length(F.concat_ws(" ", F.col("_tk"))).alias("_total"),
+        F.explode(F.array(*[F.lit(n) for n in ns])).alias("n"),
+        F.col("_tk"),
+    ).select(
+        "_id", "_total", "n",
+        # sequence(1, 0) steps BACKWARD in Spark — short docs need an
+        # explicit empty-array guard, not a clamped upper bound
+        F.explode(F.when(
+            F.size("_tk") >= F.col("n"),
+            F.transform(
+                F.sequence(F.lit(1), F.size("_tk") - F.col("n") + 1),
+                lambda i: F.concat_ws(" ", F.slice(F.col("_tk"), i,
+                                                   F.col("n"))),
+            )).otherwise(F.array().cast("array<string>"))).alias("gram"),
+    )
+    per_gram = base.groupBy("_id", "_total", "n", "gram").agg(
+        F.count("*").alias("cnt"))
+    per_doc_n = per_gram.groupBy("_id", "_total", "n").agg(
+        F.max(F.col("cnt") * F.length("gram")).alias("top_chars"),
+        F.sum(F.when(F.col("cnt") > 1, F.col("cnt") * F.length("gram"))
+              .otherwise(F.lit(0))).alias("dup_chars"),
+    )
+    safe_total = F.greatest(F.col("_total"), F.lit(1))
+    # a doc shorter than n contributes no rows for that n — its fraction is
+    # 0 by definition (no n-gram repeats); docs shorter than min(n)=2 tokens
+    # are absent from the result entirely (they carry no repetition signal)
+    top_cols = [
+        F.round(F.least(F.coalesce(
+            F.max(F.when(F.col("n") == n, F.col("top_chars"))), F.lit(0))
+            / safe_total, F.lit(1.0)), 6).alias(f"top{n}_frac")
+        for n in sorted(GOPHER_TOP_NGRAM)
+    ]
+    dup_cols = [
+        F.round(F.least(F.coalesce(
+            F.max(F.when(F.col("n") == n, F.col("dup_chars"))), F.lit(0))
+            / safe_total, F.lit(1.0)), 6).alias(f"dup{n}_frac")
+        for n in sorted(GOPHER_DUP_NGRAM)
+    ]
+    wide = per_doc_n.groupBy("_id", "_total").agg(*top_cols, *dup_cols)
+    passes = [
+        (F.col(f"top{n}_frac") <= thr)
+        for n, thr in sorted(GOPHER_TOP_NGRAM.items())
+    ] + [
+        (F.col(f"dup{n}_frac") <= thr)
+        for n, thr in sorted(GOPHER_DUP_NGRAM.items())
+    ]
+    ok = passes[0]
+    for p in passes[1:]:
+        ok = ok & p
+    return wide.select(
+        F.col("_id").alias(id_col),
+        *[f"top{n}_frac" for n in sorted(GOPHER_TOP_NGRAM)],
+        *[f"dup{n}_frac" for n in sorted(GOPHER_DUP_NGRAM)],
+        ok.alias("passes_repetition"),
+    )

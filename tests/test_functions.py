@@ -365,3 +365,85 @@ def test_simhash_multitable_finds_prefix_blind_pair(spark):
     got = {(r.doc_a, r.doc_b): r.hamming
            for r in simhash_pairs_from_sigs(sigs, max_hamming=3).collect()}
     assert got == {("a", "b"): 3}
+
+
+def test_gopher_repetition_signals(spark):
+    """Gopher repetition rules (Rae et al. 2021 Table A1): top n-gram and
+    duplicate n-gram character fractions with the published thresholds —
+    capped product-form accounting (documented upper-bound surrogate)."""
+    from corenlp_spark.functions.textstats import gopher_repetition
+
+    df = spark.createDataFrame(
+        [(1, "a b a b a b c d"),                  # heavy 2-gram repetition
+         (2, "x y z w v u t s r q p o n m"),      # no repetition at all
+         (3, "q w e q w e q w e q w e q w e")],   # wall-to-wall repeats
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in gopher_repetition(df).collect()}
+    # doc 1: "a b" occurs 3× → 3*3 chars / 15 total = 0.6
+    assert rows[1]["top2_frac"] == 0.6
+    assert rows[1]["dup5_frac"] == 0.0           # no repeated 5-gram
+    assert not rows[1]["passes_repetition"]      # 0.6 > 0.20 threshold
+    # doc 2: every gram unique → dup fractions all 0
+    assert all(rows[2][f"dup{n}_frac"] == 0.0 for n in (5, 6, 7, 8, 9, 10))
+    # doc 3: overlapping repeats — capped at 1.0, never above
+    assert rows[3]["dup5_frac"] == 1.0
+    assert rows[3]["dup10_frac"] == 1.0
+    assert not rows[3]["passes_repetition"]
+    # a doc shorter than n contributes 0 for that n, not a crash/NULL
+    short = spark.createDataFrame([(9, "only three words")],
+                                  "doc_id long, text string")
+    r9 = gopher_repetition(short).collect()[0]
+    assert r9["dup5_frac"] == 0.0 and r9["top2_frac"] > 0
+
+
+def test_pii_scan_and_redact(spark):
+    """Structural PII cascade: per-kind counts on the original text, ordered
+    redaction (SSN before the broader 3-3-4 phone shape; cards before
+    both), and PII-free docs filtered out of the violation list."""
+    from corenlp_spark.functions.pii import pii_scan
+
+    df = spark.createDataFrame(
+        [("a", "mail bob@corp.io or sue+x@a.b.co call 415-555-0173"),
+         ("b", "ssn 078-05-1120 card 4111-1111-1111-1111 ip 10.0.42.7"),
+         ("c", "clean text with plain numbers 123456789 and no shapes"),
+         ("d", "dotted phone 415.555.0173 and quad 192.168.1.254")],
+        "doc_id string, text string")
+    rows = {r["doc_id"]: r for r in pii_scan(df).collect()}
+    assert "c" not in rows                       # filtered: no PII
+    assert rows["a"]["n_email"] == 2 and rows["a"]["n_phone"] == 1
+    assert rows["b"]["n_ssn"] == 1 and rows["b"]["n_card"] == 1 \
+        and rows["b"]["n_ip"] == 1
+    # 078-05-1120 must be SSN (3-2-4), not phone (3-3-4)
+    assert rows["b"]["n_phone"] == 0
+    assert rows["d"]["n_phone"] == 1 and rows["d"]["n_ip"] == 1
+    assert all(r["n_pii"] > 0 for r in rows.values())
+    # redaction actually rewrites the bytes: redact a doc directly
+    from corenlp_spark.functions.pii import pii_redact
+    from pyspark.sql import functions as F
+    red = df.filter("doc_id = 'b'").select(
+        pii_redact(F.col("text")).alias("t")).collect()[0]["t"]
+    assert red == "ssn [SSN] card [CARD] ip [IP]"
+
+
+def test_decontam_broadcast_overlap(spark):
+    """8-gram benchmark decontamination: seeded overlap found, clean doc
+    absent, and the corpus side joins the benchmark via BROADCAST (no
+    corpus-side shuffle before the join)."""
+    from corenlp_spark.functions.decontam import contaminated_docs
+
+    bench = spark.createDataFrame(
+        [("q1", "the quick brown fox jumps over the lazy dog tonight")],
+        "bench_id string, text string")
+    docs = spark.createDataFrame(
+        [("d1", "padding before the quick brown fox jumps over the lazy "
+                "dog after padding"),
+         ("d2", "eight word spans that never match the benchmark text here"),
+         ("d3", "too short to hold any")],
+        "doc_id string, text string")
+    out = contaminated_docs(docs, bench, n=8)
+    rows = {(r.doc_id, r.bench_id): r.n_hits for r in out.collect()}
+    # d1 contains "the quick ... lazy dog" (9 shared tokens) — exactly the
+    # two bench 8-grams not involving "tonight" match
+    assert rows == {("d1", "q1"): 2}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
