@@ -231,7 +231,7 @@ def q_pii_scan(spark, sf_dir):
     violation list a 100 TB pipeline materializes, not the full corpus)."""
     from corenlp_spark.functions.pii import pii_scan
 
-    d = _t(spark, sf_dir, "documents").select(
+    d = _spread(spark, _t(spark, sf_dir, "documents")).select(
         F.col("doc_id").cast("string").alias("doc_id"), "text")
     probes = spark.createDataFrame(_PII_PROBES, "doc_id string, text string")
     return pii_scan(d.unionByName(probes)).orderBy("doc_id")
@@ -259,7 +259,7 @@ def q_decontam(spark, sf_dir):
     (the corpus side is one narrow pass — no corpus-side shuffle)."""
     from corenlp_spark.functions.decontam import contaminated_docs
 
-    d = _t(spark, sf_dir, "documents").select(
+    d = _spread(spark, _t(spark, sf_dir, "documents")).select(
         F.col("doc_id").cast("string").alias("doc_id"), "text")
     probes = spark.createDataFrame(_CONTAM_PROBES,
                                    "doc_id string, text string")
