@@ -227,7 +227,16 @@ def ngram_jaccard_pairs(
         "doc_id", F.explode(_shingles_of(F.col("_tk"), k)).alias("s")
     )
     hot = sh.groupBy("s").count().filter(F.col("count") > hot_cap)  # stop-shingles
-    sh = sh.join(F.broadcast(hot), "s", "left_anti")
+    # persist the pruned shingle table: it feeds BOTH sides of the
+    # inverted-index self-join AND the per-doc size agg, and Catalyst does
+    # not collapse those three subtrees into a ReusedExchange (verified: 8
+    # FileScans of the docs parquet in the executed plan without the cache).
+    # Shingle rows are (id, hashable string) — a small fraction of the text
+    # they index — so MEMORY_AND_DISK is cheap at any scale.
+    from pyspark import StorageLevel
+
+    sh = (sh.join(F.broadcast(hot), "s", "left_anti")
+          .persist(StorageLevel.MEMORY_AND_DISK))
     cand = (
         sh.alias("x").join(sh.alias("y"), "s")
         .filter(F.col("x.doc_id") < F.col("y.doc_id"))
