@@ -99,6 +99,7 @@ import re as _re
 
 _RE_DECADE = _re.compile(r"^(1[6-9]\d|20\d)0s$")
 _RE_MODYEAR = _re.compile(r"^(early|mid|late)-((?:1[6-9]|20)\d\d)$")
+_RE_MODDECADE = _re.compile(r"^(early|mid|late)-((?:1[6-9]|20)\d)0s$")
 _RE_MODMONTH = _re.compile(
     r"^(early|mid|late)-(january|february|march|april|may|june|july|august"
     r"|september|october|november|december)$")
@@ -150,10 +151,16 @@ def _holiday(words: list[str], lower: list[str], i: int, year: int):
     """(value, n_tokens) for a holiday expression starting at token i."""
     lower_word = lower[i]
     next_word = lower[i + 1] if i + 1 < len(lower) else None
+    # "Christmas Eve" is its own holiday (Dec 24), not Christmas + noise;
+    # "Christmas Day" consumes both tokens (english.holidays.sutime.txt)
+    if lower_word == "christmas" and next_word == "eve":
+        return f"{year}-12-24", 2
     if lower_word in _HOLIDAYS_FIXED:
         m, d = _HOLIDAYS_FIXED[lower_word]
-        n = 2 if (lower_word in ("groundhog", "inauguration")
-                  and next_word == "day") else 1
+        n = 2 if ((lower_word in ("groundhog", "inauguration")
+                   and next_word == "day")
+                  or (lower_word == "christmas" and next_word == "day")) \
+            else 1
         return f"{year}-{m:02d}-{d:02d}", n
     # "Valentine's Day" arrives clitic-split: valentine + 's + day
     if (lower_word == "valentine" and next_word == "'s"
@@ -349,6 +356,13 @@ def _resolve(words: list[str], lower: list[str], docdate: datetime.date):
             yield i, i + 1, "DATE", m_dec.group(1) + "X"
             i += 1
             continue
+        # approximate decade compounds: "the mid-1990s" → 199X|MID
+        m_md = _RE_MODDECADE.match(w)
+        if m_md:
+            yield (i, i + 1, "DATE",
+                   f"{m_md.group(2)}X|{_MOD_WORD[m_md.group(1)]}")
+            i += 1
+            continue
         # approximate year compounds: mid-2015 / early-1990 / late-2008
         m_mid = _RE_MODYEAR.match(w)
         if m_mid:
@@ -427,6 +441,64 @@ def _resolve(words: list[str], lower: list[str], docdate: datetime.date):
             d = docdate + datetime.timedelta(weeks=off)
             iso = d.isocalendar()
             yield i, i + 2, "DATE", f"{iso[0]}-W{iso[1]:02d}-WE"
+            i += 2
+            continue
+        # bare "the weekend" / "over the weekend" → the docdate's week-WE
+        # (same week-part value as the deictic forms above)
+        if (w == "weekend" and i > 0 and lower[i - 1] in ("the", "a")):
+            iso = docdate.isocalendar()
+            yield i, i + 1, "DATE", f"{iso[0]}-W{iso[1]:02d}-WE"
+            i += 1
+            continue
+        # centuries: "the 19th century" → 18XX (SUTime century-of-era
+        # values render as the two leading digits + XX)
+        m_cent = _re.match(r"^(\d{1,2})(?:st|nd|rd|th)$", w)
+        if m_cent and i + 1 < n and lower[i + 1] in ("century", "century."):
+            c = int(m_cent.group(1))
+            if 1 <= c <= 21:
+                yield i, i + 2, "DATE", f"{c - 1:02d}XX"
+                i += 2
+                continue
+        # ISO weeks: "week 12" / "week 12 of 2020" → 2020-W12
+        if (w == "week" and i + 1 < n and words[i + 1].isdigit()
+                and 1 <= int(words[i + 1]) <= 53):
+            wk = int(words[i + 1])
+            year = docdate.year
+            end = i + 2
+            if (i + 3 < n and lower[i + 2] == "of"
+                    and _re.match(r"^(19|20)\d\d$", words[i + 3])):
+                year = int(words[i + 3])
+                end = i + 4
+            yield i, end, "DATE", f"{year}-W{wk:02d}"
+            i = end
+            continue
+        # fortnight: "a fortnight ago" → docdate − 14 d; bare → P2W
+        if w == "fortnight":
+            if i + 1 < n and lower[i + 1] == "ago":
+                d = docdate - datetime.timedelta(days=14)
+                s0 = i - 1 if i > 0 and lower[i - 1] in ("a", "the") else i
+                yield s0, i + 2, "DATE", d.isoformat()
+                i += 2
+                continue
+            s0 = i - 1 if i > 0 and lower[i - 1] in ("a", "the") else i
+            yield s0, i + 1, "DURATION", "P2W"
+            i += 1
+            continue
+        # decade/century offsets: "a decade ago" → 2010 (year-granularity
+        # resolution of the coarse offset; SUTime RelativeTime over
+        # DECADE/CENTURY units)
+        if (w in ("decade", "decades", "century", "centuries")
+                and i + 1 < n and lower[i + 1] == "ago"):
+            scale = 10 if w.startswith("decade") else 100
+            k = 1
+            if i > 0 and lower[i - 1] in NUMBER_WORDS:
+                k = NUMBER_WORDS[lower[i - 1]]
+            elif i > 0 and words[i - 1].isdigit():
+                k = int(words[i - 1])
+            s0 = i - 1 if i > 0 and (lower[i - 1] in ("a", "the")
+                                     or lower[i - 1] in NUMBER_WORDS
+                                     or words[i - 1].isdigit()) else i
+            yield s0, i + 2, "DATE", str(docdate.year - scale * k)
             i += 2
             continue
         # seasons: "summer of 1969" / "the winter" → <year>-SU / -WI —

@@ -434,3 +434,29 @@ def test_sutime_timezone_joins_clock_span(spark):
     m = _tok_map(out)
     assert m["5"] == ("TIME", "T17:00")
     assert m["est"] == ("TIME", "T17:00")
+
+
+def test_sutime_r5_weekend_century_week_fortnight_decades(spark):
+    """r5 tranche: Christmas Eve/Day (Eve is its OWN holiday, Dec 24),
+    bare 'the weekend', centuries (19th → 18XX), ISO weeks ('week 12 of
+    2019'), fortnight duration + ago-offset, decade/century ago offsets
+    (year granularity), mod-decade compounds (mid-1990s → 199X|MID).
+    Docdate 2020-06-15."""
+    docs = with_docdate(_docs(spark, [
+        "We met on Christmas Eve. Gifts came on Christmas Day.",
+        "It rained over the weekend. The house dates to the 19th century.",
+        "Sales peaked in week 12 of 2019. He left a fortnight ago.",
+        "A decade ago things differed. It was built two centuries ago.",
+        "Grunge ruled the mid-1990s.",
+    ]), fixed="2020-06-15")
+    rows = sutime_docs(annotate(docs, upto="ner")).collect()
+    maps = [_tok_map(r) for r in rows]
+    assert maps[0]["eve"] == ("DATE", "2020-12-24")
+    assert maps[0]["day"] == ("DATE", "2020-12-25")
+    assert maps[1]["weekend"] == ("DATE", "2020-W25-WE")
+    assert maps[1]["century"] == ("DATE", "18XX")
+    assert maps[2]["week"] == ("DATE", "2019-W12")
+    assert maps[2]["fortnight"] == ("DATE", "2020-06-01")
+    assert maps[3]["decade"] == ("DATE", "2010")
+    assert maps[3]["centuries"] == ("DATE", "1820")
+    assert maps[4]["mid-1990s"] == ("DATE", "199X|MID")
