@@ -86,6 +86,8 @@ _ABBREV1 = {
     "inc.", "co.", "cos.", "corp.", "pty.", "pte.", "ltd.", "plc.",
     "bancorp.", "assn.", "univ.", "intl.", "sys.",
     "jr.", "sr.", "bros.", "esq.", "etc.", "al.",
+    # r5 tweet tranche: "less than Br." reduplicates at a sentence end
+    "br.",
 }
 
 # ABBREV2 — abbreviations normally followed by UPPERCASE words (titles,
@@ -124,6 +126,7 @@ _CP1252_RE = re.compile("[" + "".join(CP1252) + "]")
 # multi-word split table: PTBLexer splits these informal contractions
 SPLIT_WORDS = {
     "gimme": ("gim", "me"),
+    "c'mon": ("c'm", "on"),
     "gonna": ("gon", "na"),
     "wanna": ("wan", "na"),
     "gotta": ("got", "ta"),
@@ -197,6 +200,16 @@ _RULES = [
     # number; the separators vanish from the normalized form ("3 456 473.89"
     # with U+202F → "3456473.89"; PTBLexer NUM separator class)
     ("SEPNUM", "\\d+(?:[\\u2009\\u202f\\u00ad]\\d+)+(?:\\.\\d+)?"),
+    # "intelligent tokenization": digits split from a following unit/
+    # currency word ONLY for the lexer's SEP_SUFFIX list ("300USD" → 300
+    # USD, "145bpm" → 145 bpm, "@5am" → 5 am); any other digit-led
+    # letter run is ONE token ("156bpmt", "5k", "4x4" — PTBLexer.flex:599-
+    # 604 SEP_CURRENCY/SEP_UNITS/SEP_OTHER + the THING fallback)
+    ("NUMUNIT", r"\d+(?=(?:USD|EUR|JPY|GBP|AUD|CAD|CHF|CNY|SEK|NZD|MXN|SGD"
+                r"|HKD|NOK|KRW|TRY|RUB|INR|BRL|ZAR|lbs?|ltr|mins?|[kcm][gml]"
+                r"|[MGTP](?:B|Hz)|fps|bpm|[MG]bps|[ap]m|hrs?|words?"
+                r"|m(?:on)?ths?|y(?:ea)?rs?|pts?)(?![A-Za-z0-9]))"),
+    ("THING", r"\d+[A-Za-z_][A-Za-z0-9_]*"),
     # European decimal-comma numbers ("1,7 GHz") — PTBLexer NUM takes any
     # comma-joined digit groups; thousands-grouping alternative tried first
     ("NUMBER", r"\d{1,3}(?:,\d{3})+(?:\.\d+)?|\d+\.\d+|\d+(?:,\d{1,2})+(?!\d)|\d+"),
@@ -329,6 +342,11 @@ def _split_word(original: str, begin: int, opt: dict):
         yield from _split_word(core, begin, opt)
         yield (".", ".", begin + len(core), begin + len(original))
         return
+    # curly/backquote apostrophe variants hit the split table too (c’mon);
+    # normalized output parts, original slices preserved by length
+    if lower not in SPLIT_WORDS \
+            and lower.replace("’", "'").replace("`", "'") in SPLIT_WORDS:
+        lower = lower.replace("’", "'").replace("`", "'")
     if lower in SPLIT_WORDS and not opt.get("strict_treebank3"):
         parts = SPLIT_WORDS[lower]
         pos = 0

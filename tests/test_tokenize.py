@@ -538,3 +538,49 @@ def test_r5_cp1252_euro_low9_quotes():
         ["``", "Guten", "Tag", "``", ",", "sagte", "er", "."]
     assert words("‚ein‘ Wort", quotes="ascii") == \
         ["'", "ein", "'", "Wort"]
+
+
+def test_r5_tweet_tranche():
+    """PTBTokenizerTest tweetGold tranche: hashtags/handles, the SEP_SUFFIX
+    digit-unit split gate (PTBLexer.flex:599-604 — '300USD'/'145bpm'/'@5am'
+    split, '156bpmt'/'5k'/'4x4'/'iPhone 6s' stay whole), Br. reduplication,
+    C'mon assimilation, RM-currency prefix, loc. cit."""
+    from corenlp_spark.operators.tokenize import tokenize_text
+
+    def words(s):
+        return [t[0] for t in tokenize_text(s)]
+
+    assert words("Happy #StarWars week!") == ["Happy", "#StarWars", "week", "!"]
+    assert words("RT @Suns: combine @50cent, #StarWars at an @NBA game?") == \
+        ["RT", "@Suns", ":", "combine", "@50cent", ",", "#StarWars",
+         "at", "an", "@NBA", "game", "?"]
+    assert words("Check out .@WHMPodcast's rant") == \
+        ["Check", "out", ".@WHMPodcast", "'s", "rant"]
+    assert words("with an i7@1,7GHz") == ["with", "an", "i7", "@", "1,7", "GHz"]
+    assert words("audio track 1 @145bpm and now 145bpm") == \
+        ["audio", "track", "1", "@", "145", "bpm", "and", "now", "145", "bpm"]
+    assert words("the mall opens @5am.") == \
+        ["the", "mall", "opens", "@", "5", "am", "."]
+    assert words("worth 300USD. Not 156bpmt. playback choppy on 5k iMac") == \
+        ["worth", "300", "USD", ".", "Not", "156bpmt", ".", "playback",
+         "choppy", "on", "5k", "iMac"]
+    assert words("RM460.35 million") == ["RM", "460.35", "million"]
+    assert words("I like Amb. McFaul.") == ["I", "like", "Amb.", "McFaul", "."]
+    assert words("I is less than Br. The marked reduction is predicted.") == \
+        ["I", "is", "less", "than", "Br.", ".", "The", "marked",
+         "reduction", "is", "predicted", "."]
+    assert words("states (loc. cit.) that") == \
+        ["states", "(", "loc.", "cit.", ")", "that"]
+    assert words("U.S. vs. The World") == ["U.S.", "vs.", "The", "World"]
+    assert words("stems reach a max. of 3.5 m") == \
+        ["stems", "reach", "a", "max.", "of", "3.5", "m"]
+    assert words("C'mon, c’mon.") == ["C'm", "on", ",", "c'm", "on", "."]
+    assert words("phone: 47-42-17-11; fax, 47-42-80-44 or 47-42-18-81;") == \
+        ["phone", ":", "47-42-17-11", ";", "fax", ",", "47-42-80-44",
+         "or", "47-42-18-81", ";"]
+    assert words("I installed SPSS28.0.") == ["I", "installed", "SPSS",
+                                              "28.0", "."]
+    assert words("a 4x4 truck and iPhone 6s phones") == \
+        ["a", "4x4", "truck", "and", "iPhone", "6s", "phones"]
+    assert words("weighs 20lbs over 10km in 42mins") == \
+        ["weighs", "20", "lbs", "over", "10", "km", "in", "42", "mins"]
