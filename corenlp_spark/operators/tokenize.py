@@ -209,9 +209,11 @@ _RULES = [
                 r"|HKD|NOK|KRW|TRY|RUB|INR|BRL|ZAR|lbs?|ltr|mins?|[kcm][gml]"
                 r"|[MGTP](?:B|Hz)|fps|bpm|[MG]bps|[ap]m|hrs?|words?"
                 r"|m(?:on)?ths?|y(?:ea)?rs?|pts?)(?![A-Za-z0-9]))"),
+    ("THINGNUM", r"\d+[A-Za-z_](?:[A-Za-z0-9_]*[A-Za-z_])?(?=\d+(?:[.:,]\d+)+)"),
     ("THING", r"\d+[A-Za-z_][A-Za-z0-9_]*"),
     # European decimal-comma numbers ("1,7 GHz") — PTBLexer NUM takes any
     # comma-joined digit groups; thousands-grouping alternative tried first
+    ("DOTTEDNUM", r"\d+(?:\.\d+){2,}"),
     ("NUMBER", r"\d{1,3}(?:,\d{3})+(?:\.\d+)?|\d+\.\d+|\d+(?:,\d{1,2})+(?!\d)|\d+"),
     ("PROGLANG", r"[A-Za-z]#"),
     ("CENSORED", r"[A-Za-z]+\*+[A-Za-z*]*"),
@@ -219,13 +221,19 @@ _RULES = [
     # letter-dot-digit product/version codes stay whole (PTBTokenizerTest
     # apostropheGold: BA.2.12.1, BA.5, X.500, P.72)
     ("PRODCODE", r"[A-Z][A-Za-z]*\.\d+(?:\.\d+)*(?!\.?\d)(?!\w)"),
+    # apostrophe-joined acronyms are one token (apostropheGold:
+    # "Retour de L'U.R.S.S." — PTBLexer APOWORD includes ACRO tails)
+    ("APOACRO", r"[A-Za-z]+['’](?:[A-Za-z]\.){2,}"),
     ("ACRONYM", r"(?:[A-Za-z]\.){2,}"),
     # inner-dot names: Ph.D, Mesa A.B (alpha parts joined by single dots)
     ("DOTTED", r"[A-Za-z]+(?:\.[A-Za-z]+)+"),
     # standalone leading-apostrophe clitics ('em, 'tis, 'til; bare 's after
     # a non-word token: "60-90 's") — gated on a following non-letter so
     # quoted words ("'email'") are untouched
-    ("CLITICTOK", r"['’](?:em|tis|twas|cause|till?|s)(?![A-Za-z])"),
+    # leading-apostrophe assimilation "'Tain't" (whole match; the word
+    # splitter re-divides it into 'T + ai + n't)
+    ("TAINT", r"['’][Tt]ain['’]t(?![A-Za-z])"),
+    ("CLITICTOK", r"['’‘`](?:em|tis|twas|cause|till?|s)(?![A-Za-z])"),
     # word with optional internal hyphens/slashes/apostrophes/backquotes
     # (O'Malley, anti-acquisition, Sydney-based, Mu`ammar); soft hyphens
     # (\u00AD) ride inside and are stripped from the normalized word.
@@ -358,6 +366,14 @@ def _split_word(original: str, begin: int, opt: dict):
         return
     # clitic split: don't → do + n't ; Mary's → Mary + 's ; didn`t → did n't
     norm = original.replace("’", "'").replace("`", "'").replace("´", "'")
+    # leading-apostrophe 'tain't: "'Tain't" → 'T + ai + n't (the lexer's
+    # APOWORD 't prefix composes with the ain't assimilation)
+    if norm.lower().startswith("'tain") and len(norm) > 5:
+        pre_orig = original[:2]
+        yield (pre_orig.replace("\u2019", "'").replace("\u2018", "`"),
+               pre_orig, begin, begin + 2)
+        yield from _split_word(original[2:], begin + 2, opt)
+        return
     # apostrophe-PREFIX forms (PTBLexer APOWORD1 prefixes th'/y'/t'/d'/ol'):
     # "Th'enchanting" → Th' + enchanting ; "y'all" → y' + all. Only these
     # lexical prefixes split — "Qur'an" / "O'Malley" stay whole.
@@ -542,7 +558,7 @@ def tokenize_text_with_barriers(text: str, options: dict | None = None):
             # byte-order mark is deleted outright (PTBTokenizerTest
             # hyphenGold: BOM-led input starts at the first real token)
             continue
-        if kind == "WORD":
+        if kind in ("WORD", "TAINT"):
             # words split on NORMALIZED text; originals re-sliced from the
             # raw input at the same offsets (1:1 mapping → invertible)
             out.extend((w, text[b:e], b, e)
@@ -596,7 +612,7 @@ def tokenize_text_with_barriers(text: str, options: dict | None = None):
                     and matched in _PAREN_NORM:
                 word = _PAREN_NORM[matched]
             if kind == "CLITICTOK":
-                word = matched.replace("\u2019", "'")
+                word = matched.replace("\u2019", "'").replace("\u2018", "`")
             if kind == "QUOTE" and matched in ('"', "''") \
                     and opt["quotes"] in ("latex", "unicode"):
                 # straight double quote is directional: ``/\u201c if opening

@@ -584,3 +584,29 @@ def test_r5_tweet_tranche():
         ["a", "4x4", "truck", "and", "iPhone", "6s", "phones"]
     assert words("weighs 20lbs over 10km in 42mins") == \
         ["weighs", "20", "lbs", "over", "10", "km", "in", "42", "mins"]
+
+
+def test_r5_apostrophe_gold_residue():
+    """apostropheGold residue: backquote possessive after curly open-quote
+    (Mu'min‘s → `s), apostrophe-joined acronyms (L'U.R.S.S.), leading
+    'Tain't assimilation, digit-led THING before decimal (408R 9.20),
+    dotted version numbers (BA 2.12.1, IPs whole)."""
+    from corenlp_spark.operators.tokenize import tokenize_text
+
+    def words(s):
+        return [t[0] for t in tokenize_text(s)]
+
+    assert words("Mu'min knows Mu'min‘s tribe") == \
+        ["Mu'min", "knows", "Mu'min", "`s", "tribe"]
+    assert words('in "Retour de L\'U.R.S.S." in 1936') == \
+        ["in", "``", "Retour", "de", "L'U.R.S.S.", "''", "in", "1936"]
+    assert words("``'Tain't mine and 'tain't enough.''") == \
+        ["``", "'T", "ai", "n't", "mine", "and", "'t", "ai", "n't",
+         "enough", ".", "''"]
+    assert words("The Z-R relationship was Z = 408R9.20") == \
+        ["The", "Z-R", "relationship", "was", "Z", "=", "408R", "9.20"]
+    assert words("Some people write BA2.12.1. Tests were DM899.00.") == \
+        ["Some", "people", "write", "BA", "2.12.1", ".", "Tests",
+         "were", "DM", "899.00", "."]
+    assert words("host 10.0.42.7 responds") == ["host", "10.0.42.7",
+                                                "responds"]
