@@ -29,7 +29,9 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from corenlp_spark.operators.ner import NUMBER_WORDS
+from corenlp_spark.operators.ner import (NUMBER_WORDS, _NUM_SCALES,
+                                         _ORD_WORDS, _unit_value,
+                                         _word_number_span)
 
 _UNIT = {"day": "D", "days": "D", "week": "W", "weeks": "W",
          "month": "M", "months": "M", "year": "Y", "years": "Y"}
@@ -104,6 +106,11 @@ _RE_MODMONTH = _re.compile(
     r"^(early|mid|late)-(january|february|march|april|may|june|july|august"
     r"|september|october|november|december)$")
 # sub-day duration units → TIMEX3 PT-forms
+# hyphenated duration adjectives: "3-year", "four-month", "22-year"
+# (SUTimeITest.java:76-77 — "3-year" → P3Y, "four-month old" → P4M)
+_RE_HYPHDUR = _re.compile(
+    r"^(\d{1,4}|[a-z]+)-(year|month|week|day|hour|minute|second)$")
+
 _TUNIT = {"hour": "H", "hours": "H", "minute": "M", "minutes": "M",
           "second": "S", "seconds": "S"}
 _MOD_WORD = {"early": "START", "mid": "MID", "late": "END"}
@@ -401,14 +408,27 @@ def _resolve(words: list[str], lower: list[str], docdate: datetime.date):
                 continue
         # vague counts: "a few weeks" / "several months" / "the past few
         # days" → PX<unit> (SUTime's inexact-duration values)
-        if w in ("few", "several", "many") and i + 1 < n and lower[i + 1] in _UNIT:
+        if w in ("few", "several", "many") and i + 1 < n \
+                and (lower[i + 1] in _UNIT
+                     or lower[i + 1] in ("decades", "centuries")):
             s0 = i
             if i > 0 and lower[i - 1] in ("a", "the", "past", "next",
                                           "coming", "last"):
                 s0 = i - 1
                 if s0 > 0 and lower[s0 - 1] == "the":
                     s0 -= 1
-            yield s0, i + 2, "DURATION", f"PX{_UNIT[lower[i + 1]]}"
+            # "a few decades" → PXY (SUTimeITest.java:90 — decade-scale
+            # vagueness renders at year granularity)
+            u = _UNIT.get(lower[i + 1], "Y")
+            yield s0, i + 2, "DURATION", f"PX{u}"
+            i += 2
+            continue
+        # "recent weeks" → PXW (SUTimeITest.java:92 inexact durations)
+        if w == "recent" and i + 1 < n and (lower[i + 1] in _UNIT
+                                            or lower[i + 1] in ("decades",
+                                                                "centuries")):
+            u = _UNIT.get(lower[i + 1], "Y")
+            yield i, i + 2, "DURATION", f"PX{u}"
             i += 2
             continue
         # "half an hour" → PT30M (english.sutime.txt fraction durations)
@@ -583,6 +603,118 @@ def _resolve(words: list[str], lower: list[str], docdate: datetime.date):
             yield i, i + 2, "DATE", f"{year}-{m:02d}"
             i += 2
             continue
+        # hyphenated duration adjectives: "3-year" → P3Y, "four-month
+        # old" → P4M (span absorbs the "old"), "22-year old" → P22Y
+        # (SUTimeITest.java:76-77,229)
+        m_hd = _RE_HYPHDUR.match(w)
+        if m_hd:
+            numpart = m_hd.group(1)
+            hq = (int(numpart) if numpart.isdigit()
+                  else NUMBER_WORDS.get(numpart))
+            if hq is not None:
+                us = m_hd.group(2)
+                val = (f"PT{hq}{_TUNIT[us]}" if us in _TUNIT
+                       else f"P{hq}{_UNIT[us]}")
+                end = i + 1
+                if end < n and lower[end] == "old":
+                    end += 1
+                yield i, end, "DURATION", val
+                i = end
+                continue
+        # ordinal streaks: "the fifth straight year" → P5Y, "the third
+        # straight month in a row" → P3M, "the ninth day consecutively" →
+        # P9D (SUTimeITest.java:81-93 InexactDuration streak rules)
+        nth_q = _ORD_WORDS.get(w)
+        if nth_q is None:
+            m_on = _re.match(r"^(\d+)(?:st|nd|rd|th)$", w)
+            if m_on:
+                nth_q = int(m_on.group(1))
+        if nth_q is not None:
+            j = i + 1
+            streak = j < n and lower[j] in ("straight", "consecutive")
+            if streak:
+                j += 1
+            if j < n and lower[j] in _UNIT:
+                end = j + 1
+                if end < n and lower[end] == "consecutively":
+                    streak, end = True, end + 1
+                elif (end + 2 < n and lower[end] == "in"
+                      and lower[end + 1] == "a" and lower[end + 2] == "row"):
+                    streak, end = True, end + 3
+                if streak:
+                    s0 = i - 1 if i > 0 and lower[i - 1] == "the" else i
+                    yield s0, end, "DURATION", f"P{nth_q}{_UNIT[lower[j]]}"
+                    i = end
+                    continue
+        # decade/century duration units: "a decade" → P10Y, "two
+        # centuries" → P200Y (SUTimeITest.java:89; the "ago" offset forms
+        # are resolved to a DATE by the earlier rule)
+        if (w in ("decade", "decades", "century", "centuries")
+                and not (i + 1 < n and lower[i + 1] == "ago")):
+            scale = 10 if w.startswith("decade") else 100
+            k0, s0 = 1, i
+            if i > 0 and lower[i - 1] in ("a", "an"):
+                s0 = i - 1
+            elif i > 0 and words[i - 1].isascii() and words[i - 1].isdigit():
+                k0, s0 = int(words[i - 1]), i - 1
+            elif i > 0 and lower[i - 1] in _NUM_SCALES:
+                # "hundred decades" → P1000Y (SUTimeITest.java:91 — the
+                # bare scale word counts as 100)
+                k0, s0 = _NUM_SCALES[lower[i - 1]], i - 1
+            yield s0, i + 1, "DURATION", f"P{k0 * scale}Y"
+            i += 1
+            continue
+        # compound written-number durations: "twenty four years" → P24Y,
+        # "five hundred and twelve days" → P512D, "hundred decades" →
+        # P1000Y (SUTimeITest.java:99,171,117; reuses the numeric
+        # normalizer's written-number parser). A bare "and" between two
+        # unit words without a scale word ("six and three months") is NOT
+        # a compound — only "three months" is a duration there.
+        span = None
+        if _unit_value(w) is not None or w in _NUM_SCALES:
+            span = _word_number_span(words, i)
+        if span is not None:
+            k, sval = span
+            consumed = [x.lower() for x in words[i:k]]
+            bad_and = ("and" in consumed
+                       and not any(c in _NUM_SCALES for c in consumed))
+            iv = int(sval)
+            if not bad_and and iv == sval and iv > 0:
+                if k < n and lower[k] in ("decade", "decades") and k - i >= 1 \
+                        and not (k + 1 < n and lower[k + 1] == "ago"):
+                    yield i, k + 1, "DURATION", f"P{iv * 10}Y"
+                    i = k + 1
+                    continue
+                if k < n and lower[k] in ("century", "centuries") \
+                        and k - i >= 1 \
+                        and not (k + 1 < n and lower[k + 1] == "ago"):
+                    yield i, k + 1, "DURATION", f"P{iv * 100}Y"
+                    i = k + 1
+                    continue
+                # k-i==1 only for tens/teens words the single-word qty
+                # branch below cannot parse ("twenty minutes" → PT20M);
+                # 1-10 words keep their original path (identical spans)
+                if k < n and lower[k] in _UNIT \
+                        and (k - i >= 2 or w not in NUMBER_WORDS):
+                    unit = _UNIT[lower[k]]
+                    if k + 1 < n and lower[k + 1] == "ago":
+                        yield i, k + 2, "DATE", _unit_offset(docdate, unit,
+                                                             -iv)
+                        i = k + 2
+                        continue
+                    if i > 0 and lower[i - 1] == "in":
+                        yield i - 1, k + 1, "DATE", _unit_offset(docdate,
+                                                                 unit, iv)
+                        i = k + 1
+                        continue
+                    yield i, k + 1, "DURATION", f"P{iv}{unit}"
+                    i = k + 1
+                    continue
+                if k < n and lower[k] in _TUNIT \
+                        and (k - i >= 2 or w not in NUMBER_WORDS):
+                    yield i, k + 1, "DURATION", f"PT{iv}{_TUNIT[lower[k]]}"
+                    i = k + 1
+                    continue
         # durations: "<number|numword> <unit>" → ISO-8601 P<n><U>
         qty = None
         if w in NUMBER_WORDS:
@@ -684,6 +816,9 @@ _MOD_PREFIX: dict[tuple[str, ...], tuple[str, str]] = {
     ("roughly",): ("APPROX", "any"),
     ("nearly",): ("APPROX", "dur"),
     ("almost",): ("APPROX", "dur"),
+    ("no", "more", "than"): ("EQUAL_OR_LESS", "dur"),
+    ("no", "less", "than"): ("EQUAL_OR_MORE", "dur"),
+    ("no", "fewer", "than"): ("EQUAL_OR_MORE", "dur"),
     ("more", "than"): ("MORE_THAN", "dur"),
     ("over",): ("MORE_THAN", "dur"),
     ("less", "than"): ("LESS_THAN", "dur"),
@@ -705,7 +840,11 @@ def _mark_mods(toks: list[dict], lower: list[str]) -> None:
     pipe-suffix is this engine's serialization of the separate TIMEX3
     ``mod`` XML attribute the reference emits."""
     n = len(toks)
-    for phrase, (mod, applies) in _MOD_PREFIX.items():
+    # longest phrase first so "no more than" (EQUAL_OR_LESS) claims the
+    # span before its "more than" suffix would stamp MORE_THAN
+    # (SUTimeITest.java:83-85); ties broken lexically for determinism
+    for phrase, (mod, applies) in sorted(_MOD_PREFIX.items(),
+                                         key=lambda kv: (-len(kv[0]), kv[0])):
         L = len(phrase)
         for i in range(n - L):
             if tuple(lower[i:i + L]) != phrase:

@@ -460,3 +460,55 @@ def test_sutime_r5_weekend_century_week_fortnight_decades(spark):
     assert maps[3]["decade"] == ("DATE", "2010")
     assert maps[3]["centuries"] == ("DATE", "1820")
     assert maps[4]["mid-1990s"] == ("DATE", "199X|MID")
+
+
+def test_sutime_itest_duration_tranche(spark):
+    """Duration tranche ported from the reference's own integration suite
+    (itest/src/edu/stanford/nlp/time/SUTimeITest.java:52-93,148-175):
+    hyphenated duration adjectives (3-year → P3Y, four-month old → P4M),
+    compound written-number durations (twenty four years → P24Y, five
+    hundred and twelve days → P512D — but 'six and three months' is NOT a
+    compound: only P3M), ordinal streaks (fifth straight year → P5Y, third
+    straight month in a row → P3M, ninth day consecutively → P9D),
+    decade/century duration units (a decade → P10Y, hundred decades →
+    P1000Y), vague durations (a few decades → PXY, recent weeks → PXW),
+    and the no-more-than mod (no more than 60 days → P60D|EQUAL_OR_LESS).
+    Docdate 2010-02-17 as in the itest."""
+    docs = with_docdate(_docs(spark, [
+        "It was a 3-year long drought. The four-month old baby slept.",
+        "Over the past twenty four years, the number of crashes fell.",
+        "It was five hundred and twelve days. It was six and three months.",
+        "Sales rose for the fifth straight year.",
+        "Business was slow for the third straight month in a row.",
+        "Did it rain on the ninth day consecutively?",
+        "That took a decade. After a few decades, old memories faded.",
+        "After a few hundred decades, everything changed.",
+        "It has been warm in recent weeks.",
+        "There are no more than 60 days. The 22-year old model left.",
+    ]), fixed="2010-02-17")
+    rows = sutime_docs(annotate(docs, upto="ner")).collect()
+    maps = [_tok_map(r) for r in rows]
+    assert maps[0]["3-year"] == ("DURATION", "P3Y")
+    assert maps[0]["four-month"] == ("DURATION", "P4M")
+    assert maps[0]["old"] == ("DURATION", "P4M")  # span absorbs "old"
+    assert maps[1]["twenty"] == ("DURATION", "P24Y")
+    assert maps[1]["years"] == ("DURATION", "P24Y")
+    assert maps[2]["five"] == ("DURATION", "P512D")
+    assert maps[2]["days"] == ("DURATION", "P512D")
+    assert maps[2]["months"] == ("DURATION", "P3M")
+    assert maps[2]["six"][0] != "DURATION"  # not absorbed into a compound
+    assert maps[3]["fifth"] == ("DURATION", "P5Y")
+    assert maps[3]["year"] == ("DURATION", "P5Y")
+    assert maps[4]["month"] == ("DURATION", "P3M")
+    assert maps[4]["row"] == ("DURATION", "P3M")  # "in a row" in the span
+    assert maps[5]["ninth"] == ("DURATION", "P9D")
+    assert maps[5]["consecutively"] == ("DURATION", "P9D")
+    assert maps[6]["decade"] == ("DURATION", "P10Y")
+    assert maps[6]["decades"] == ("DURATION", "PXY")
+    assert maps[7]["hundred"] == ("DURATION", "P1000Y")
+    assert maps[7]["decades"] == ("DURATION", "P1000Y")
+    assert maps[8]["recent"] == ("DURATION", "PXW")
+    assert maps[8]["weeks"] == ("DURATION", "PXW")
+    assert maps[9]["60"] == ("DURATION", "P60D|EQUAL_OR_LESS")
+    assert maps[9]["no"] == ("DURATION", "P60D|EQUAL_OR_LESS")
+    assert maps[9]["22-year"] == ("DURATION", "P22Y")
