@@ -268,6 +268,59 @@ def q_decontam(spark, sf_dir):
             .orderBy("doc_id", "bench_id"))
 
 
+# paragraph-dedup probes: the corpus docs contain no newlines (each doc is
+# one paragraph, all distinct), so — same de-vacuation policy as
+# _DUP_PROBES — seeded multi-paragraph docs sharing two boilerplate
+# paragraphs keep the split/explode/count machinery genuinely exercised
+_PARA_PROBES = [
+    ("__para_a", "unique alpha line\nshared boilerplate cookie banner "
+                 "paragraph\nmore alpha words"),
+    ("__para_b", "different beta text\nshared boilerplate cookie banner "
+                 "paragraph"),
+    ("__para_c", "gamma words here\n\nshared boilerplate cookie banner "
+                 "paragraph\nsecond shared footer line"),
+    ("__para_d", "delta only\nsecond shared footer line\n"),
+    ("__para_e", "epsilon text without any shared paragraph at all"),
+]
+
+
+def q_paragraph_dedup(spark, sf_dir):
+    """Cross-document paragraph-level exact dedup (RefinedWeb boilerplate
+    removal) over documents ∪ probe docs: paragraphs occurring in ≥2
+    distinct docs, with doc/occurrence counts."""
+    from corenlp_spark.functions.dedup import paragraph_dup_stats
+
+    d = _spread(spark, _t(spark, sf_dir, "documents")).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text")
+    probes = spark.createDataFrame(_PARA_PROBES, "doc_id string, text string")
+    return (paragraph_dup_stats(d.unionByName(probes))
+            .orderBy("para_hash"))
+
+
+def q_quality_lm(spark, sf_dir):
+    """Unigram-LM quality scoring (CCNet-style): corpus-trained unigram
+    log-probs, per-doc mean token log-prob, bottom-15 (the candidates a
+    quality filter would drop first)."""
+    from corenlp_spark.functions.textstats import unigram_lm_scores
+
+    d = _spread(spark, _t(spark, sf_dir, "documents")).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text")
+    return (unigram_lm_scores(d)
+            .orderBy(F.col("avg_logprob").asc(), F.col("doc_id").asc())
+            .limit(15))
+
+
+def q_kmeans_clusters(spark, sf_dir):
+    """Embedding-space k-means clustering summary (cluster-then-sample
+    curation): distributed Lloyd training + one-pass assignment; the
+    DuckDB oracle replays the ENTIRE training loop in SQL from the same
+    seeded init, so assignments must agree exactly."""
+    from corenlp_spark.functions.similarity import kmeans_cluster_summary
+
+    e = _t(spark, sf_dir, "embeddings")
+    return kmeans_cluster_summary(e, dim=64, k=8, iters=2).orderBy("cell")
+
+
 def q_dedup_components(spark, sf_dir):
     """Near-dup CONNECTED COMPONENTS over the minhash pair graph — the
     operation that turns pair output into dedup decisions (one
@@ -1403,6 +1456,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_repetition": q_gopher_repetition,
         "pii_scan": q_pii_scan,
         "decontam_overlap": q_decontam,
+        "paragraph_dedup": q_paragraph_dedup,
+        "quality_lm": q_quality_lm,
+        "kmeans_clusters": q_kmeans_clusters,
         "lang_id": q_langid,
         "dedup_components": q_dedup_components,
         "ann_cosine_topk": q_ann_topk,
@@ -1550,6 +1606,112 @@ def _gopher_repetition_oracle() -> str:
                round(sum(top2_frac), 4) AS sum_top2,
                round(sum(dup5_frac), 4) AS sum_dup5
         FROM wide
+    """
+
+
+def _paragraph_oracle() -> str:
+    """DuckDB twin of dedup.paragraph_dup_stats over documents ∪ probes:
+    same newline-run split, trim, md5, distinct-doc counting."""
+    probes = ", ".join(
+        "('%s', '%s')" % (i, t.replace("\n", "' || chr(10) || '"))
+        for i, t in _PARA_PROBES)
+    return f"""
+        WITH input AS (
+          SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents
+          UNION ALL SELECT * FROM (VALUES {probes}) v(doc_id, text)),
+        paras AS (
+          SELECT doc_id, trim(p) AS para
+          FROM input, unnest(regexp_split_to_array(text, '\\n+')) AS u(p)
+          WHERE length(trim(p)) > 0)
+        SELECT md5(para) AS para_hash,
+               count(DISTINCT doc_id) AS n_docs,
+               count(*) AS n_occurrences,
+               CAST(min(length(para)) AS BIGINT) AS para_chars
+        FROM paras GROUP BY 1
+        HAVING count(DISTINCT doc_id) >= 2
+        ORDER BY para_hash
+    """
+
+
+def _quality_lm_oracle() -> str:
+    """DuckDB twin of textstats.unigram_lm_scores: identical tokenization
+    (_TOKENS), unigram log-probs from the corpus's own counts, per-doc
+    mean log-prob, bottom-15."""
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, t.tok AS word
+          FROM documents, unnest({_TOKENS}) AS t(tok)),
+        vocab AS (SELECT word, count(*) AS c FROM toks GROUP BY word),
+        total AS (SELECT sum(c) AS tot FROM vocab),
+        logp AS (SELECT word, ln(c / tot) AS lp FROM vocab, total)
+        SELECT toks.doc_id AS doc_id,
+               count(*) AS n_toks,
+               round(avg(lp), 6) AS avg_logprob
+        FROM toks JOIN logp USING (word)
+        GROUP BY toks.doc_id
+        ORDER BY avg_logprob ASC, doc_id ASC LIMIT 15
+    """
+
+
+def _kmeans_oracle(dim: int = 64, k: int = 8, iters: int = 2) -> str:
+    """All-in-SQL replay of similarity.kmeans_cluster_summary's ENTIRE
+    Lloyd loop: same seeded-LCG init (_planes), argmax-dot assignment with
+    the same larger-cell tie-break, per-dimension double means, unit
+    normalization with the same 1e-9 guard, empty cells keeping their
+    previous centroid — then the final assignment + per-cell aggregate.
+    float32→float64 casts are exact and both engines fold dot products in
+    index order, so assignments agree (the only drift is summation order
+    inside avg(), ~1e-15 — immaterial against cluster margins)."""
+    from corenlp_spark.functions.similarity import _planes
+
+    cents = _planes(dim, k)
+    vals = ", ".join(
+        f"({i}, [{', '.join(repr(x) for x in c)}]::DOUBLE[])"
+        for i, c in enumerate(cents))
+    ctes = [
+        f"e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"c0(cell, c) AS (SELECT * FROM (VALUES {vals}) t(cell, c))",
+        f"pos AS (SELECT unnest(range(1, {dim + 1})) AS p)",
+    ]
+    prev = "c0"
+    for it in range(1, iters + 1):
+        ctes.append(f"""a{it} AS (
+          SELECT vec_id, v, cell FROM (
+            SELECT e.vec_id, e.v, {prev}.cell,
+                   row_number() OVER (
+                     PARTITION BY e.vec_id
+                     ORDER BY list_dot_product(e.v, {prev}.c) DESC,
+                              {prev}.cell DESC) AS rn
+            FROM e CROSS JOIN {prev}) WHERE rn = 1)""")
+        ctes.append(f"""m{it} AS (
+          SELECT cell, pos.p AS p, avg(v[pos.p]) AS m
+          FROM a{it} CROSS JOIN pos GROUP BY cell, pos.p)""")
+        ctes.append(f"""mm{it} AS (
+          SELECT cell, list(m ORDER BY p) AS ml,
+                 sqrt(list_dot_product(list(m ORDER BY p),
+                                       list(m ORDER BY p))) AS nrm
+          FROM m{it} GROUP BY cell)""")
+        ctes.append(f"""c{it} AS (
+          SELECT {prev}.cell,
+                 CASE WHEN mm{it}.nrm > 1e-9
+                      THEN list_transform(mm{it}.ml, x -> x / mm{it}.nrm)
+                      ELSE {prev}.c END AS c
+          FROM {prev} LEFT JOIN mm{it} ON {prev}.cell = mm{it}.cell)""")
+        prev = f"c{it}"
+    ctes.append(f"""fin AS (
+      SELECT vec_id, cell, s FROM (
+        SELECT e.vec_id, {prev}.cell,
+               list_dot_product(e.v, {prev}.c) AS s,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_dot_product(e.v, {prev}.c) DESC,
+                          {prev}.cell DESC) AS rn
+        FROM e CROSS JOIN {prev}) WHERE rn = 1)""")
+    body = ",\n        ".join(ctes)
+    return f"""
+        WITH {body}
+        SELECT cell, count(*) AS n_vecs, round(avg(s), 6) AS avg_score
+        FROM fin GROUP BY cell ORDER BY cell
     """
 
 
@@ -1720,6 +1882,9 @@ def oracle_sql() -> dict[str, str]:
         "gopher_repetition": _gopher_repetition_oracle(),
         "pii_scan": _pii_oracle(),
         "decontam_overlap": _decontam_oracle(),
+        "paragraph_dedup": _paragraph_oracle(),
+        "quality_lm": _quality_lm_oracle(),
+        "kmeans_clusters": _kmeans_oracle(),
         "quality_score": f"""
             WITH t AS (
               SELECT doc_id, {_TOKENS} AS toks,

@@ -89,6 +89,7 @@ def main() -> None:
         "events_sessions", "events_daily", "events_funnel",
         "mention_chunks", "entity_link_dict", "gopher_quality",
         "gopher_repetition", "pii_scan", "decontam_overlap",
+        "paragraph_dedup", "quality_lm", "kmeans_clusters",
         "dedup_components",
     ]
     qfns = em.queries()

@@ -35,6 +35,40 @@ def exact_dup_clusters(docs: DataFrame) -> DataFrame:
     )
 
 
+def paragraph_dup_stats(docs: DataFrame, min_docs: int = 2) -> DataFrame:
+    """Cross-document paragraph-level exact dedup (the RefinedWeb /
+    MassiveText recipe: a paragraph repeated across many pages is
+    boilerplate — nav bars, cookie banners, license footers — and is
+    removed from every page, not just deduped at document granularity).
+
+    Split each doc on newline runs, trim, drop empties, md5 each
+    paragraph, and return every paragraph that occurs in ≥ ``min_docs``
+    DISTINCT documents: (para_hash, n_docs, n_occurrences, para_chars).
+
+    Scale shape: one narrow split+explode pass over the corpus, one
+    hash-partitioned groupBy on the paragraph hash with map-side partial
+    aggregation; the output is proportional to the boilerplate incidence,
+    not the corpus size. No UDFs — md5/split are codegen'd, so a DuckDB
+    oracle reproduces every hash bit-for-bit."""
+    paras = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.col("text"), r"\n+")).alias("para"),
+        )
+        .select("doc_id", F.trim(F.col("para")).alias("para"))
+        .filter(F.length("para") > 0)
+    )
+    return (
+        paras.groupBy(F.md5("para").alias("para_hash"))
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_occurrences"),
+            F.min(F.length("para")).alias("para_chars"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
 def _tokens(col):
     toks = F.split(F.lower(F.regexp_replace(col, r"[^\w\s]", " ")), r"\s+")
     return F.filter(toks, lambda t: t != "")

@@ -270,3 +270,36 @@ def lsh_ann_pairs(
             yield out[out["score"] >= threshold]
 
     return cand.mapInPandas(verify, schema="id_a long, id_b long, score double")
+
+
+def kmeans_cluster_summary(
+    emb: DataFrame, dim: int, k: int = 8, iters: int = 2,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space clustering summary — the topic/domain bucketing stage
+    of a training-data pipeline (cluster-then-sample curation, per-cluster
+    mixing weights): train the distributed Lloyd quantizer
+    (``train_centroids`` — one shuffle per iteration, only k×dim floats at
+    the driver), assign every vector to its argmax-dot centroid in one
+    codegen'd pass, and aggregate (cell, n_vecs, avg_score).
+
+    Deterministic end-to-end (seeded-LCG init, fixed iterations, explicit
+    tie-break toward the larger cell), so a DuckDB oracle replays the full
+    training loop in SQL and must land on identical assignments."""
+    from pyspark.sql import functions as F
+
+    cents = train_centroids(emb, dim, k=k, iters=iters, vec_col=vec_col)
+    v = F.col(vec_col)
+    pairs = [
+        F.struct(_dot(v, F.array(*[F.lit(x) for x in c])).alias("s"),
+                 F.lit(i).alias("c"))
+        for i, c in enumerate(cents)
+    ]
+    best = F.array_max(F.array(*pairs))
+    return (
+        emb.select(best.getField("c").alias("cell"),
+                   best.getField("s").alias("s"))
+        .groupBy("cell")
+        .agg(F.count("*").alias("n_vecs"),
+             F.round(F.avg("s"), 6).alias("avg_score"))
+    )

@@ -286,3 +286,39 @@ def gopher_repetition(df, text_col: str = "text", id_col: str = "doc_id"):
         *[f"dup{n}_frac" for n in sorted(GOPHER_DUP_NGRAM)],
         ok.alias("passes_repetition"),
     )
+
+
+def unigram_lm_scores(df, text_col: str = "text",
+                      id_col: str = "doc_id"):
+    """CCNet-style language-model quality scoring with a corpus-trained
+    unigram LM (Wenzek et al. 2020 score low-perplexity ≈ fluent): the
+    model is the corpus's own unigram distribution, the score is each
+    document's mean token log-probability (higher = more typical), and
+    documents full of rare/garbage tokens fall to the bottom.
+
+    Two distributed passes, both pure DataFrame algebra:
+      1. vocab: explode tokens → groupBy(word) count → log p(w) with the
+         corpus total folded in via a 1-row cross join (broadcast, no
+         driver collect);
+      2. score: re-explode doc tokens, equi-join the vocab on word
+         (hash-partitioned; AQE may broadcast a small vocab), per-doc
+         avg(log p).
+
+    At 100 TB the vocab table is the (bounded) distinct-word set —
+    orders of magnitude smaller than the corpus — and the scoring join
+    shuffles tokens by word with map-side partial aggregation on doc_id.
+    Returns (doc_id, n_toks, avg_logprob). Docs with zero alphanumeric
+    tokens are excluded (no tokens to score)."""
+    toks = df.select(
+        F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_tk")
+    ).select("_id", F.explode("_tk").alias("word"))
+    vocab = toks.groupBy("word").agg(F.count("*").alias("c"))
+    total = vocab.agg(F.sum("c").alias("_total"))
+    logp = vocab.crossJoin(F.broadcast(total)).select(
+        "word", (F.log(F.col("c") / F.col("_total"))).alias("logp"))
+    return (
+        toks.join(logp, "word")
+        .groupBy(F.col("_id").alias(id_col))
+        .agg(F.count("*").alias("n_toks"),
+             F.round(F.avg("logp"), 6).alias("avg_logprob"))
+    )

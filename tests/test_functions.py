@@ -447,3 +447,68 @@ def test_decontam_broadcast_overlap(spark):
     assert rows == {("d1", "q1"): 2}
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_paragraph_dup_stats(spark):
+    from corenlp_spark.functions.dedup import paragraph_dup_stats
+
+    rows = [
+        ("a", "intro text\nshared cookie banner\nbody one"),
+        ("b", "other intro\nshared cookie banner"),
+        # same paragraph twice in ONE doc: occurrences count, but n_docs=1
+        # for 'solo para' so it must NOT appear; blank runs are dropped
+        ("c", "solo para\n\n  \nsolo para"),
+        ("d", "  shared cookie banner  \nunique tail"),  # trims to match
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    out = {r["para_hash"]: r for r in paragraph_dup_stats(df).collect()}
+    assert len(out) == 1
+    (r,) = out.values()
+    assert r["n_docs"] == 3 and r["n_occurrences"] == 3
+    assert r["para_chars"] == len("shared cookie banner")
+
+
+def test_unigram_lm_scores(spark):
+    import math
+
+    from corenlp_spark.functions.textstats import unigram_lm_scores
+
+    rows = [
+        (1, "the the the"),   # 3× the most common token → highest score
+        (2, "the rare"),      # one common + one singleton
+        (3, ""),              # no tokens → excluded
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in unigram_lm_scores(df).collect()}
+    assert set(out) == {1, 2}
+    # corpus: the×4, rare×1, total 5
+    lp_the, lp_rare = math.log(4 / 5), math.log(1 / 5)
+    assert abs(out[1]["avg_logprob"] - round(lp_the, 6)) < 1e-6
+    assert out[1]["n_toks"] == 3
+    assert abs(out[2]["avg_logprob"] - round((lp_the + lp_rare) / 2, 6)) < 1e-6
+    assert out[1]["avg_logprob"] > out[2]["avg_logprob"]
+
+
+def test_kmeans_cluster_summary(spark):
+    from corenlp_spark.functions.similarity import kmeans_cluster_summary
+
+    # two antipodal blobs (±e0) — spherical k-means (argmax-dot) with the
+    # seeded init must split them; orthogonal positive-orthant blobs need
+    # not separate under dot-assignment, so the test uses opposite signs
+    dim = 8
+    rows = []
+    for i in range(10):
+        v = [0.0] * dim
+        v[0] = 1.0 + 0.01 * i
+        rows.append((i, v))
+    for i in range(10, 24):
+        v = [0.0] * dim
+        v[0] = -(1.0 + 0.01 * i)
+        rows.append((i, v))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = kmeans_cluster_summary(df, dim=dim, k=2, iters=3).collect()
+    sizes = sorted(r["n_vecs"] for r in out)
+    assert sizes == [10, 14]
+    # converged centroids are axis-aligned unit vectors → avg dot ≈ mean norm
+    for r in out:
+        assert r["avg_score"] > 0.9
