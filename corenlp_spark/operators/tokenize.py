@@ -52,6 +52,11 @@ ABBREVS = {
     # Asst titles, Govt, viz, tel/ext/sq (ABNUM)
     "amb.", "br.", "loc.", "cit.", "eng.", "det.", "insp.", "asst.",
     "govt.", "viz.", "tel.", "ext.", "sq.",
+    # ABCOMP2 additions: Ph. (for "Ph. D"), Sc. (B. Sc.), Soc., Mk.
+    "ph.", "sc.", "soc.", "mk.",
+    # ABVARIA/ABTAXONOMY additions (moreGold/mtGold): Pls., wrt., fl.
+    # (floruit), subsp./spp. (taxonomy), Pvt. (company form)
+    "pls.", "wrt.", "fl.", "subsp.", "spp.", "pvt.",
 }
 
 # case-sensitive lowercase-only abbreviations (PTBLexer ABVARIA spells them
@@ -98,6 +103,7 @@ _ABBREV2_TITLES = {
     "mr.", "mrs.", "ms.", "dr.", "prof.", "sen.", "rep.", "gen.", "gov.",
     "st.", "mt.", "ft.", "ave.", "blvd.", "rd.", "dept.", "col.", "lt.",
     "maj.", "sgt.", "capt.", "rev.", "hon.", "pres.", "adm.", "natl.",
+    "ph.", "sc.", "soc.", "mk.",
 }
 _SENT_STARTERS = {
     "A", "About", "According", "Additionally", "After", "All", "Also",
@@ -146,17 +152,33 @@ SPLIT_WORDS = {
 CLITICS = ("n'ts", "'s", "'m", "'re", "'ve", "'ll", "'d", "n't", "'S", "'M",
            "'RE", "'VE", "'LL", "'D", "N'T")  # n'ts: plural "don'ts" → do n'ts
 
+# faithful SGML/XML tag shape (LexCommon.tokens SGML1): <!doctype/<?pi
+# free-form up to >, or a named tag whose attribute section is RESTRICTED
+# to name / name=value (quoted or bare) — so "<pH 4)" is NOT a tag and
+# lexes as `<` + words, while "<foo bar=\"baz !$*) 422\" >" is one tag.
+_SGML_NAME = r"[A-Za-z][A-Za-z0-9_:.\-]*"
+_SGML_ATTR = (rf"(?:{_SGML_NAME}[ \r\n]*=[ \r\n]*"
+              rf"(?:'[^']*'|\"[^\"]*\"|[A-Za-z_][A-Za-z0-9_:.\-]*)"
+              rf"|{_SGML_NAME})")
+SGML_TAG = (rf"<(?:[!?][A-Za-z\-][^>\r\n]*"
+            rf"|{_SGML_NAME}(?:[ \r\n]+{_SGML_ATTR})*[ \r\n]*/?"
+            rf"|/{_SGML_NAME})[ \r\n]*>")
+
 _RULES = [
-    # SGML/XML markup: recognized first, excluded from linguistic tokens,
-    # preserved positionally, forces a sentence break
-    # (pipeline/CleanXmlAnnotator.java:164-240 block-element semantics)
-    ("XMLTAG", r"</?[A-Za-z][\w:.\-]*(?:\s[^<>]*?)?/?>|<!--.*?-->"),
+    # SGML/XML markup: recognized first; by default excluded from
+    # linguistic tokens, preserved positionally, forces a sentence break
+    # (pipeline/CleanXmlAnnotator.java:164-240 block-element semantics);
+    # with keep_sgml_tokens the tag is ONE token, inner spaces → NBSP
+    # (PTBLexer.flex:852-867 {SGML1} action)
+    ("XMLTAG", SGML_TAG),
     # angle-bracket-wrapped URIs/addresses stay whole: <mailto:…>, <x@y.z>
     ("ANGLEURI", r"<mailto:[^\s<>]+>|<[\w.+%\-]+@[\w\-]+(?:\.[\w\-]+)+>"),
     ("URL", r"(?:(?:https?|ftp|svn(?:\+ssh)?)://|www\.|mailto:)[\w.\-@]+(?:/[\w.\-/%&?=+#~:@]*)?"),
-    ("EMAIL", r"[\w.+%\-]+@[\w\-]+(?:\.[\w\-]+)+"),
+    # EMAIL (PTBLexer.flex:672): optional &lt; / &gt; entity wrappers ride
+    # along ("&lt;b...@canada.com&gt;" is ONE token)
+    ("EMAIL", r"(?:&lt;)?[\w.+%\-]+@[\w\-]+(?:\.[\w\-]+)+(?:&gt;)?"),
     # filenames with a known extension are one token (PTBLexer FILENAME)
-    ("FILENAME", r"[\w\-]+(?:\.[\w\-]+)*\.(?:jpe?g|png|gif|bmp|tiff?|pdf|"
+    ("FILENAME", r"[\w\-]+(?:[./][\w\-]+)*\.(?:jpe?g|png|gif|bmp|tiff?|pdf|"
                  r"html?|txt|doc|docx|xlsx?|csv|tsv|zip|tar|gz|bz2|mp[34]|"
                  r"wav|avi|mov|mkv|py|java|cpp|js|rs|go|sh)(?![\w.])"),
     # ".@name" mentions stay one token (they match the reference's EMAIL
@@ -164,9 +186,15 @@ _RULES = [
     ("DOTAT", r"\.[@＠][A-Za-z_]\w*"),
     # TWITTER_NAME special-cases "@50cent" verbatim (PTBLexer.flex:678 —
     # digit-start names would disable "@" as "at" before quantities)
-    ("HANDLE", r"[@＠](?:[A-Za-z_]\w*|50cent)|[#＃][A-Za-z_][\w]*"),
-    # ":/" frowny must not eat the colon of a non-URL "://" run (htvp://…)
-    ("EMOTICON", r"\^_\^|<3|[<>]?[:;=8][\-o*']?[)\](\[dDpP/\\|@3](?!/)"),
+    ("HANDLE", r"[@＠](?:[A-Za-z_]\w*|50cent)|[#＃][^\W\d][\w]*"),
+    # ":/" frowny must not eat the colon of a non-URL "://" run (htvp://…);
+    # ASIANSMILEY forms (PTBLexer.flex:794): (x.x), (^-^), ^_^, ¯\_(ツ)_/¯
+    ("EMOTICON", r"¯\\_\(ツ\)_/¯"
+                 r"|\([\-^x=~<>'][_.]?[\-^x=~<>']\)"
+                 r"|\([\^x=~<>']-[\^x=~<>'`]\)"
+                 r"|[\-^x=~<>']_[\-^x=~<>']"
+                 r"|[\^x=~<>]\.[\^x=~<>]"
+                 r"|<3|[<>]?[:;=8][\-o*']?[)\](\[dDpP/\\|@3](?!/)"),
     # company/product names with a trailing bang (PTBLexer's lexical list)
     ("BANGWORD", r"(?<![A-Za-z])(?:Yahoo|Jeopardy|OK|E)!"),
     # spaced ellipsis ". . ." normalizes to "..." (one token)
@@ -188,7 +216,7 @@ _RULES = [
     # hyphenated ranges / number compounds stay whole: 2010-2015, 20-30,
     # 80,000-man, 1,000-1,200, 5:30-to-10, 9-to-11:45, 555-55-5555
     # (trailing %, ., ' split off — PTBLexer hyphenated-token behavior)
-    ("NUMRANGE", r"\d[\d,.:]*(?:[-–](?:\d{1,3}(?:,\d{3})+|[\w:]+(?:\.\d+)?))+"),
+    ("NUMRANGE", r"\d[\d,.:]*(?:-(?:\d{1,3}(?:,\d{3})+|[\w:]+(?:\.\d+)?))+"),
     ("TIME", r"\d{1,2}:\d{2}(?::\d{2})?"),
     ("ORDINAL", r"\d+(?:st|nd|rd|th)\b"),
     # negative number: sign attaches only when space-preceded and glued to
@@ -205,7 +233,7 @@ _RULES = [
     # USD, "145bpm" → 145 bpm, "@5am" → 5 am); any other digit-led
     # letter run is ONE token ("156bpmt", "5k", "4x4" — PTBLexer.flex:599-
     # 604 SEP_CURRENCY/SEP_UNITS/SEP_OTHER + the THING fallback)
-    ("NUMUNIT", r"\d+(?=(?:USD|EUR|JPY|GBP|AUD|CAD|CHF|CNY|SEK|NZD|MXN|SGD"
+    ("NUMUNIT", r"\d+(?:,\d{3})*(?:\.\d+)?(?=(?:USD|EUR|JPY|GBP|AUD|CAD|CHF|CNY|SEK|NZD|MXN|SGD"
                 r"|HKD|NOK|KRW|TRY|RUB|INR|BRL|ZAR|lbs?|ltr|mins?|[kcm][gml]"
                 r"|[MGTP](?:B|Hz)|fps|bpm|[MG]bps|[ap]m|hrs?|words?"
                 r"|m(?:on)?ths?|y(?:ea)?rs?|pts?)(?![A-Za-z0-9]))"),
@@ -215,6 +243,13 @@ _RULES = [
     # comma-joined digit groups; thousands-grouping alternative tried first
     ("DOTTEDNUM", r"\d+(?:\.\d+){2,}"),
     ("NUMBER", r"\d{1,3}(?:,\d{3})+(?:\.\d+)?|\d+\.\d+|\d+(?:,\d{1,2})+(?!\d)|\d+"),
+    # degree units: °C / °F are ONE token (mtGold)
+    ("DEGREES", r"°[CF](?![A-Za-z])"),
+    # &amp; normalizes to & (LexerUtils normalizeAmpEntity, %caseless)
+    ("AMPENT", r"&[Aa][Mm][Pp];(?!\w)"),
+    # THINGA (PTBLexer.flex:617): uppercase runs joined by +/& are one
+    # corporate-name token (AT&T, A&M, C++ handled by PROGLANG below)
+    ("AMPWORD", r"[A-Z]+(?:[+&][A-Z]+)+(?![a-z])"),
     ("PROGLANG", r"[A-Za-z]#"),
     ("CENSORED", r"[A-Za-z]+\*+[A-Za-z*]*"),
     ("CURRENCY", r"\$\$+|(?:US|HK|A|C|NZ)?\$|£|€|¥"),  # $$+ one DOLSIGN token
@@ -241,9 +276,9 @@ _RULES = [
     # a letter-final word glued to a decimal/dotted number splits before
     # the number ("SPSS28.0" -> SPSS 28.0, "RM460.35" -> RM 460.35 --
     # PTBLexer {WORD_LETTER}/{LEADING_NUM} currency-prefix rule, flex:940)
-    ("WORDNUM", r"[A-Za-z\u00c0-\u024f_](?:[A-Za-z\u00c0-\u024f0-9_]*[A-Za-z\u00c0-\u024f])?(?=\d+(?:[.:,]\d+)+)"),
+    ("WORDNUM", r"[A-Za-z\u00c0-\u024f\u0370-\u04ff_](?:[A-Za-z\u00c0-\u024f\u0370-\u04ff0-9_]*[A-Za-z\u00c0-\u024f\u0370-\u04ff])?(?=\d+(?:[.:,]\d+)+)"),
     # \u00b4 (acute) counts as an apostrophe inside words (PTBLexer APOS)
-    ("WORD", r"[A-Za-zÀ-ɏ0-9_\u00AD]+(?:[-/'’`´][A-Za-zÀ-ɏ0-9_\u00AD]+)*(?:\.(?!\.))?"),
+    ("WORD", r"[A-Za-zÀ-ɏ\u0370-\u04ff0-9_\u00AD]+(?:[-/'’`´][A-Za-zÀ-ɏ\u0370-\u04ff0-9_\u00AD]+)*(?:\.(?!\.))?"),
     ("MULTIPUNCT", r"[?!]+"),
     ("DASH", r"--+|—|–"),
     ("QUOTE", r"``|''|[\"'`‘’“”‚„]"),
@@ -284,6 +319,10 @@ DEFAULT_OPTIONS = {
     "split_hyphenated": False,
     "split_forward_slash": False,
     "strict_treebank3": False,
+    # keep SGML/XML tags as single tokens (inner whitespace → NBSP) instead
+    # of the fused-CleanXML default of stripping them (PTBTokenizer keeps
+    # them; CleanXmlAnnotator removes them in a later stage)
+    "keep_sgml_tokens": False,
     "strict_acronym": None,   # None → follow strict_treebank3
     "strict_fraction": None,  # None → follow strict_treebank3
     "quotes": None,           # None → normalize_quotes ? latex : not_cp1252
@@ -331,11 +370,13 @@ def _split_word(original: str, begin: int, opt: dict):
     option dict — threaded explicitly so concurrent pipelines with different
     tokenize options never share state (no module-level option global).
     """
-    # soft hyphens vanish from the normalized word, stay in the original
+    # soft hyphens vanish from the normalized word, stay in the original;
+    # a token that is ONLY soft hyphens surfaces as "-" (ptbGold:
+    # "Indo\u00ADnesian ship\u00ADping \u00AD" \u2192 Indonesian shipping -)
     if "\u00AD" in original:
         cleaned = original.replace("\u00AD", "")
-        if cleaned:
-            yield (cleaned, original, begin, begin + len(original))
+        yield (cleaned if cleaned else "-",
+               original, begin, begin + len(original))
         return
     lower = original.lower()
     # abbreviation: keep trailing period iff known abbrev, else detach
@@ -364,8 +405,12 @@ def _split_word(original: str, begin: int, opt: dict):
             yield (word, seg, begin + pos, begin + pos + len(seg))
             pos += len(seg)
         return
-    # clitic split: don't → do + n't ; Mary's → Mary + 's ; didn`t → did n't
+    # clitic split: don't → do + n't ; Mary's → Mary + 's ; didn`t → did n`t.
+    # ``norm`` (backquote folded to ') is for MATCHING only; emitted forms
+    # come from ``disp``, which keeps backquotes verbatim — PTBLexer {APOS}
+    # covers '’´ but NOT ` (ptbGold: "didn`t" → did n`t, "Mu`ammar" whole)
     norm = original.replace("’", "'").replace("`", "'").replace("´", "'")
+    disp = original.replace("’", "'").replace("´", "'")
     # leading-apostrophe 'tain't: "'Tain't" → 'T + ai + n't (the lexer's
     # APOWORD 't prefix composes with the ain't assimilation)
     if norm.lower().startswith("'tain") and len(norm) > 5:
@@ -398,11 +443,12 @@ def _split_word(original: str, begin: int, opt: dict):
                 yield (stem_orig, stem_orig, begin, begin + len(stem_orig))
             else:
                 yield from _split_word(stem_orig, begin, opt)
-            yield (norm[len(norm) - len(cl):], cl_orig,
+            yield (disp[len(disp) - len(cl):], cl_orig,
                    begin + len(stem_orig), begin + len(original))
             return
-    # normalized word form (curly/backquote apostrophes → '), raw original
-    yield (norm, original, begin, begin + len(original))
+    # normalized word form (curly apostrophes → ', backquotes kept), raw
+    # original
+    yield (disp, original, begin, begin + len(original))
 
 
 def _norm_word(matched: str, opt: dict, raw: str) -> str:
@@ -420,10 +466,18 @@ def _norm_word(matched: str, opt: dict, raw: str) -> str:
         if q == "original":
             return raw
         return matched  # not_cp1252: cp1252 already remapped globally
+    if matched in "‐‑‒" and matched:
+        # U+2010..U+2012 hyphen variants → ASCII hyphen under ptb3 dashes
+        # (LexerUtils HYPHENS class)
+        return "-" if opt["dashes"] == "ptb3" else (
+            raw if opt["dashes"] == "original" else matched)
     if matched in _NORM_DASHES or set(matched) == {"-"}:
         d = opt["dashes"]
         if d == "ptb3":
-            return "--" if matched in _NORM_DASHES else matched
+            # any hyphen run of 2+ normalizes to the PTB double hyphen
+            # ("---" → "--", LexerUtils.handleDashes)
+            return "--" if (matched in _NORM_DASHES
+                            or len(matched) >= 2) else matched
         if d == "unicode":
             return "—" if matched in ("--", "---") else matched
         if d == "original":
@@ -453,7 +507,8 @@ def _split_on(tokens, cls: str):
         core = w[1:-1]
         splittable = (any(ch in core for ch in cls.replace("\\", ""))
                       and not any(c.isdigit() for c in w)
-                      and "://" not in w and len(w) == e - b)
+                      and "://" not in w and len(w) == e - b
+                      and not w.startswith("<"))  # SGML tags stay whole
         if splittable:
             pos = b
             for part in rx.split(w):
@@ -509,7 +564,11 @@ def _abbrev_sentence_end(tokens, barriers, norm_text, opt):
         fire = False
         if is_a1 and _sentend_follows(norm_text, e):
             nxt = tokens[i + 1][0] if i + 1 < n else ""
-            if not (lw in ("pty.", "pte.") and nxt.startswith("Ltd")):
+            # "(pty|pte|pvt|co)\./{SPACE}(ltd|lim|llc)" special case
+            # (PTBLexer.flex:1149, %caseless): company-form abbreviations
+            # before Ltd/Limited/LLC never end a sentence
+            if not (lw in ("pty.", "pte.", "pvt.", "co.")
+                    and nxt.lower().startswith(("ltd", "lim", "llc"))):
                 fire = True
         elif is_a2:
             nxt = tokens[i + 1][0] if i + 1 < n else ""
@@ -552,11 +611,17 @@ def tokenize_text_with_barriers(text: str, options: dict | None = None):
         matched = m.group()
         raw = text[m.start():m.end()]
         if kind == "XMLTAG":
+            if opt.get("keep_sgml_tokens"):
+                out.append((re.sub("[ \r\n]", " ", matched), raw,
+                            m.start(), m.end()))
             barriers.add(len(out))
             continue
-        if matched == "\ufeff":
+        if matched == "\ufeff" or (len(matched) == 1
+                                   and "\ud800" <= matched <= "\udfff"):
             # byte-order mark is deleted outright (PTBTokenizerTest
-            # hyphenGold: BOM-led input starts at the first real token)
+            # hyphenGold: BOM-led input starts at the first real token);
+            # an UNPAIRED surrogate half is likewise dropped, not crashed on
+            # (ptbGold "half codepoint" cases)
             continue
         if kind in ("WORD", "TAINT"):
             # words split on NORMALIZED text; originals re-sliced from the
@@ -611,8 +676,27 @@ def tokenize_text_with_barriers(text: str, options: dict | None = None):
             if kind == "PUNCT" and opt.get("normalize_parentheses") \
                     and matched in _PAREN_NORM:
                 word = _PAREN_NORM[matched]
+            if kind == "EMOTICON" and opt.get("normalize_parentheses"):
+                # parens INSIDE smileys normalize too (":(" → ":-LRB-" —
+                # LexerUtils.pennNormalizeParens in the SMILEY action)
+                word = "".join(_PAREN_NORM.get(c, c) for c in word)
             if kind == "CLITICTOK":
                 word = matched.replace("\u2019", "'").replace("\u2018", "`")
+            if kind == "AMPENT":
+                word = "&"  # &amp; \u2192 & (normalizeAmpersandEntity)
+            if kind == "QUOTE" and matched == "'" \
+                    and opt["quotes"] in ("latex", "unicode") \
+                    and (m.start() == 0
+                         or norm_text[m.start() - 1].isspace()
+                         or norm_text[m.start() - 1] in "([{") \
+                    and norm_text[m.end():m.end() + 1].isalpha() \
+                    and not re.match(r"(?:em|till?|cause|twixt)[A-Za-z]",
+                                     norm_text[m.end():m.end() + 7]):
+                # a straight single quote OPENING a word is an open-quote
+                # (latex: `) \u2014 except before APOWORD3 tails (em/til/cause/
+                # twixt + letters: "'email'"), where the lexer leaves '
+                # (PTBLexer.flex:963-976)
+                word = "`" if opt["quotes"] == "latex" else "\u2018"
             if kind == "QUOTE" and matched in ('"', "''") \
                     and opt["quotes"] in ("latex", "unicode"):
                 # straight double quote is directional: ``/\u201c if opening
@@ -634,8 +718,24 @@ def tokenize_text_with_barriers(text: str, options: dict | None = None):
         if (len(w) == 1 and w.isupper() and w.isalpha()
                 and i + 1 < len(out) and out[i + 1][0] == "."
                 and out[i + 1][1] == "." and out[i + 1][2] == e
-                and i + 2 < len(out) and out[i + 2][0][:1].isupper()
+                and i + 2 < len(out)
+                and (out[i + 2][0] not in _SENT_STARTERS
+                     # a starter word IMMEDIATELY followed by a glued "."
+                     # is itself an initial ("B. A."), not a new sentence —
+                     # the flex lookahead requires space/?! after it
+                     or (i + 3 < len(out) and out[i + 3][0] == "."
+                         and out[i + 3][2] == out[i + 2][3]))
+                and out[i + 2][0][:1].isalnum()
                 and i + 1 not in barriers):
+            merged.append((w + ".", o + out[i + 1][1], b, out[i + 1][3]))
+            drops.append(i + 1)
+            i += 2
+            continue
+        # "Alex\./{SPACENL}Brown" (PTBLexer.flex:1184): the brokerage
+        # "Alex. Brown" keeps its period; any other "Alex." splits
+        if (w == "Alex" and i + 1 < len(out) and out[i + 1][0] == "."
+                and out[i + 1][2] == e
+                and i + 2 < len(out) and out[i + 2][0] == "Brown"):
             merged.append((w + ".", o + out[i + 1][1], b, out[i + 1][3]))
             drops.append(i + 1)
             i += 2

@@ -41,7 +41,8 @@ GOLDEN = [
       "of", "that", "."]),
     # r2 widening: soft hyphens, cp1252, context abbrevs, spaced ellipsis,
     # handles, backquote clitics/names, inner-dot names, versions
-    ("Indo­nesian ship­ping ­", ["Indonesian", "shipping"]),
+    # standalone soft hyphen surfaces as "-" (ptbGold)
+    ("Indo­nesian ship­ping ­", ["Indonesian", "shipping", "-"]),
     ("I lived in O\x92Malley.", ["I", "lived", "in", "O'Malley", "."]),
     ("No. I like No. 24 and no.47.",
      ["No", ".", "I", "like", "No.", "24", "and", "no.", "47", "."]),
@@ -82,8 +83,10 @@ GOLDEN = [
     ("I like: •wine, cheese, ‣salami, & ⁃speck.",
      ["I", "like", ":", "•", "wine", ",", "•", "cheese", ",",
       "‣", "salami", ",", "&", "⁃", "speck", "."]),
+    # backquotes inside words are NOT apostrophes (PTBLexer {APOS} covers
+    # '’´ only) — the clitic splits but keeps its backquote verbatim
     ("@Harry_Styles didn`t like Mu`ammar al-Qaddafi",
-     ["@Harry_Styles", "did", "n't", "like", "Mu'ammar", "al-Qaddafi"]),
+     ["@Harry_Styles", "did", "n`t", "like", "Mu`ammar", "al-Qaddafi"]),
     ("a B.S. or a Ph.D from Stanford",
      ["a", "B.S.", "or", "a", "Ph.D", "from", "Stanford"]),
     ("Windows 3.1, Windows 3.x", ["Windows", "3.1", ",", "Windows", "3.x"]),
@@ -610,3 +613,112 @@ def test_r5_apostrophe_gold_residue():
          "were", "DM", "899.00", "."]
     assert words("host 10.0.42.7 responds") == ["host", "10.0.42.7",
                                                 "responds"]
+
+
+def test_ptb3_escaping_goldens():
+    """PTBTokenizerTest ptbGold/moreGold cases under ptb3Escaping
+    (normalizeParentheses + SGML tokens kept), r5 tranche."""
+    opt = {"normalize_parentheses": True, "keep_sgml_tokens": True}
+    cases = [
+        ("The Iron Age (ca. 1300 – ca. 300 BC).",
+         ["The", "Iron", "Age", "-LRB-", "ca.", "1300", "--", "ca.", "300",
+          "BC", "-RRB-", "."]),
+        ("I like you ;-) but do you care :(.",
+         ["I", "like", "you", ";--RRB-", "but", "do", "you", "care",
+          ":-LRB-", "."]),
+        ("I'm happy ^_^ but shy (x.x)!",
+         ["I", "'m", "happy", "^_^", "but", "shy", "-LRB-x.x-RRB-", "!"]),
+        ("``I like AT&T''.", ["``", "I", "like", "AT&T", "''", "."]),
+        ("I don't --- think so...,",
+         ["I", "do", "n't", "--", "think", "so", "...", ","]),
+        ("@Harry_Styles didn`t like Mu`ammar al-Qaddafi",
+         ["@Harry_Styles", "did", "n`t", "like", "Mu`ammar", "al-Qaddafi"]),
+        ("You can get a B.S. or a B. A. or a Ph.D (sometimes a Ph. D) here.",
+         ["You", "can", "get", "a", "B.S.", "or", "a", "B.", "A.", "or", "a",
+          "Ph.D", "-LRB-", "sometimes", "a", "Ph.", "D", "-RRB-", "here",
+          "."]),
+        ("drop 1,350kg (3,000lb) sandbags",
+         ["drop", "1,350", "kg", "-LRB-", "3,000", "lb", "-RRB-",
+          "sandbags"]),
+        ("U.S. insurance: Conseco acquires Kemper Corp. \n</HEADLINE>\n<P>\n"
+         "U.S insurance",
+         ["U.S.", "insurance", ":", "Conseco", "acquires", "Kemper", "Corp.",
+          ".", "</HEADLINE>", "<P>", "U.S", "insurance"]),
+        ("20°C is 68°F", ["20", "°C", "is", "68", "°F"]),
+        ("Pls. copy the text and explain wrt. the principles.",
+         ["Pls.", "copy", "the", "text", "and", "explain", "wrt.", "the",
+          "principles", "."]),
+        ("Joseph Someone (fl. 2050–75) liked gases, viz. helium.",
+         ["Joseph", "Someone", "-LRB-", "fl.", "2050", "--", "75", "-RRB-",
+          "liked", "gases", ",", "viz.", "helium", "."]),
+        ("Sambucus nigra subsp. canadensis and Canis spp. missing",
+         ["Sambucus", "nigra", "subsp.", "canadensis", "and", "Canis",
+          "spp.", "missing"]),
+        ("Xanadu Pvt. Ltd. replied.",
+         ["Xanadu", "Pvt.", "Ltd.", "replied", "."]),
+        ("whenever one goes 'tisk tisk' at something",
+         ["whenever", "one", "goes", "`", "tisk", "tisk", "'", "at",
+          "something"]),
+        ("I sent 'em an 'email'",
+         ["I", "sent", "'em", "an", "'", "email", "'"]),
+        ("via Alex. Brown &amp; Sons. She hates Alex.",
+         ["via", "Alex.", "Brown", "&", "Sons", ".", "She", "hates", "Alex",
+          "."]),
+        ("half codepoint:" + chr(55296) + " ",
+         ["half", "codepoint", ":"]),
+        ("#Čeština #日本語ハッシュタグ #1",
+         ["#Čeština", "#日本語ハッシュタグ", "#", "1"]),
+        ("a.jpg a-b/c-d_e.jpg 0-1-2.jpg",
+         ["a.jpg", "a-b/c-d_e.jpg", "0-1-2.jpg"]),
+    ]
+    for text, expected in cases:
+        got = [t[0] for t in tokenize_text(text, opt)]
+        assert got == expected, f"{text!r}: {got} != {expected}"
+
+
+def test_sgml_tag_tokens():
+    """sgmlGold cases: faithful SGML1 tag shape, inner spaces → NBSP,
+    non-tags lex as < + words (PTBTokenizerTest testPTBTokenizerSGML)."""
+    opt = {"keep_sgml_tokens": True, "split_forward_slash": True}
+    nb = " "
+    cases = [
+        ("Oesophageal acid exposure (% time <pH 4) was similar "
+         "(19.2% v 19.3% p>0.05).",
+         ["Oesophageal", "acid", "exposure", "(", "%", "time", "<", "pH",
+          "4", ")", "was", "similar", "(", "19.2", "%", "v", "19.3", "%",
+          "p", ">", "0.05", ")", "."]),
+        ("Hi! <foo bar=\"baz xy = foo !$*) 422\" > "
+         "<?PITarget PIContent?> <?PITarget PIContent> Hi!",
+         ["Hi", "!", f"<foo{nb}bar=\"baz{nb}xy{nb}={nb}foo{nb}!$*){nb}422\"{nb}>",
+          f"<?PITarget{nb}PIContent?>", f"<?PITarget{nb}PIContent>",
+          "Hi", "!"]),
+        ("<chapter xml:id=\"chapter_1\"><?php echo $a; ?>\n"
+         "<!-- This is an SGML/XML comment \"Hi!\" -->\n<p> </p> <p-fix / >",
+         [f"<chapter{nb}xml:id=\"chapter_1\">", f"<?php{nb}echo{nb}$a;{nb}?>",
+          f"<!--{nb}This{nb}is{nb}an{nb}SGML/XML{nb}comment{nb}\"Hi!\"{nb}-->",
+          "<p>", "</p>", f"<p-fix{nb}/{nb}>"]),
+        ("<a href=\"http:\\\\it's\\here\"> <quote orig_author='some \"dude'/>"
+         " <not sgmltag",
+         [f"<a{nb}href=\"http:\\\\it's\\here\">",
+          f"<quote{nb}orig_author='some{nb}\"dude'/>", "<", "not",
+          "sgmltag"]),
+        ("&lt;b...@canada.com&gt; funky@thedismalscience.net "
+         "<myemail@where.com>",
+         ["&lt;b...@canada.com&gt;", "funky@thedismalscience.net",
+          "<myemail@where.com>"]),
+        ("Samsung Electronics Co. Ltd. Sanyo products aren't.",
+         ["Samsung", "Electronics", "Co.", "Ltd.", ".", "Sanyo", "products",
+          "are", "n't", "."]),
+    ]
+    for text, expected in cases:
+        got = [t[0] for t in tokenize_text(text, opt)]
+        assert got == expected, f"{text!r}: {got} != {expected}"
+
+
+def test_sgml_stripped_by_default_but_not_overeager():
+    """Default mode strips true tags (CleanXML-fused) but must NOT treat
+    '<pH 4) …  p>' as markup (the r4 tag regex over-stripped it)."""
+    got = [t[0] for t in tokenize_text("(% time <pH 4) similar p>0.05")]
+    assert "pH" in got and "0.05" in got and "similar" in got
+    got2 = [t[0] for t in tokenize_text("a <b>bold</b> claim")]
+    assert got2 == ["a", "bold", "claim"]
