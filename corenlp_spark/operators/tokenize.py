@@ -164,6 +164,21 @@ SGML_TAG = (rf"<(?:[!?][A-Za-z\-][^>\r\n]*"
             rf"|{_SGML_NAME}(?:[ \r\n]+{_SGML_ATTR})*[ \r\n]*/?"
             rf"|/{_SGML_NAME})[ \r\n]*>")
 
+# word-character class approximating flex {LETTER}+\p{Mn}\p{Mc}: Latin &
+# extensions, spacing-modifier letters (\u02B0-\u02FF: ʻokina, ʼ), Greek,
+# Cyrillic, Hebrew, Arabic, Indic blocks incl. their combining vowel signs
+# (Devanagari..Malayalam, Sinhala), Thai/Lao, kana, CJK, Hangul
+_LETTERS = ("A-Za-z\u00c0-\u024f\u02b0-\u02ff\u0370-\u04ff"
+            "\u0590-\u05ff\u0600-\u06ff\u0900-\u0dff\u0e00-\u0eff"
+            "\u1e00-\u1eff\u3040-\u30ff\u3400-\u9fff\uac00-\ud7af")
+
+# filenames with a known extension are one token (PTBLexer FILENAME);
+# also consulted by _split_on so splitHyphenated never cuts "a-b.jpg"
+_FILENAME_PAT = (r"[\w\-]+(?:[./][\w\-]+)*\.(?:jpe?g|png|gif|bmp|tiff?|"
+                 r"pdf|html?|txt|doc|docx|xlsx?|csv|tsv|zip|tar|gz|bz2|"
+                 r"mp[34]|wav|avi|mov|mkv|py|java|cpp|js|rs|go|sh)(?![\w.])")
+_FILENAME_RE = re.compile(_FILENAME_PAT)
+
 _RULES = [
     # SGML/XML markup: recognized first; by default excluded from
     # linguistic tokens, preserved positionally, forces a sentence break
@@ -178,15 +193,28 @@ _RULES = [
     # along ("&lt;b...@canada.com&gt;" is ONE token)
     ("EMAIL", r"(?:&lt;)?[\w.+%\-]+@[\w\-]+(?:\.[\w\-]+)+(?:&gt;)?"),
     # filenames with a known extension are one token (PTBLexer FILENAME)
-    ("FILENAME", r"[\w\-]+(?:[./][\w\-]+)*\.(?:jpe?g|png|gif|bmp|tiff?|pdf|"
-                 r"html?|txt|doc|docx|xlsx?|csv|tsv|zip|tar|gz|bz2|mp[34]|"
-                 r"wav|avi|mov|mkv|py|java|cpp|js|rs|go|sh)(?![\w.])"),
+    ("FILENAME", _FILENAME_PAT),
     # ".@name" mentions stay one token (they match the reference's EMAIL
     # rule — "." is a valid local part; PTBTokenizerTest tweetGold)
     ("DOTAT", r"\.[@＠][A-Za-z_]\w*"),
     # TWITTER_NAME special-cases "@50cent" verbatim (PTBLexer.flex:678 —
     # digit-start names would disable "@" as "at" before quantities)
     ("HANDLE", r"[@＠](?:[A-Za-z_]\w*|50cent)|[#＃][^\W\d][\w]*"),
+    # EMOJI sequences (PTBLexer {EMOJI}): flag pairs, tag sequences,
+    # base + optional skin-tone modifier + optional variation selector,
+    # chained with zero-width joiners ("family" composites are ONE token)
+    ("EMOJI", r"(?:[\U0001F1E6-\U0001F1FF]{2}"
+              r"|\U0001F3F4[\U000E0020-\U000E007E]+\U000E007F"
+              r"|(?:[\u00AE\u203C\u2049\u2122\u2139\u2194-\u21AA"
+              r"\u231A-\u23FA\u24C2\u25AA-\u25FE\u2600-\u27BF\u2934"
+              r"\u2935\u2B00-\u2BFF\u3030\u303D\u3297\u3299"
+              r"\U0001F000-\U0001FAFF][\U0001F3FB-\U0001F3FF]?"
+              r"[\uFE0E\uFE0F]?))"
+              r"(?:\u200D(?:[\u00AE\u203C\u2049\u2122\u2139"
+              r"\u2194-\u21AA\u231A-\u23FA\u24C2\u25AA-\u25FE"
+              r"\u2600-\u27BF\u2934\u2935\u2B00-\u2BFF\u3030\u303D"
+              r"\u3297\u3299\U0001F000-\U0001FAFF]"
+              r"[\U0001F3FB-\U0001F3FF]?[\uFE0E\uFE0F]?))*"),
     # ":/" frowny must not eat the colon of a non-URL "://" run (htvp://…);
     # ASIANSMILEY forms (PTBLexer.flex:794): (x.x), (^-^), ^_^, ¯\_(ツ)_/¯
     ("EMOTICON", r"¯\\_\(ツ\)_/¯"
@@ -216,7 +244,7 @@ _RULES = [
     # hyphenated ranges / number compounds stay whole: 2010-2015, 20-30,
     # 80,000-man, 1,000-1,200, 5:30-to-10, 9-to-11:45, 555-55-5555
     # (trailing %, ., ' split off — PTBLexer hyphenated-token behavior)
-    ("NUMRANGE", r"\d[\d,.:]*(?:-(?:\d{1,3}(?:,\d{3})+|[\w:]+(?:\.\d+)?))+"),
+    ("NUMRANGE", r"\d[\d,.:]*(?:[-\u2011\u2012](?:\d{1,3}(?:,\d{3})+|[\w:]+(?:\.\d+)?))+"),
     ("TIME", r"\d{1,2}:\d{2}(?::\d{2})?"),
     ("ORDINAL", r"\d+(?:st|nd|rd|th)\b"),
     # negative number: sign attaches only when space-preceded and glued to
@@ -276,12 +304,14 @@ _RULES = [
     # a letter-final word glued to a decimal/dotted number splits before
     # the number ("SPSS28.0" -> SPSS 28.0, "RM460.35" -> RM 460.35 --
     # PTBLexer {WORD_LETTER}/{LEADING_NUM} currency-prefix rule, flex:940)
-    ("WORDNUM", r"[A-Za-z\u00c0-\u024f\u0370-\u04ff_](?:[A-Za-z\u00c0-\u024f\u0370-\u04ff0-9_]*[A-Za-z\u00c0-\u024f\u0370-\u04ff])?(?=\d+(?:[.:,]\d+)+)"),
+    ("WORDNUM", "[" + _LETTERS + "_](?:[" + _LETTERS + "0-9_]*[" + _LETTERS
+                + "])?(?=\\d+(?:[.:,]\\d+)+)"),
     # \u00b4 (acute) counts as an apostrophe inside words (PTBLexer APOS)
-    ("WORD", r"[A-Za-zÀ-ɏ\u0370-\u04ff0-9_\u00AD]+(?:[-/'’`´][A-Za-zÀ-ɏ\u0370-\u04ff0-9_\u00AD]+)*(?:\.(?!\.))?"),
+    ("WORD", "[" + _LETTERS + "0-9_\u00AD]+(?:[-/'\u2019`\u00b4]["
+             + _LETTERS + "0-9_\u00AD]+)*(?:\\.(?!\\.))?"),
     ("MULTIPUNCT", r"[?!]+"),
     ("DASH", r"--+|—|–"),
-    ("QUOTE", r"``|''|[\"'`‘’“”‚„]"),
+    ("QUOTE", r"``|''|['‘’`]{2}|[\"'`‘’“”‚„]"),
     ("PUNCT", r"[^\sA-Za-z0-9]"),
 ]
 MASTER = re.compile("|".join(f"(?P<{n}>{p})" for n, p in _RULES))
@@ -379,6 +409,20 @@ def _split_word(original: str, begin: int, opt: dict):
                original, begin, begin + len(original))
         return
     lower = original.lower()
+    # a word with BOTH an apostrophe and a hyphen splits at the hyphens:
+    # flex {WORD}/{APOWORD} have no hyphen arm, so "ʻAbdu'l-Bahá" lexes as
+    # APOWORD - WORD (apostropheGold); pure-hyphen compounds (al-Qaddafi)
+    # and pure-apostrophe words (O'Malley) stay whole
+    if ("-" in original.strip("-")
+            and any(a in original for a in "'\u2019`\u00b4")
+            and not any(c.isdigit() for c in original)):
+        pos = 0
+        for part in re.split(r"(-)", original):
+            if part:
+                yield from _split_word(part, begin + pos, opt) if part != "-" \
+                    else iter([("-", "-", begin + pos, begin + pos + 1)])
+                pos += len(part)
+        return
     # abbreviation: keep trailing period iff known abbrev, else detach
     # (CONTEXT_ABBREVS kept here; tokenize_text re-splits them when no digit
     # follows — the context the lexer state machine sees)
@@ -401,7 +445,13 @@ def _split_word(original: str, begin: int, opt: dict):
         pos = 0
         for i, p in enumerate(parts):
             seg = original[pos : pos + len(p)] if i < len(parts) - 1 else original[pos:]
-            word = seg if seg.lower() == p.lower() else p  # keep original case
+            fold = seg.lower().replace("\u2019", "'").replace("`", "'")
+            if fold == p.lower():
+                # keep case; curly apostrophe folds only under latex/ascii
+                word = (seg.replace("\u2019", "'")
+                        if opt.get("quotes") in ("latex", "ascii") else seg)
+            else:
+                word = p
             yield (word, seg, begin + pos, begin + pos + len(seg))
             pos += len(seg)
         return
@@ -410,7 +460,13 @@ def _split_word(original: str, begin: int, opt: dict):
     # come from ``disp``, which keeps backquotes verbatim — PTBLexer {APOS}
     # covers '’´ but NOT ` (ptbGold: "didn`t" → did n`t, "Mu`ammar" whole)
     norm = original.replace("’", "'").replace("`", "'").replace("´", "'")
-    disp = original.replace("’", "'").replace("´", "'")
+    # the curly apostrophe folds to ' only under latex/ascii quote
+    # normalization; not_cp1252/unicode/original keep the glyph verbatim
+    # ("wasn’t" → was n’t in UD mode, ptbGoldSplitHyphenated)
+    if opt.get("quotes") in ("latex", "ascii"):
+        disp = original.replace("’", "'").replace("´", "'")
+    else:
+        disp = original.replace("´", "'")
     # leading-apostrophe 'tain't: "'Tain't" → 'T + ai + n't (the lexer's
     # APOWORD 't prefix composes with the ain't assimilation)
     if norm.lower().startswith("'tain") and len(norm) > 5:
@@ -455,6 +511,18 @@ def _norm_word(matched: str, opt: dict, raw: str) -> str:
     """Apply the quote/dash/ellipsis normalization ENUM for one matched
     punctuation token (PTBTokenizer.java quotes/ellipses/dashes classes).
     ``raw`` is the pre-cp1252 slice (the 'original' enum value)."""
+    if len(matched) == 2 and all(c in "'‘’`" for c in matched) \
+            and matched not in ("``", "''"):
+        # mixed 2-char quote runs (QUOTES{1,2}: "’'" is ONE token) normalize
+        # per character (hyphenGold: ''Charlie’' → `` Charlie '')
+        q = opt["quotes"]
+        if q == "latex":
+            return "".join(_QUOTES_LATEX.get(c, c) for c in matched)
+        if q == "unicode":
+            return "".join(_QUOTES_UNICODE.get(c, c) for c in matched)
+        if q == "ascii":
+            return "".join(_QUOTES_ASCII.get(c, c) for c in matched)
+        return raw if q == "original" else matched
     if matched in _NORM_QUOTES or matched in ("`", "'", "``", "''"):
         q = opt["quotes"]
         if q == "latex":
@@ -495,6 +563,19 @@ def _norm_word(matched: str, opt: dict, raw: str) -> str:
     return _NORM.get(matched, matched)
 
 
+# hyphen-compound exceptions that stay WHOLE under splitHyphenated
+# (PTBLexer.flex:641-645 HTHINGEXCEPTION{PREFIXED,SUFFIXED,WHOLE}, %caseless)
+_HTHING_PREFIXES = ("e|a|u|x|agro|ante|anti|arch|be|bi|bio|co|counter|cross|"
+                    "cyber|de|eco|ex|extra|inter|intra|macro|mega|micro|mid|"
+                    "mini|multi|neo|non|over|pan|para|peri|post|pre|pro|"
+                    "pseudo|quasi|re|semi|sub|super|tri|ultra|un|uni|vice")
+_HTHING_SUFFIXES = ("esque|ette|fest|fold|gate|itis|less|most|o-torium|rama|"
+                    "wise")
+_HTHING_EXC_RE = re.compile(
+    r"(?i)(?:(?:" + _HTHING_PREFIXES + r")(?:-[^\W_]+)+"
+    r"|[^\W_][\w.,]*-(?:" + _HTHING_SUFFIXES + r")(?:s|es|d|ed)?"
+    r"|(?:mm-hm|mm-mm|o-kay|uh-huh|uh-oh)(?:s|es|d|ed)?)")
+
 def _split_on(tokens, cls: str):
     """breakByHyphensSlashes post-pass (PTBLexer.flex:357-374): internal
     separators of class ``cls`` become their own tokens ("Sydney-based" →
@@ -503,12 +584,42 @@ def _split_on(tokens, cls: str):
     those match different lexer rules and never reach this split."""
     rx = re.compile(f"([{cls}])")
     out = []
-    for w, o, b, e in tokens:
+    skip_next = False
+    for ti, (w, o, b, e) in enumerate(tokens):
+        if skip_next:
+            skip_next = False
+            continue
+        # decade clitic re-attaches across the split: "60-90's" → 60 - 90's
+        # (flex APOWORD [1-9]0{APOS}s wins over the range under UD)
+        nxt = tokens[ti + 1] if ti + 1 < len(tokens) else None
+        if ("-" in cls and nxt is not None and nxt[0] in ("'s", "’s")
+                and nxt[2] == e
+                and re.fullmatch(r"\d+-[1-9]0", w)):
+            d1, d2 = w.split("-")
+            out.append((d1, d1, b, b + len(d1)))
+            out.append(("-", "-", b + len(d1), b + len(d1) + 1))
+            out.append((d2 + nxt[0], o[len(d1) + 1:] + nxt[1],
+                        b + len(d1) + 1, nxt[3]))
+            skip_next = True
+            continue
         core = w[1:-1]
         splittable = (any(ch in core for ch in cls.replace("\\", ""))
-                      and not any(c.isdigit() for c in w)
                       and "://" not in w and len(w) == e - b
-                      and not w.startswith("<"))  # SGML tags stay whole
+                      and not w.startswith("<")   # SGML tags stay whole
+                      and _FILENAME_RE.fullmatch(w) is None  # a-b.jpg whole
+                      # word-shaped only (emoticons like ¯\_(ツ)_/¯ whole)
+                      and re.fullmatch(r"[\w\u00AD'’`´:.,/-]+", w) is not None
+                      and set(w) != {"-"}          # --- is a dash, not a compound
+                      # phone/SSN/date digit shapes stay (908-333-4444,
+                      # 555-55-5555, 11-05-99 — flex DATE/number rules are
+                      # never fed to breakByHyphensSlashes)
+                      and re.fullmatch(r"\d{1,6}(?:[-/]\d{1,6}){2,}", w) is None
+                      and re.fullmatch(r"\d{3}-\d{4}", w) is None  # 555-0199
+                      # ISO 8601 datetimes stay whole (mtGoldUD)
+                      and re.fullmatch(r"\d{4}-\d{2}-\d{2}T[\d:.]+", w) is None
+                      and re.fullmatch(r"\d+/\d+", w) is None   # fractions
+                      and re.fullmatch(r"\d+-\d+/\d+", w) is None  # 5-1/4
+                      and _HTHING_EXC_RE.fullmatch(w) is None)  # anti-X, o-kay
         if splittable:
             pos = b
             for part in rx.split(w):
@@ -718,14 +829,14 @@ def tokenize_text_with_barriers(text: str, options: dict | None = None):
         if (len(w) == 1 and w.isupper() and w.isalpha()
                 and i + 1 < len(out) and out[i + 1][0] == "."
                 and out[i + 1][1] == "." and out[i + 1][2] == e
-                and i + 2 < len(out)
-                and (out[i + 2][0] not in _SENT_STARTERS
+                and (i + 2 == len(out)  # EOF: "Pius X." keeps X. (tweetGold)
+                     or out[i + 2][0] not in _SENT_STARTERS
                      # a starter word IMMEDIATELY followed by a glued "."
                      # is itself an initial ("B. A."), not a new sentence —
                      # the flex lookahead requires space/?! after it
                      or (i + 3 < len(out) and out[i + 3][0] == "."
                          and out[i + 3][2] == out[i + 2][3]))
-                and out[i + 2][0][:1].isalnum()
+                and (i + 2 == len(out) or out[i + 2][0][:1].isalnum())
                 and i + 1 not in barriers):
             merged.append((w + ".", o + out[i + 1][1], b, out[i + 1][3]))
             drops.append(i + 1)

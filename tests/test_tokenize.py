@@ -204,11 +204,13 @@ def test_tokenizer_options():
     # normalize_dashes off
     assert [t[0] for t in tokenize_text("a — b", {"normalize_dashes": False})] \
         == ["a", "—", "b"]
-    # split_hyphenated: UD-style hyphen splitting (number ranges untouched)
+    # split_hyphenated: UD-style hyphen splitting — number ranges split
+    # too (ptbGoldSplitHyphenated: 2010-2015 → 2010 - 2015); phone/SSN/
+    # date shapes and ETTB exception compounds stay whole
     got = [t[0] for t in tokenize_text("Sydney-based firms kept 2010-2015 plans",
                                        {"split_hyphenated": True})]
     assert got[:3] == ["Sydney", "-", "based"]
-    assert "2010-2015" in got
+    assert got[5:8] == ["2010", "-", "2015"]
     # strict_treebank3: informal-contraction splits disabled
     assert [t[0] for t in tokenize_text("gonna", {"strict_treebank3": True})] == ["gonna"]
     assert [t[0] for t in tokenize_text("gonna")] == ["gon", "na"]
@@ -722,3 +724,70 @@ def test_sgml_stripped_by_default_but_not_overeager():
     assert "pH" in got and "0.05" in got and "similar" in got
     got2 = [t[0] for t in tokenize_text("a <b>bold</b> claim")]
     assert got2 == ["a", "bold", "claim"]
+
+
+def test_ud_split_hyphenated_goldens():
+    """ptbGoldSplitHyphenated / emojiGold / mtGoldUD cases: UD-style
+    splitHyphenated+splitForwardSlash with the ETTB exception lists."""
+    opt = {"quotes": "not_cp1252", "dashes": "not_cp1252",
+           "split_hyphenated": True, "split_forward_slash": True}
+    cases = [
+        ("2010-2015 and 1986-87", ["2010", "-", "2015", "and", "1986", "-", "87"]),
+        ("An Atlanta-bound DC-9 crashed",
+         ["An", "Atlanta", "-", "bound", "DC", "-", "9", "crashed"]),
+        ("the anti-acquisition front on its foolishness-filled market",
+         ["the", "anti-acquisition", "front", "on", "its", "foolishness",
+          "-", "filled", "market"]),
+        ("o-kay pre-tests Watergate-esque uh-oh",
+         ["o-kay", "pre-tests", "Watergate-esque", "uh-oh"]),
+        ("Dial 908-333-4444 or 555-0199 re 555-55-5555",
+         ["Dial", "908-333-4444", "or", "555-0199", "re", "555-55-5555"]),
+        ("1202-03-04 5:32:56 2004-03-04T18:32:56",
+         ["1202-03-04", "5:32:56", "2004-03-04T18:32:56"]),
+        ("60-90's", ["60", "-", "90's"]),
+        ("wasn’t really", ["was", "n’t", "really"]),  # curly kept in UD
+        ("proposed ₱5.024-trillion budget",
+         ["proposed", "₱", "5.024", "-", "trillion", "budget"]),
+        ("IBM OS/2 and 5/2 μg", ["IBM", "OS", "/", "2", "and", "5/2", "μg"]),
+    ]
+    for text, expected in cases:
+        got = [t[0] for t in tokenize_text(text, opt)]
+        assert got == expected, f"{text!r}: {got} != {expected}"
+
+
+def test_emoji_sequences():
+    """emojiGold: flags, skin tones, ZWJ composites, variation selectors,
+    tag sequences — each composite is ONE token."""
+    opt = {"quotes": "not_cp1252"}
+    cases = [
+        ("😉😀🇦🇺🍺", ["😉", "😀", "🇦🇺", "🍺"]),
+        ("👦🏻👧🏿", ["👦🏻", "👧🏿"]),
+        ("👨‍👩‍👧🧀", ["👨‍👩‍👧", "🧀"]),
+        ("⚠⚠️❤️❤", ["⚠", "⚠️", "❤️", "❤"]),
+        ("🏴\U000e0075\U000e0073\U000e0063\U000e0061\U000e007f",
+         ["🏴\U000e0075\U000e0073\U000e0063\U000e0061\U000e007f"]),
+        ("555‒0199", ["555‒0199"]),
+        ("Kanakadasa's (ರಾಮಧಾನ್ಯ ಚರಿತೆ ) is rare.",
+         ["Kanakadasa", "'s", "(", "ರಾಮಧಾನ್ಯ", "ಚರಿತೆ", ")", "is",
+          "rare", "."]),
+    ]
+    for text, expected in cases:
+        got = [t[0] for t in tokenize_text(text, opt)]
+        assert got == expected, f"{text!r}: {got} != {expected}"
+
+
+def test_apostrophe_unicode_goldens():
+    """apostropheGold: modifier-letter apostrophes are word letters;
+    apostrophe+hyphen compounds split at hyphens; CJK sticks to words."""
+    cases = [
+        ("ʻAbdu'l-Bahá, born ʻAbbás, son of Baháʼu'lláh",
+         ["ʻAbdu'l", "-", "Bahá", ",", "born", "ʻAbbás", ",", "son", "of",
+          "Baháʼu'lláh"]),
+        ("I use SPSS28.0 to measure Lee’s指数 as 其IC50约为4.814μmol / L",
+         ["I", "use", "SPSS", "28.0", "to", "measure", "Lee's指数", "as",
+          "其IC50约为", "4.814", "μmol", "/", "L"]),
+        ("''Charlie’' Bridges", ["``", "Charlie", "''", "Bridges"]),
+    ]
+    for text, expected in cases:
+        got = [t[0] for t in tokenize_text(text)]
+        assert got == expected, f"{text!r}: {got} != {expected}"
