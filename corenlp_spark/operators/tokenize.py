@@ -964,3 +964,117 @@ def tokenize_docs(df: DataFrame, options: dict | None = None) -> DataFrame:
             yield pdf
 
     return df.mapInPandas(run, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# PTB → text untokenization (approximate inverse of the tokenizer).
+# Behavioral reference (re-expressed): process/PTB2TextLexer.flex:55-140 and
+# PTBTokenizer.ptb2Text — a longest-match rule cascade with an INQUOTE state
+# driving straight-quote direction.
+# ---------------------------------------------------------------------------
+
+_P2T_SP = " "
+_P2T_DQUOT = r'(?:"|&\ ?(?:amp\ ?;\ ?)?quot\ ?;?)'
+_P2T_LETTER = r"[^\W\d_]"
+_P2T_ALNUM = r"[^\W_]"
+# function words after " - " (or speech verbs before it) that keep the
+# hyphen spaced instead of collapsing into a compound
+_P2T_NOJOIN = (
+    "in|as|at|for|therefore|so|thus|they|who|which|and|such|including|"
+    "according|to|the|a|one|that|this|those|these|some|she|he|we|you|on|"
+    "before|after|there|here|are|is|was|were|has|have|should|would|"
+    "AFP|Reuters|News"
+)
+_P2T_HYPHEN_KEEP = (
+    rf"(?:{_P2T_ALNUM}+\ -\ (?:{_P2T_NOJOIN})"
+    rf"|(?:said|says|say|saying|headline)\ -\ {_P2T_ALNUM}+)"
+)
+_P2T_QUOTE_KEEP = rf"{_P2T_ALNUM}+\ '(?:cause|n'|em|till?|[2-9]0s)"
+
+#: (state, pattern, replacement, next_state) — state None = both states;
+#: replacement None = matched text verbatim, "~strip" = drop spaces,
+#: "~lstrip" = drop the leading space.  Order = flex rule order (ties on
+#: match length go to the earlier rule; otherwise longest match wins).
+_P2T_RULES: list[tuple[str | None, str, str | None, str | None]] = [
+    ("INITIAL", rf"{_P2T_DQUOT}\ {_P2T_DQUOT}\ (?={_P2T_LETTER})", '" "', "INQUOTE"),
+    ("INITIAL", rf"{_P2T_DQUOT}\ (?={_P2T_LETTER})", '"', "INQUOTE"),
+    ("INITIAL", _P2T_DQUOT, '"', "INQUOTE"),
+    (None, rf"\ {_P2T_DQUOT}(?=\n|$)", '"', None),
+    ("INQUOTE", rf"\ {_P2T_DQUOT}", '"', "INITIAL"),
+    ("INQUOTE", _P2T_DQUOT, '"', "INITIAL"),
+    (None, rf"{_P2T_HYPHEN_KEEP}(?=\ |\n|$)", None, None),
+    (None, rf"{_P2T_QUOTE_KEEP}(?=\ |\n|$)", None, None),
+    (None, rf"{_P2T_ALNUM}+(?:\ -\ {_P2T_LETTER}+){{1,3}}", "~strip", None),
+    (None, r"&\ ?lt\ ?;", "<", None),
+    (None, r"&\ ?gt\ ?;", ">", None),
+    (None, r"&\ ?amp\ ?;?", "&", None),
+    (None, r"&", "&", None),
+    (None, r"can\ not", "cannot", None),
+    (None, r"[a-z]{3,30}\ '\ s(?=\ )", "~strip", None),
+    (None, r"\ ''", '"', None),
+    (None, r"``\ ", '"', None),
+    (None, r"\ (?:\.\.\.|[.:,;?!])", "~lstrip", None),
+    (None, r"`\ ", "`", None),
+    (None, r"\ '[^\n]", "~lstrip", None),
+    (None, r"\ n't", "n't", None),
+    (None, r"\ \??\\/", "/", None),
+    (None, r"\\/", "/", None),
+    (None, r"(?:-LRB-|\()\ ", "(", None),
+    (None, r"\ (?:-RRB-|\))", ")", None),
+    (None, r"(?:-LCB-|\{)\ ", "{", None),
+    (None, r"\ (?:-RCB-|\})", "}", None),
+    (None, r"\ %", "%", None),
+    (None, r"\$\ ", "$", None),
+    (None, r'[^ \n\\/&"]+', None, None),
+    (None, r"/", None, None),
+    (None, r"\\", None, None),
+    (None, r"\ ", None, None),
+    (None, r"\n", "\n", "INITIAL"),
+]
+
+_P2T_COMPILED = [
+    (st, re.compile(pat, re.IGNORECASE), rep, nxt)
+    for st, pat, rep, nxt in _P2T_RULES
+]
+
+
+def ptb2_text(ptb: str | list[str]) -> str:
+    """Untokenize PTB-style tokens back to approximately normal text.
+
+    Accepts either a space-joined PTB token string (the reference API shape)
+    or a token list. Quote direction, bracket/clitic/punctuation attachment,
+    entity unescaping, and spaced-hyphen compound collapsing follow the
+    reference lexer; see the rule table above."""
+    if not isinstance(ptb, str):
+        ptb = " ".join(ptb)
+    out: list[str] = []
+    state = "INITIAL"
+    i = 0
+    n = len(ptb)
+    while i < n:
+        best: tuple[int, int] | None = None  # (length, rule_idx)
+        for idx, (st, rx, _rep, _nxt) in enumerate(_P2T_COMPILED):
+            if st is not None and st != state:
+                continue
+            m = rx.match(ptb, i)
+            if m and (best is None or m.end() - i > best[0]):
+                best = (m.end() - i, idx)
+        if best is None:  # unmatchable byte: emit and advance
+            out.append(ptb[i])
+            i += 1
+            continue
+        length, idx = best
+        _st, _rx, rep, nxt = _P2T_COMPILED[idx]
+        text = ptb[i:i + length]
+        if rep is None:
+            out.append(text)
+        elif rep == "~strip":
+            out.append(text.replace(" ", ""))
+        elif rep == "~lstrip":
+            out.append(text[1:])
+        else:
+            out.append(rep)
+        if nxt is not None:
+            state = nxt
+        i += length
+    return "".join(out)

@@ -791,3 +791,20 @@ def test_apostrophe_unicode_goldens():
     for text, expected in cases:
         got = [t[0] for t in tokenize_text(text)]
         assert got == expected, f"{text!r}: {got} != {expected}"
+
+
+def test_ptb2_text_untokenize():
+    """Standalone untok goldens (PTBTokenizerTest.java:442-455 ported)."""
+    from corenlp_spark.operators.tokenize import ptb2_text
+
+    assert ptb2_text("London - AFP reported junk .") == "London - AFP reported junk."
+    assert ptb2_text("HEADLINE - New Android phone !") == "HEADLINE - New Android phone!"
+    assert (ptb2_text("I did it 'cause I wanted to , and you 'n' me know that .")
+            == "I did it 'cause I wanted to, and you 'n' me know that.")
+    assert (ptb2_text("He said that `` Luxembourg needs surface - to - air missiles . ''")
+            == 'He said that "Luxembourg needs surface-to-air missiles."')
+    # token-list input, brackets, entities, currency, possessive
+    assert ptb2_text(["-LRB-", "a", "-RRB-"]) == "(a)"
+    assert ptb2_text("&amp; &lt; &gt;") == "& < >"
+    assert ptb2_text("$ 5 , or 10 %") == "$5, or 10%"
+    assert ptb2_text("the dog ' s bone") == "the dog's bone"
