@@ -353,6 +353,9 @@ DEFAULT_OPTIONS = {
     # of the fused-CleanXML default of stripping them (PTBTokenizer keeps
     # them; CleanXmlAnnotator removes them in a later stage)
     "keep_sgml_tokens": False,
+    # British → American spelling rewrite of the normalized word
+    # (Americanize.java via the PTBTokenizer "americanize" option)
+    "americanize": False,
     "strict_acronym": None,   # None → follow strict_treebank3
     "strict_fraction": None,  # None → follow strict_treebank3
     "quotes": None,           # None → normalize_quotes ? latex : not_cp1252
@@ -886,6 +889,8 @@ def tokenize_text_with_barriers(text: str, options: dict | None = None):
         gated = _split_on(gated, "-")
     elif opt.get("split_forward_slash"):
         gated = _split_on(gated, "/")
+    if opt.get("americanize"):
+        gated = [(americanize(w), o, b, e) for w, o, b, e in gated]
     return gated, barriers
 
 
@@ -1078,3 +1083,99 @@ def ptb2_text(ptb: str | list[str]) -> str:
             state = nxt
         i += length
     return "".join(out)
+
+
+# ---------------------------------------------------------------------------
+# British → American spelling conversion (the PTBTokenizer "americanize"
+# option). Behavioral reference (re-expressed): process/Americanize.java:
+# exact-map lookup first (timex capitalization, then spelling table), then
+# an ordered suffix-pattern cascade with an -our exception list.
+# ---------------------------------------------------------------------------
+
+_AMER_CONVERTERS = {
+    "anaesthetic": "anesthetic", "analogue": "analog", "analogues": "analogs",
+    "analyse": "analyze", "analysed": "analyzed", "analysing": "analyzing",
+    "armoured": "armored", "cancelled": "canceled", "cancelling": "canceling",
+    "capitalise": "capitalize", "capitalised": "capitalized",
+    "capitalisation": "capitalization", "centre": "center",
+    "chimaeric": "chimeric", "coloured": "colored", "colouring": "coloring",
+    "colourful": "colorful", "defence": "defense", "Defence": "Defense",
+    "discoloured": "discolored", "discolouring": "discoloring",
+    "encyclopaedia": "encyclopedia", "endeavoured": "endeavored",
+    "endeavouring": "endeavoring", "favoured": "favored",
+    "favouring": "favoring", "favourite": "favorite",
+    "favourites": "favorites", "fibre": "fiber", "fibres": "fibers",
+    "finalise": "finalize", "finalised": "finalized",
+    "finalising": "finalizing", "flavoured": "flavored",
+    "flavouring": "flavoring", "grey": "gray", "homologue": "homolog",
+    "homologues": "homologs", "honoured": "honored", "honouring": "honoring",
+    "honourable": "honorable", "humoured": "humored", "humouring": "humoring",
+    "kerb": "curb", "labelled": "labeled", "labelling": "labeling",
+    "Labour": "Labor", "laboured": "labored", "labouring": "laboring",
+    "leant": "leaned", "learnt": "learned", "localise": "localize",
+    "localised": "localized", "manoeuvre": "maneuver",
+    "manoeuvres": "maneuvers", "maximise": "maximize",
+    "maximised": "maximized", "maximising": "maximizing", "meagre": "meager",
+    "minimise": "minimize", "minimised": "minimized",
+    "minimising": "minimizing", "modernise": "modernize",
+    "modernised": "modernized", "modernising": "modernizing",
+    "neighbourhood": "neighborhood", "neighbourhoods": "neighborhoods",
+    "oestrogen": "estrogen", "oestrogens": "estrogens",
+    "organisation": "organization", "organisations": "organizations",
+    "penalise": "penalize", "penalised": "penalized",
+    "popularise": "popularize", "popularised": "popularized",
+    "popularises": "popularizes", "popularising": "popularizing",
+    "practise": "practice", "practised": "practiced",
+    "pressurise": "pressurize", "pressurised": "pressurized",
+    "pressurises": "pressurizes", "pressurising": "pressurizing",
+    "realise": "realize", "realised": "realized", "realising": "realizing",
+    "realises": "realizes", "recognise": "recognize",
+    "recognised": "recognized", "recognising": "recognizing",
+    "recognises": "recognizes", "rumoured": "rumored",
+    "rumouring": "rumoring", "savoured": "savored", "savouring": "savoring",
+    "theatre": "theater", "theatres": "theaters", "titre": "titer",
+    "titres": "titers", "travelled": "traveled", "travelling": "traveling",
+}
+
+_AMER_TIMEX = {
+    m: m.capitalize()
+    for m in ("january february april june july august september october "
+              "november december monday tuesday wednesday thursday friday "
+              "saturday sunday").split()
+}  # not march/may — they are common words in lowercase
+
+_AMER_OUR_EXCEPTIONS = re.compile(
+    "abatjour|beflour|bonjour|calambour|carrefour|cornflour|contour|"
+    "de[tv]our|dortour|dyvour|downpour|giaour|glamour|holour|inpour|outpour|"
+    "pandour|paramour|pompadour|recontour|repour|ryeflour|sompnour|"
+    "tambour|troubadour|tregetour|velour"
+)
+
+_AMER_PATS: list[tuple[re.Pattern, str, re.Pattern | None]] = [
+    (re.compile(r"haem(at)?o"), r"hem\1o", None),
+    (re.compile(r"aemia$"), "emia", None),
+    (re.compile(r"([lL])eukaem"), r"\1eukem", None),
+    (re.compile(r"programme(s?)$"), r"program\1", None),
+    (re.compile(r"^([a-z]{3,})our(s?)$"), r"\1or\2", _AMER_OUR_EXCEPTIONS),
+]
+
+
+def americanize(word: str, capitalize_timex: bool = True) -> str:
+    """British → American spelling (Americanize.java semantics)."""
+    if len(word) < 4:  # MINIMUM_LENGTH_CHANGED
+        return word
+    if capitalize_timex:
+        out = _AMER_TIMEX.get(word)
+        if out is not None:
+            return out
+    out = _AMER_CONVERTERS.get(word)
+    if out is not None:
+        return out
+    if len(word) < 6:  # MINIMUM_LENGTH_PATTERN_MATCH
+        return word
+    for pat, rep, ex in _AMER_PATS:
+        if pat.search(word):
+            if ex is not None and ex.search(word):
+                continue
+            return pat.sub(rep, word)
+    return word

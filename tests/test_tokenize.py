@@ -808,3 +808,24 @@ def test_ptb2_text_untokenize():
     assert ptb2_text("&amp; &lt; &gt;") == "& < >"
     assert ptb2_text("$ 5 , or 10 %") == "$5, or 10%"
     assert ptb2_text("the dog ' s bone") == "the dog's bone"
+
+
+def test_americanize_option():
+    """AmericanizeTest.java goldens + the tokenizer option wiring."""
+    from corenlp_spark.operators.tokenize import americanize
+
+    br = ["colour", "encyclopaedia", "devour", "glamour", "armour",
+          "haematophilia", "programme", "behaviours", "vapours",
+          "travelling", "realise", "rumours", "detour", "Defence"]
+    us = ["color", "encyclopedia", "devour", "glamour", "armor",
+          "hematophilia", "program", "behaviors", "vapors", "traveling",
+          "realize", "rumors", "detour", "Defense"]
+    assert [americanize(w) for w in br] == us
+    # timex capitalization (not march/may), suppressible
+    assert americanize("january") == "January"
+    assert americanize("march") == "march" and americanize("may") == "may"
+    assert americanize("january", capitalize_timex=False) == "january"
+    # option wiring: normalized word changes, original stays invertible
+    toks = tokenize_text("The colour of Labour.", {"americanize": True})
+    assert [t[0] for t in toks] == ["The", "color", "of", "Labor", "."]
+    assert [t[1] for t in toks] == ["The", "colour", "of", "Labour", "."]
