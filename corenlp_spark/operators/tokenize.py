@@ -275,6 +275,9 @@ _RULES = [
     ("DEGREES", r"°[CF](?![A-Za-z])"),
     # &amp; normalizes to & (LexerUtils normalizeAmpEntity, %caseless)
     ("AMPENT", r"&[Aa][Mm][Pp];(?!\w)"),
+    # standalone &lt;/&gt; entities are the < / > tokens
+    # (PTBLexer.flex:768-769 LESSTHAN/GREATERTHAN)
+    ("LTGTENT", r"&[LlGg][Tt];"),
     # THINGA (PTBLexer.flex:617): uppercase runs joined by +/& are one
     # corporate-name token (AT&T, A&M, C++ handled by PROGLANG below)
     ("AMPWORD", r"[A-Z]+(?:[+&][A-Z]+)+(?![a-z])"),
@@ -356,6 +359,9 @@ DEFAULT_OPTIONS = {
     # British → American spelling rewrite of the normalized word
     # (Americanize.java via the PTBTokenizer "americanize" option)
     "americanize": False,
+    # no pattern may span a newline; each line tokenizes independently
+    # (PTBLexer tokenizePerLine=true)
+    "tokenize_per_line": False,
     "strict_acronym": None,   # None → follow strict_treebank3
     "strict_fraction": None,  # None → follow strict_treebank3
     "quotes": None,           # None → normalize_quotes ? latex : not_cp1252
@@ -715,6 +721,21 @@ def tokenize_text_with_barriers(text: str, options: dict | None = None):
     ``word`` is the normalized form; ``original`` is the raw slice of the
     input (invertible: originals + offsets reconstruct the span exactly)."""
     opt = _resolve_options(options)
+    if opt.get("tokenize_per_line"):
+        # PTBLexer tokenizePerLine=true: no pattern (SGML tag, abbreviation
+        # context, acronym reduplication, …) may span a newline — each line
+        # tokenizes independently, offsets shifted back into the whole text.
+        sub = dict(opt, tokenize_per_line=False)
+        out: list[tuple[str, str, int, int]] = []
+        barriers: set[int] = set()
+        pos = 0
+        for line in text.split("\n"):
+            toks, bars = tokenize_text_with_barriers(line, sub)
+            base = len(out)
+            out.extend((w, o, b + pos, e + pos) for w, o, b, e in toks)
+            barriers.update(base + x for x in bars)
+            pos += len(line) + 1
+        return out, barriers
     # cp1252 control-range normalization (1:1, offsets preserved); raw text
     # still supplies the originals
     norm_text = _CP1252_RE.sub(lambda m: CP1252[m.group()], text)
@@ -798,6 +819,8 @@ def tokenize_text_with_barriers(text: str, options: dict | None = None):
                 word = matched.replace("\u2019", "'").replace("\u2018", "`")
             if kind == "AMPENT":
                 word = "&"  # &amp; \u2192 & (normalizeAmpersandEntity)
+            if kind == "LTGTENT":
+                word = "<" if matched[1] in "Ll" else ">"
             if kind == "QUOTE" and matched == "'" \
                     and opt["quotes"] in ("latex", "unicode") \
                     and (m.start() == 0

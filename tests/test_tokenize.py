@@ -829,3 +829,20 @@ def test_americanize_option():
     toks = tokenize_text("The colour of Labour.", {"americanize": True})
     assert [t[0] for t in toks] == ["The", "color", "of", "Labor", "."]
     assert [t[1] for t in toks] == ["The", "colour", "of", "Labour", "."]
+
+
+def test_tokenize_per_line_and_ltgt_entities():
+    """tokenizePerLine: SGML tags cannot span newlines (sgmlPerLineGold);
+    standalone &lt;/&gt; entities are < / > tokens (PTBLexer LESSTHAN)."""
+    text = '<quote previouspost="\n&gt; I agree.\n">'
+    per_line = [t[0] for t in tokenize_text(
+        text, {"keep_sgml_tokens": True, "tokenize_per_line": True,
+               "normalize_quotes": False})]
+    assert per_line == ["<", "quote", "previouspost", "=", '"',
+                        ">", "I", "agree", ".", '"', ">"]
+    # without per-line mode the multi-line tag matches whole (NBSP-joined)
+    whole = [t[0] for t in tokenize_text(text, {"keep_sgml_tokens": True})]
+    assert whole[0].startswith("<quote\xa0previouspost=")
+    # entity-wrapped email still one token (EMAIL beats LESSTHAN)
+    assert [t[0] for t in tokenize_text("&lt;b...@canada.com&gt; hi")][0] \
+        == "&lt;b...@canada.com&gt;"

@@ -46,6 +46,7 @@ PAIRS = [
     ("hyphenInputs", "hyphenGold", PTB3),
     ("apostropheInputs", "apostropheGold", dict(PTB3, normalize_parentheses=False)),
     ("sgmlInputs", "sgmlGold", UD),
+    ("sgmlInputs", "sgmlPerLineGold", dict(UD, tokenize_per_line=True)),
     ("ptbInputs", "ptbGoldSplitHyphenated", dict(UD, ellipses="unicode")),
     ("mtInputs", "mtGoldUD", UD),
     ("moreInputs", "moreGoldUD", UD),
