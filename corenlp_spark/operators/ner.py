@@ -141,6 +141,24 @@ def _gazetteer_overwrite(words: list[str], ner: list[str]) -> None:
 MONTHS = {m.lower(): i + 1 for i, m in enumerate(
     ["January", "February", "March", "April", "May", "June", "July",
      "August", "September", "October", "November", "December"])}
+#: abbreviated month tokens (SUTimeITest testOverlaps "Sun Apr 21") — only
+#: honored when the surface token is capitalized ("mar"/"jan" in lowercase
+#: running text are ordinary words)
+MONTH_ABBREV = {}
+for _m, _i in list(MONTHS.items()):
+    if _m != "may":
+        MONTH_ABBREV[_m[:3]] = _i
+        MONTH_ABBREV[_m[:3] + "."] = _i
+MONTH_ABBREV["sept"] = MONTH_ABBREV["sept."] = 9
+
+
+def _month_of(word: str) -> int | None:
+    lw = word.lower()
+    if lw in MONTHS:
+        return MONTHS[lw]
+    if word[:1].isupper() and lw in MONTH_ABBREV:
+        return MONTH_ABBREV[lw]
+    return None
 _DAY_WORDS = {"monday", "tuesday", "wednesday", "thursday", "friday",
               "saturday", "sunday", "today", "yesterday", "tomorrow",
               # holiday names are temporal, owned by the SUTime pass
@@ -150,6 +168,41 @@ _RE_YEAR = re.compile(r"^(1[6-9]\d\d|20\d\d)$")
 _RE_NUM = re.compile(r"^\d{1,3}(,\d{3})*(\.\d+)?$|^\d+(\.\d+)?$")
 _RE_ORD = re.compile(r"^(\d+)(st|nd|rd|th)$")
 _RE_TIME = re.compile(r"^(\d{1,2}):(\d{2})(?::\d{2})?$")
+_RE_SLASHDATE = re.compile(r"^(\d{1,2})/(\d{1,2})/(\d{2}|\d{4})$")
+
+
+def _expand_year(ys: str) -> int:
+    """2-digit years pivot at 40 ('05 → 2005, '97 → 1997)."""
+    y = int(ys)
+    if len(ys) == 4:
+        return y
+    return 2000 + y if y < 40 else 1900 + y
+
+
+def _ord_day(w: str) -> int | None:
+    """Day-of-month as a cardinal (21), ordinal (21st), or ordinal word
+    ("seventh" — SUTimeITest "may seventh '97")."""
+    v = _day_of(w)
+    if v is not None:
+        return v
+    lw = w.lower()
+    if lw in _ORD_WORDS and 1 <= _ORD_WORDS[lw] <= 31:
+        return _ORD_WORDS[lw]
+    m = _RE_ORD.match(lw)
+    if m and 1 <= int(m.group(1)) <= 31:
+        return int(m.group(1))
+    return None
+
+
+def _trailing_year(words: list[str], end: int, n: int) -> tuple[int, int | None]:
+    """Consume an optional year after a date head: '2013' or the
+    clitic-apostrophe form \"' 05\" (two tokens). Returns (new_end, year)."""
+    if end < n and _RE_YEAR.match(words[end]):
+        return end + 1, int(words[end])
+    if (end + 1 < n and words[end] in ("'", "’")
+            and re.match(r"^\d\d$", words[end + 1])):
+        return end + 2, _expand_year(words[end + 1])
+    return end, None
 _RE_URL = re.compile(r"^(?:(?:https?|ftp|svn(?:\+ssh)?)://|www\.|mailto:)\S+$")
 _RE_EMAIL = re.compile(r"^[\w.+\-]+@[\w\-]+(?:\.[\w\-]+)+$")
 _CURRENCY = {"$", "US$", "HK$", "A$", "C$", "£", "€", "¥"}
@@ -179,7 +232,9 @@ _NUM_SCALES = {"hundred": 100, "thousand": 1000, "million": 10**6,
 _ORD_WORDS = {
     "first": 1, "second": 2, "third": 3, "fourth": 4, "fifth": 5,
     "sixth": 6, "seventh": 7, "eighth": 8, "ninth": 9, "tenth": 10,
-    "eleventh": 11, "twelfth": 12, "thirteenth": 13, "twentieth": 20,
+    "eleventh": 11, "twelfth": 12, "thirteenth": 13, "fourteenth": 14,
+    "fifteenth": 15, "sixteenth": 16, "seventeenth": 17, "eighteenth": 18,
+    "nineteenth": 19, "twentieth": 20,
     "thirtieth": 30, "fortieth": 40, "fiftieth": 50, "hundredth": 100,
     "thousandth": 1000, "millionth": 10**6,
 }
@@ -278,33 +333,39 @@ def numeric_pass(words: list[str], ner: list[str], nner: list[str]) -> None:
             ner[t], nner[t] = "ORDINAL", f"{float(m.group(1)):.1f}"
             t += 1
             continue
-        # DATE patterns: "21 February 2013" | "February 21, 2013" | "January 20, 2009" | bare year
-        if _day_of(w) is not None and t + 1 < n and words[t + 1].lower() in MONTHS:
-            day, mon = _day_of(w), MONTHS[words[t + 1].lower()]
+        # DATE patterns: "21 February 2013" | "February 21, 2013" | "Sep 18
+        # '05" | "09/18/05" | bare year.  Month-only values render at month
+        # granularity (XXXX-08 / 1943-11, no day field), matching the
+        # reference's TIMEX3 values (SUTimeITest "November 1943" → 1943-11)
+        m_sd = _RE_SLASHDATE.match(w)
+        if m_sd:  # US-style MM/DD/YY[YY] (NumberSequenceClassifier dates)
+            mon, day = int(m_sd.group(1)), int(m_sd.group(2))
+            if 1 <= mon <= 12 and 1 <= day <= 31:
+                ner[t], nner[t] = "DATE", f"{_expand_year(m_sd.group(3))}-{mon:02d}-{day:02d}"
+                t += 1
+                continue
+        if _day_of(w) is not None and t + 1 < n \
+                and _month_of(words[t + 1]) is not None:
+            day, mon = _day_of(w), _month_of(words[t + 1])
             end = t + 2
             year = None
-            if end < n and _RE_YEAR.match(words[end]):
-                year = int(words[end])
-                end += 1
+            end, year = _trailing_year(words, end, n)
             val = f"{year}-{mon:02d}-{day:02d}" if year else f"XXXX-{mon:02d}-{day:02d}"
             for k in range(t, end):
                 ner[k], nner[k] = "DATE", val
             t = end
             continue
-        if lw in MONTHS:
-            mon = MONTHS[lw]
+        if _month_of(w) is not None:
+            mon = _month_of(w)
             end, day, year = t + 1, None, None
-            if end < n and _day_of(words[end]) is not None:
-                day = _day_of(words[end])
+            if end < n and _ord_day(words[end]) is not None:
+                day = _ord_day(words[end])
                 end += 1
                 if end < n and words[end] == ",":
                     end += 1
-            if end < n and _RE_YEAR.match(words[end]):
-                year = int(words[end])
-                end += 1
+            end, year = _trailing_year(words, end, n)
             y = str(year) if year else "XXXX"
-            d = f"{day:02d}" if day else "XX"
-            val = f"{y}-{mon:02d}-{d}"
+            val = f"{y}-{mon:02d}-{day:02d}" if day else f"{y}-{mon:02d}"
             for k in range(t, end):
                 if words[k] != ",":
                     ner[k], nner[k] = "DATE", val

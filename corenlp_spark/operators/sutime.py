@@ -113,7 +113,7 @@ _RE_HYPHDUR = _re.compile(
 
 _TUNIT = {"hour": "H", "hours": "H", "minute": "M", "minutes": "M",
           "second": "S", "seconds": "S"}
-_MOD_WORD = {"early": "START", "mid": "MID", "late": "END"}
+_MOD_WORD = {"early": "EARLY", "mid": "MID", "late": "LATE"}
 _NTH = {"first": 1, "second": 2, "third": 3, "fourth": 4, "last": -1}
 
 
@@ -232,6 +232,138 @@ def with_docdate(df: DataFrame, fixed: str | None = None,
     return df.withColumn("docdate", derived)
 
 
+#: written hour words (one..twelve) for clock expressions
+_HOUR_WORDS = {"one": 1, "two": 2, "three": 3, "four": 4, "five": 5,
+               "six": 6, "seven": 7, "eight": 8, "nine": 9, "ten": 10,
+               "eleven": 11, "twelve": 12}
+#: written minute terms for "past/to" clock expressions
+_MINUTE_WORDS = {"five": 5, "ten": 10, "twenty": 20, "twenty-five": 25,
+                 "quarter": 15, "half": 30}
+_MERIDIEM = {"pm": 12, "p.m.": 12, "p.m": 12, "am": 0, "a.m.": 0, "a.m": 0}
+
+
+def _hour_term(words, lower, j):
+    """Parse an hour anchor at j → (end, hour24, explicit) or None.
+    ``explicit`` = the anchor carries its own meridiem/absolute sense."""
+    n = len(words)
+    if j >= n:
+        return None
+    w = lower[j]
+    if w == "noon":
+        return j + 1, 12, True
+    if w == "midnight":
+        return j + 1, 0, True
+    hh = None
+    if w in _HOUR_WORDS:
+        hh = _HOUR_WORDS[w]
+    elif w.isdigit() and 1 <= int(w) <= 12:
+        hh = int(w)
+    if hh is None:
+        return None
+    if j + 1 < n and lower[j + 1] in _MERIDIEM:
+        return j + 2, hh % 12 + _MERIDIEM[lower[j + 1]], True
+    # "twelve" with no meridiem still anchors a clock phrase ("twenty
+    # after twelve" → T12:20, SUTimeITest testSUTimeTime)
+    return j + 1, hh, w == "twelve"
+
+
+def _written_clock(words, lower, i):
+    """"<min> [minutes] past/after/to/till <hour>" → (end, Thh:mm)."""
+    n = len(words)
+    w = lower[i]
+    mm = None
+    if w in _MINUTE_WORDS:
+        mm = _MINUTE_WORDS[w]
+    elif w.isdigit() and 1 <= int(w) <= 30:
+        mm = int(w)
+    if mm is None:
+        return None
+    j = i + 1
+    if w == "quarter" and j < n and lower[j] == "of":
+        # "a quarter of an hour" stays a duration
+        return None
+    explicit_min = False
+    if j < n and lower[j] in ("minutes", "minute"):
+        explicit_min = True
+        j += 1
+    if j >= n or lower[j] not in ("past", "after", "to", "till", "before"):
+        return None
+    direction = -1 if lower[j] in ("to", "till", "before") else 1
+    ht = _hour_term(words, lower, j + 1)
+    if ht is None:
+        return None
+    end, hh, explicit = ht
+    # an unmarked "<d> to <d>" needs a meridiem/noon anchor to read as a
+    # clock phrase ("3 to 4 p.m" → T15:57; "2 to 3 weeks" stays a range)
+    if not (explicit or explicit_min or words[i].lower() in
+            ("quarter", "half")):
+        return None
+    if direction > 0:
+        return end, f"T{hh:02d}:{mm:02d}"
+    return end, f"T{(hh - 1) % 24:02d}:{60 - mm:02d}"
+
+
+def _oclock(words, lower, i):
+    """"<hour> o'clock [in the <TOD>]" / "<hour> in the <TOD>"."""
+    n = len(words)
+    w = lower[i]
+    if w not in _HOUR_WORDS and not (words[i].isdigit()
+                                     and 1 <= int(words[i]) <= 12):
+        return None
+    hh = _HOUR_WORDS.get(w) or int(words[i])
+    j = i + 1
+    has_oclock = j < n and lower[j] in ("o'clock", "o’clock")
+    if has_oclock:
+        j += 1
+    if j + 2 < n and lower[j] == "in" and lower[j + 1] == "the" \
+            and lower[j + 2] in ("morning", "afternoon", "evening"):
+        if lower[j + 2] != "morning" and hh < 12:
+            hh += 12
+        return j + 3, f"T{hh:02d}:00"
+    if has_oclock:
+        return j, f"T{hh:02d}:00"
+    return None
+
+
+_CENTURY_WORDS = {"eighteen": 18, "nineteen": 19, "twenty": 20}
+_TENS_WORDS = {"twenty": 2, "thirty": 3, "forty": 4, "fifty": 5,
+               "sixty": 6, "seventy": 7, "eighty": 8, "ninety": 9}
+_DECADE_PLURALS = {"twenties": 2, "thirties": 3, "forties": 4,
+                   "fifties": 5, "sixties": 6, "seventies": 7,
+                   "eighties": 8, "nineties": 9}
+_UNITS_1_9 = {"one": 1, "two": 2, "three": 3, "four": 4, "five": 5,
+              "six": 6, "seven": 7, "eight": 8, "nine": 9}
+
+
+def _written_year(words, lower, i):
+    """"nineteen ninety-one" → (end, "1991"); "nineteen fifties" →
+    (end, "195X"); "nineteen ninety six" → (end, "1996")."""
+    cent = _CENTURY_WORDS.get(lower[i])
+    if cent is None or i + 1 >= len(words):
+        return None
+    nxt = lower[i + 1]
+    if nxt in _DECADE_PLURALS:
+        return i + 2, f"{cent}{_DECADE_PLURALS[nxt]}X"
+    if "-" in nxt:
+        a, _, b = nxt.partition("-")
+        if a in _TENS_WORDS and b in _UNITS_1_9:
+            return i + 2, str(cent * 100 + _TENS_WORDS[a] * 10
+                              + _UNITS_1_9[b])
+    if nxt in _TENS_WORDS:
+        if i + 2 < len(words) and lower[i + 2] in _UNITS_1_9:
+            return i + 3, str(cent * 100 + _TENS_WORDS[nxt] * 10
+                              + _UNITS_1_9[lower[i + 2]])
+        return i + 2, str(cent * 100 + _TENS_WORDS[nxt] * 10)
+    return None
+
+
+def _shift_months(d: datetime.date, k: int) -> datetime.date:
+    m0 = d.year * 12 + (d.month - 1) + k
+    y, m = divmod(m0, 12)
+    import calendar
+    return datetime.date(y, m + 1, min(d.day, calendar.monthrange(y, m + 1)[1]))
+
+
 def _resolve(words: list[str], lower: list[str], docdate: datetime.date):
     """Yield (start, end, ner, timex) for relative/duration/set/holiday/
     weekday/quarter expressions."""
@@ -250,6 +382,23 @@ def _resolve(words: list[str], lower: list[str], docdate: datetime.date):
             if nxt in _WEEKDAYS:
                 yield i, i + 2, "SET", f"XXXX-WXX-{_WEEKDAYS[nxt] + 1}"
                 i += 2
+                continue
+            # "every other Friday" → the weekday set (periodicity P2W is a
+            # separate TIMEX3 attribute; the value stays the weekday)
+            if nxt in ("other", "second") and i + 2 < n \
+                    and lower[i + 2] in _WEEKDAYS:
+                yield i, i + 3, "SET", f"XXXX-WXX-{_WEEKDAYS[lower[i + 2]] + 1}"
+                i += 3
+                continue
+            # "every third week of October" → XXXX-10 INTERSECT P1W-#3
+            # (SUTimeITest testSUTimeSet nth-week-of-month periodic)
+            if (nxt in _ORD_WORDS and i + 4 < n and lower[i + 2] == "week"
+                    and lower[i + 3] in ("of", "in")
+                    and lower[i + 4] in _MONTHS):
+                k = _ORD_WORDS[nxt]
+                mm = _MONTHS[lower[i + 4]]
+                yield i, i + 5, "SET", f"XXXX-{mm:02d} INTERSECT P1W-#{k}"
+                i += 5
                 continue
             if nxt in _UNIT:
                 yield i, i + 2, "SET", f"P1{_UNIT[nxt]}"
@@ -306,7 +455,12 @@ def _resolve(words: list[str], lower: list[str], docdate: datetime.date):
             i = end
             continue
         if w in _ORDINAL_WORDS and i + 1 < n and lower[i + 1] == "quarter":
-            yield i, i + 2, "DATE", f"{docdate.year}-Q{_ORDINAL_WORDS[w]}"
+            # a year token right before the ordinal pins the year:
+            # "The 1997 second quarter" → 1997-Q2 (SUTimeITest)
+            year, s0 = docdate.year, i
+            if i > 0 and _re.match(r"^(1[6-9]|20)\d\d$", words[i - 1]):
+                year, s0 = int(words[i - 1]), i - 1
+            yield s0, i + 2, "DATE", f"{year}-Q{_ORDINAL_WORDS[w]}"
             i += 2
             continue
         if w in ("last", "next", "this") and i + 1 < n and lower[i + 1] == "quarter":
@@ -315,6 +469,89 @@ def _resolve(words: list[str], lower: list[str], docdate: datetime.date):
             q0 = q - 1 + off
             yield i, i + 2, "DATE", f"{docdate.year + q0 // 4}-Q{q0 % 4 + 1}"
             i += 2
+            continue
+        # plural weekdays are periodic sets: "Thursdays in 1994" →
+        # 1994-WXX-4, "alternate Fridays" / bare "Fridays" → XXXX-WXX-5
+        # (SUTimeITest testSUTime2/testSUTimeSet)
+        if w.endswith("s") and w[:-1] in _WEEKDAYS:
+            dow = _WEEKDAYS[w[:-1]] + 1
+            s0 = i
+            if i > 0 and lower[i - 1] in ("alternate", "alternating"):
+                s0 = i - 1
+            year = "XXXX"
+            end = i + 1
+            if (i + 2 < n and lower[i + 1] == "in"
+                    and _re.match(r"^(1[6-9]|20)\d\d$", words[i + 2])):
+                year, end = words[i + 2], i + 3
+            yield s0, end, "SET", f"{year}-WXX-{dow}"
+            i = end
+            continue
+        # "the <ordinal> of <month> [year]" → a day-of-month; without an
+        # explicit year the reference fills the most recent month not
+        # after the docdate's ("the second of December" → 1994-12-02 with
+        # ref 1995-07-20; SUTimeITest testSUTime2:433-436,477-480)
+        ow = _ORD_WORDS.get(w)
+        if ow is None:
+            m_ow = _re.match(r"^(\d{1,2})(?:st|nd|rd|th)$", w)
+            if m_ow:
+                ow = int(m_ow.group(1))
+        if (ow is not None and 1 <= ow <= 31 and i + 2 < n
+                and lower[i + 1] == "of" and lower[i + 2] in _MONTHS):
+            mm = _MONTHS[lower[i + 2]]
+            end = i + 3
+            if end < n and _re.match(r"^(1[6-9]|20)\d\d$", words[end]):
+                year = int(words[end])
+                end += 1
+            else:
+                year = docdate.year if mm <= docdate.month \
+                    else docdate.year - 1
+            s0 = i - 1 if i > 0 and lower[i - 1] == "the" else i
+            yield s0, end, "DATE", f"{year}-{mm:02d}-{ow:02d}"
+            i = end
+            continue
+        # written years and decades: "nineteen ninety-one" → 1991,
+        # "nineteen ninety six" → 1996, "nineteen fifties" → 195X,
+        # "the year two thousand" → 2000 (SUTimeITest testSUTimeDate)
+        wy = _written_year(words, lower, i)
+        if wy is not None:
+            end, val = wy
+            yield i, end, "DATE", val
+            i = end
+            continue
+        if w == "year" and i + 1 < n:
+            span_y = _word_number_span(words, i + 1)
+            if span_y is not None and 1000 <= span_y[1] <= 2200 \
+                    and span_y[1] == int(span_y[1]):
+                yield i, span_y[0], "DATE", str(int(span_y[1]))
+                i = span_y[0]
+                continue
+        # BC years: "567 bc" → -0566, "1000 BC" → -0999 (ISO-8601
+        # proleptic astronomical year: year nBC = -(n-1), zero-padded)
+        if w.isdigit() and 1 <= len(w) <= 4 and i + 1 < n \
+                and lower[i + 1] in ("bc", "b.c.", "bce", "b.c.e."):
+            yield i, i + 2, "DATE", f"-{int(w) - 1:04d}"
+            i += 2
+            continue
+        # bare part-of-day with a determiner/mod gate: "late afternoon" /
+        # "the evening" → docdate+TOD (deictic anchors have their own rule)
+        if (w in _TOD and not (i + 1 < n and lower[i + 1] == "of")
+                and i > 0 and lower[i - 1] in ("the", "early", "late",
+                                               "mid")):
+            yield i, i + 1, "TIME", docdate.isoformat() + _TOD[w]
+            i += 1
+            continue
+        # "the last week of October" → the last ISO week starting in that
+        # month (not the deictic last-week rule)
+        if (w == "last" and i + 3 < n and lower[i + 1] == "week"
+                and lower[i + 2] in ("of", "in") and lower[i + 3] in _MONTHS):
+            mm = _MONTHS[lower[i + 3]]
+            year = docdate.year
+            import calendar as _cal
+            last_day = datetime.date(year, mm,
+                                     _cal.monthrange(year, mm)[1])
+            iy, iw, _ = last_day.isocalendar()
+            yield i, i + 4, "DATE", f"{iy}-W{iw:02d}"
+            i += 4
             continue
         if w in _REF:
             yield i, i + 1, "DATE", _REF[w]
@@ -387,18 +624,28 @@ def _resolve(words: list[str], lower: list[str], docdate: datetime.date):
             i += 1
             continue
         # ordinal weekday-of-month (english.sutime.txt nth-DOW rules):
-        # "the first Monday of March" / "the last Friday in June"
-        if (w in _NTH and i + 3 < n and lower[i + 1] in _WEEKDAYS
-                and lower[i + 2] in ("of", "in") and lower[i + 3] in _MONTHS):
+        # "the first Monday of March" / "the last Friday in June" /
+        # "3rd wednesday in november" / "3rd thursday this september"
+        nthw = _NTH.get(w)
+        if nthw is None:
+            m_nd = _re.match(r"^([1-5])(?:st|nd|rd|th)$", w)
+            if m_nd:
+                nthw = int(m_nd.group(1))
+        if (nthw is not None and i + 3 < n and lower[i + 1] in _WEEKDAYS
+                and lower[i + 2] in ("of", "in", "this", "next")
+                and lower[i + 3] in _MONTHS):
             month = _MONTHS[lower[i + 3]]
             dow = _WEEKDAYS[lower[i + 1]]
-            nth = _NTH[w]
+            nth = nthw
+            nyear = docdate.year
+            if lower[i + 2] == "next" and month <= docdate.month:
+                nyear += 1
             if nth > 0:
-                d0 = datetime.date(docdate.year, month, 1)
+                d0 = datetime.date(nyear, month, 1)
                 off = (dow - d0.weekday()) % 7
                 d = d0 + datetime.timedelta(days=off + 7 * (nth - 1))
             else:  # last <dow> of month
-                nm = datetime.date(docdate.year + month // 12,
+                nm = datetime.date(nyear + month // 12,
                                    month % 12 + 1, 1)
                 d = nm - datetime.timedelta(days=1)
                 d -= datetime.timedelta(days=(d.weekday() - dow) % 7)
@@ -438,6 +685,32 @@ def _resolve(words: list[str], lower: list[str], docdate: datetime.date):
             yield i, i + 3, "DURATION", val
             i += 3
             continue
+        # written clock times (english.sutime.txt relative-clock rules;
+        # SUTimeITest testSUTimeTime): "ten minutes to three" → T02:50,
+        # "quarter to twelve" → T11:45, "half past noon" → T12:30,
+        # "twenty after twelve" → T12:20, "3 to 4 p.m" → T15:57
+        wc = _written_clock(words, lower, i)
+        if wc is not None:
+            end, val = wc
+            yield i, end, "TIME", val
+            i = end
+            continue
+        # "<hour> o'clock [in the morning/afternoon/evening]" → T<hh>:00;
+        # "eleven in the morning" / "three in the morning" → hour + TOD
+        oc = _oclock(words, lower, i)
+        if oc is not None:
+            end, val = oc
+            yield i, end, "TIME", val
+            i = end
+            continue
+        # military clock: "1800 hours" → T18:00 (SUTimeITest
+        # testSUTimeDateTime:1050) — outranks the PT1800H duration read
+        if (len(w) == 4 and w.isdigit() and i + 1 < n
+                and lower[i + 1] == "hours" and int(w[:2]) < 24
+                and int(w[2:]) < 60):
+            yield i, i + 2, "TIME", f"T{w[:2]}:{w[2:]}"
+            i += 2
+            continue
         # clock hour + meridiem: "7 pm" → T19:00; a trailing zone token
         # ("5 pm EST", "noon GMT") joins the span — the value stays
         # zone-free like the reference's default (no tz database loaded)
@@ -476,6 +749,12 @@ def _resolve(words: list[str], lower: list[str], docdate: datetime.date):
         if m_cent and i + 1 < n and lower[i + 1] in ("century", "century."):
             c = int(m_cent.group(1))
             if 1 <= c <= 21:
+                # "5th century B.C." → -04XX (SUTimeITest testSUTimeDate)
+                if i + 2 < n and lower[i + 2] in ("bc", "b.c.", "bce",
+                                                  "b.c.e."):
+                    yield i, i + 3, "DATE", f"-{c - 1:02d}XX"
+                    i += 3
+                    continue
                 yield i, i + 2, "DATE", f"{c - 1:02d}XX"
                 i += 2
                 continue
@@ -702,11 +981,6 @@ def _resolve(words: list[str], lower: list[str], docdate: datetime.date):
                                                              -iv)
                         i = k + 2
                         continue
-                    if i > 0 and lower[i - 1] == "in":
-                        yield i - 1, k + 1, "DATE", _unit_offset(docdate,
-                                                                 unit, iv)
-                        i = k + 1
-                        continue
                     yield i, k + 1, "DURATION", f"P{iv}{unit}"
                     i = k + 1
                     continue
@@ -744,19 +1018,27 @@ def _resolve(words: list[str], lower: list[str], docdate: datetime.date):
             continue
         # sub-day durations: "three hours" → PT3H, "45 minutes" → PT45M
         # (no date resolution — the docdate carries no time-of-day anchor)
-        if qty is not None and i + 1 < n and lower[i + 1] in _TUNIT:
+        if qty is not None and i + 1 < n and lower[i + 1] in _TUNIT \
+                and not (lower[i + 1] in ("second", "seconds")
+                         and i + 2 < n and lower[i + 2] in ("quarter",
+                                                            "half")):
+            # "The 1997 second quarter" is an ordinal quarter, not 1997
+            # seconds (SUTimeITest testSUTimeDate)
             yield i, i + 2, "DURATION", f"PT{qty}{_TUNIT[lower[i + 1]]}"
             i += 2
             continue
         if qty is not None and i + 1 < n and lower[i + 1] in _UNIT:
             unit = _UNIT[lower[i + 1]]
-            # offset resolution: "<n> weeks ago" / "in <n> weeks" resolve to
-            # a concrete value against the docdate (ISO week for W)
+            # offset resolution: "<n> weeks ago" resolves against the
+            # docdate; "in <n> weeks" resolves ONLY for the article forms
+            # ("in a month") — numeric counts stay durations, matching the
+            # reference ("The book was completed in four years." → P4Y,
+            # SUTimeITest testSUTimeDurations)
             if i + 2 < n and lower[i + 2] == "ago":
                 yield i, i + 3, "DATE", _unit_offset(docdate, unit, -qty)
                 i += 3
                 continue
-            if i > 0 and lower[i - 1] == "in":
+            if i > 0 and lower[i - 1] == "in" and lower[i] in ("a", "an"):
                 yield i - 1, i + 2, "DATE", _unit_offset(docdate, unit, qty)
                 i += 2
                 continue
@@ -826,16 +1108,20 @@ _MOD_PREFIX: dict[tuple[str, ...], tuple[str, str]] = {
     ("at", "least"): ("EQUAL_OR_MORE", "dur"),
     ("at", "most"): ("EQUAL_OR_LESS", "dur"),
     ("up", "to"): ("EQUAL_OR_LESS", "dur"),
-    ("early",): ("START", "date"),
+    # english.sutime.txt:190-195: early/beginning → EARLY, late/end →
+    # LATE, mid/middle → MID (the GUTIME mod values, not START/END)
+    ("early",): ("EARLY", "date"),
+    ("beginning",): ("EARLY", "date"),
     ("mid",): ("MID", "date"),
-    ("late",): ("END", "date"),
+    ("middle",): ("MID", "date"),
+    ("late",): ("LATE", "date"),
 }
 
 
 def _mark_mods(toks: list[dict], lower: list[str]) -> None:
     """TIMEX3 mod attributes: a mod phrase immediately before a temporal
     run extends the span and appends ``|MOD`` to the value string ("about
-    three weeks" → P3W|APPROX, "early 2015" → 2015|START, "more than two
+    three weeks" → P3W|APPROX, "early 2015" → 2015|EARLY, "more than two
     years" → P2Y|MORE_THAN). The value stays a string (SURVEY §1.1); the
     pipe-suffix is this engine's serialization of the separate TIMEX3
     ``mod`` XML attribute the reference emits."""
@@ -869,6 +1155,353 @@ def _mark_mods(toks: list[dict], lower: list[str]) -> None:
                 toks[k]["ner"], toks[k]["nner"] = ner, newval
 
 
+_RE_V_DAY = _re.compile(r"^\d{4}-\d\d-\d\d$")
+_RE_V_MONTHPART = _re.compile(r"^(XXXX|\d{4})-(\d\d)$")
+_RE_V_MD = _re.compile(r"^XXXX-(\d\d)(-\d\d)?$")
+_RE_V_WEEK = _re.compile(r"^(\d{4})-W(\d\d)$")
+_RE_V_YEAR = _re.compile(r"^\d{4}$")
+_RE_V_CLOCK = _re.compile(r"^T\d\d:\d\d$")
+
+_WK_ABBREV = {"mon", "tue", "tues", "wed", "thu", "thur", "thurs", "fri",
+              "sat", "sun", "mon.", "tue.", "wed.", "thu.", "fri.", "sat.",
+              "sun."}
+_WK_FILLER = {"last", "next", "this", "the"}
+_TODC = {"morning": "TMO", "afternoon": "TAF", "evening": "TEV",
+         "night": "TNI"}
+
+
+def _temporal_spans(toks):
+    """Maximal runs of identical (ner, nner) for temporal classes."""
+    spans = []
+    i = 0
+    n = len(toks)
+    while i < n:
+        ner = toks[i].get("ner")
+        val = str(toks[i].get("nner", ""))
+        if ner in ("DATE", "TIME", "DURATION", "SET") and val:
+            j = i
+            while j < n and toks[j].get("ner") == ner \
+                    and str(toks[j].get("nner", "")) == val:
+                j += 1
+            spans.append([i, j, ner, val])
+            i = j
+        else:
+            i += 1
+    return spans
+
+
+def _is_weekday_span(toks, lower, s, e, val):
+    return (toks[s].get("ner") == "DATE" and _RE_V_DAY.match(val)
+            and all(lw in _WEEKDAYS or lw in _WK_ABBREV or lw in _WK_FILLER
+                    for lw in lower[s:e]))
+
+
+def _is_explicit_date_span(words, lower, s, e):
+    """Contains a month word / digits — i.e. not weekday-derived."""
+    from corenlp_spark.operators.ner import _month_of
+
+    return any(_month_of(words[k]) is not None or any(c.isdigit()
+               for c in words[k]) for k in range(s, e))
+
+
+def _compose_anchor(toks: list[dict], lower: list[str], words: list[str],
+                    docdate: datetime.date) -> None:
+    """Fuse adjacent temporal spans and anchor partials against the
+    docdate (time/SUTime.java TemporalCompose INTERSECT + PartialTime
+    resolve; SUTimeITest testSUTime2/testSUTimeDateTime/testOverlaps):
+
+    - weekday ⊕ explicit date → the explicit date ("Friday, October 1,
+      1999" → 1999-10-01; "Sun Apr 21" absorbs the abbreviation)
+    - weekday ⊕ "the Nth" → day-of-docdate-month ("Tuesday the 14th")
+    - weekday ⊕ ISO week → that week's weekday ("Saturday last week")
+    - month partial ⊕ year → year-month ("October of 1963", "August
+      last year")
+    - ordinal ⊕ day/week/month ⊕ container ("4th day last week", "3rd
+      month next year", "the third week of April")
+    - duration ⊕ from/before/after ⊕ date → shifted date ("two weeks
+      from next Tuesday"); "<n> <unit> ago" chains re-resolve at day
+      granularity ("1 year ago tomorrow", "3 months ago Saturday")
+    - date ⊕ clock/TOD → datetime ("Friday at 8:00 pm" →
+      XXXX-…T20:00; "Saturday night" → …TNI)
+    - year ⊕ 's ⊕ season ("This year's summer" → 1999-SU)
+    - finally: XXXX month-days take the docdate year; bare clock times
+      take the docdate (reference PartialTime.resolve default fill)
+    """
+    n = len(toks)
+
+    def stamp(a, b, ner, val):
+        for k in range(a, b):
+            toks[k]["ner"], toks[k]["nner"] = ner, val
+
+    def num_before_unit(s, e):
+        """Parse '<k> <unit> ago' tokens → (k, unit) or None."""
+        if e - s < 2 or lower[e - 1] != "ago":
+            return None
+        uw = lower[e - 2]
+        unit = _UNIT.get(uw)
+        if unit is None:
+            return None
+        k = 1
+        if e - s >= 3:
+            t0 = lower[s]
+            if t0.isdigit():
+                k = int(t0)
+            elif t0 in NUMBER_WORDS:
+                k = NUMBER_WORDS[t0]
+        return k, unit
+
+    def shifted(day: datetime.date, unit: str, k: int) -> datetime.date:
+        if unit == "D":
+            return day + datetime.timedelta(days=k)
+        if unit == "W":
+            return day + datetime.timedelta(weeks=k)
+        if unit == "M":
+            return _shift_months(day, k)
+        return datetime.date(day.year + k, day.month,
+                             min(day.day, 28) if (day.month == 2 and
+                                                  day.day == 29) else day.day)
+
+    for _pass in range(5):
+        changed = False
+        spans = _temporal_spans(toks)
+        for si, (s, e, ner, val) in enumerate(spans):
+            nxt = spans[si + 1] if si + 1 < len(spans) else None
+            gap = lower[e:nxt[0]] if nxt else None
+
+            # weekday ⊕ explicit date (either side, "," connector)
+            if nxt and gap in ([], [","]):
+                s2, e2, ner2, val2 = nxt
+                wk_l = _is_weekday_span(toks, lower, s, e, val)
+                wk_r = _is_weekday_span(toks, lower, s2, e2, val2)
+                ex_l = ner == "DATE" and not wk_l and \
+                    _is_explicit_date_span(words, lower, s, e) and \
+                    (_RE_V_DAY.match(val) or _RE_V_MD.match(val))
+                ex_r = ner2 == "DATE" and not wk_r and \
+                    _is_explicit_date_span(words, lower, s2, e2) and \
+                    (_RE_V_DAY.match(val2) or _RE_V_MD.match(val2))
+                if wk_l and ex_r:
+                    stamp(s, e2, "DATE", val2)
+                    changed = True
+                    break
+                if ex_l and wk_r:
+                    stamp(s, e2, "DATE", val)
+                    changed = True
+                    break
+
+            # bare abbreviated-weekday token absorbed into an explicit date
+            if ner == "DATE" and (_RE_V_DAY.match(val)
+                                  or _RE_V_MD.match(val)) \
+                    and _is_explicit_date_span(words, lower, s, e):
+                if s > 0 and toks[s - 1].get("ner", "O") == "O" \
+                        and lower[s - 1] in (_WK_ABBREV | set(_WEEKDAYS)):
+                    stamp(s - 1, e, "DATE", val)
+                    changed = True
+                    break
+                if e < n and toks[e].get("ner", "O") == "O" \
+                        and lower[e] in (_WK_ABBREV | set(_WEEKDAYS)):
+                    stamp(s, e + 1, "DATE", val)
+                    changed = True
+                    break
+
+            # weekday ⊕ "the Nth" → day of the docdate's month
+            if _is_weekday_span(toks, lower, s, e, val) and e + 1 < n \
+                    and lower[e] == "the" \
+                    and toks[e + 1].get("ner") == "ORDINAL":
+                day = int(float(toks[e + 1]["nner"]))
+                if 1 <= day <= 31:
+                    stamp(s, e + 2, "DATE",
+                          f"{docdate.year}-{docdate.month:02d}-{day:02d}")
+                    changed = True
+                    break
+
+            # weekday ⊕ ISO-week span → that week's weekday
+            if nxt and gap == [] and _is_weekday_span(toks, lower, s, e, val):
+                mw = _RE_V_WEEK.match(nxt[3])
+                if mw and nxt[2] == "DATE":
+                    dow = datetime.date.fromisoformat(val).isoweekday()
+                    d = datetime.date.fromisocalendar(
+                        int(mw.group(1)), int(mw.group(2)), dow)
+                    stamp(s, nxt[1], "DATE", d.isoformat())
+                    changed = True
+                    break
+
+            # month partial ⊕ [of/in/,] ⊕ year span → year-month
+            if nxt and ner == "DATE" and nxt[2] == "DATE" \
+                    and gap in ([], ["of"], ["in"], [","]):
+                mm_ = _RE_V_MONTHPART.match(val)
+                if mm_ and mm_.group(1) == "XXXX" \
+                        and _RE_V_YEAR.match(nxt[3]):
+                    stamp(s, nxt[1], "DATE", f"{nxt[3]}-{mm_.group(2)}")
+                    changed = True
+                    break
+
+            # ordinal ⊕ day/month ⊕ container span
+            if toks[s].get("ner") == "ORDINAL" and s == e - 1:
+                pass  # ordinals are single tokens; handled via scan below
+
+            # duration ⊕ from/before/after ⊕ resolved day
+            if nxt and ner == "DURATION" and nxt[2] == "DATE" \
+                    and gap in (["from"], ["before"], ["after"]) \
+                    and _RE_V_DAY.match(nxt[3]):
+                md = _re.match(r"^P(\d+)([DWMY])$", val)
+                if md:
+                    k = int(md.group(1))
+                    if gap == ["before"]:
+                        k = -k
+                    d = shifted(datetime.date.fromisoformat(nxt[3]),
+                                md.group(2), k)
+                    stamp(s, nxt[1], "DATE", d.isoformat())
+                    changed = True
+                    break
+
+            # "<n> <unit> ago" ⊕ date/weekday → re-resolve at day grain
+            if nxt and ner == "DATE" and nxt[2] == "DATE" and gap == []:
+                ago = num_before_unit(s, e)
+                if ago is not None:
+                    k, unit = ago
+                    if _RE_V_DAY.match(nxt[3]) and not \
+                            _is_weekday_span(toks, lower, nxt[0], nxt[1],
+                                             nxt[3]):
+                        d = shifted(datetime.date.fromisoformat(nxt[3]),
+                                    unit, -k)
+                        stamp(s, nxt[1], "DATE", d.isoformat())
+                        changed = True
+                        break
+                    if _is_weekday_span(toks, lower, nxt[0], nxt[1], nxt[3]):
+                        d = shifted(docdate, unit, -k)
+                        stamp(s, nxt[1], "DATE", d.isoformat())
+                        changed = True
+                        break
+
+            # resolved day ⊕ [at/on/,] ⊕ clock time (either order)
+            if nxt and gap in ([], ["at"], ["on"], [","]):
+                s2, e2, ner2, val2 = nxt
+                d_l = ner == "DATE" and _RE_V_DAY.match(val)
+                d_r = ner2 == "DATE" and _RE_V_DAY.match(val2)
+                t_l = ner == "TIME" and "T" in val and "/" not in val \
+                    and "|" not in val
+                t_r = ner2 == "TIME" and "T" in val2 and "/" not in val2 \
+                    and "|" not in val2
+                if d_l and t_r:
+                    stamp(s, e2, "TIME", val + "T" + val2.split("T", 1)[1])
+                    changed = True
+                    break
+                if t_l and d_r:
+                    stamp(s, e2, "TIME", val2 + "T" + val.split("T", 1)[1])
+                    changed = True
+                    break
+
+            # clock time ⊕ on/at ⊕ bare abbreviated weekday ("quarter to
+            # twelve on Wed" — full names resolve to DATE spans upstream)
+            if ner == "TIME" and "T" in val and "/" not in val \
+                    and "|" not in val:
+                j = e + 1 if e < n and lower[e] in ("on", "at") else e
+                if j < n and toks[j].get("ner", "O") == "O" \
+                        and lower[j] in _WK_ABBREV:
+                    base = lower[j].rstrip(".")
+                    full = next(d for d in _WEEKDAYS
+                                if d.startswith(base[:3]))
+                    monday = docdate - datetime.timedelta(
+                        days=docdate.weekday())
+                    d = monday + datetime.timedelta(days=_WEEKDAYS[full])
+                    stamp(s, j + 1, "TIME",
+                          d.isoformat() + "T" + val.split("T", 1)[1])
+                    changed = True
+                    break
+
+            # resolved day ⊕ bare time-of-day word → date+TOD
+            if ner == "DATE" and _RE_V_DAY.match(val) and e < n \
+                    and toks[e].get("ner", "O") == "O" \
+                    and lower[e] in _TODC:
+                stamp(s, e + 1, "TIME", val + _TODC[lower[e]])
+                changed = True
+                break
+
+            # year ⊕ 's ⊕ season → year-season
+            if ner == "DATE" and _RE_V_YEAR.match(val) and e + 1 < n \
+                    and lower[e] in ("'s", "’s") and lower[e + 1] in _SEASONS:
+                stamp(s, e + 2, "DATE", f"{val}-{_SEASONS[lower[e + 1]]}")
+                changed = True
+                break
+
+        if changed:
+            continue
+
+        # ordinal + day/week/month + container (one scan; containers are
+        # spans so this lives outside the pairwise loop)
+        for s, e, ner, val in spans:
+            # "<ord> day|month" immediately before this container span
+            if s >= 2 and toks[s - 2].get("ner") == "ORDINAL":
+                k = int(float(toks[s - 2]["nner"]))
+                unit_w = lower[s - 1]
+                mw = _RE_V_WEEK.match(val)
+                if unit_w == "day" and mw and 1 <= k <= 7:
+                    d = datetime.date.fromisocalendar(
+                        int(mw.group(1)), int(mw.group(2)), k)
+                    a = s - 3 if s >= 3 and lower[s - 3] == "the" else s - 2
+                    stamp(a, e, "DATE", d.isoformat())
+                    changed = True
+                    break
+                if unit_w == "month" and _RE_V_YEAR.match(val) \
+                        and 1 <= k <= 12:
+                    a = s - 3 if s >= 3 and lower[s - 3] == "the" else s - 2
+                    stamp(a, e, "DATE", f"{val}-{k:02d}")
+                    changed = True
+                    break
+            # "<ord> week of <month-partial>" → nth ISO week of the month
+            if s >= 3 and toks[s - 3].get("ner") == "ORDINAL" \
+                    and lower[s - 2] == "week" and lower[s - 1] in ("of", "in"):
+                mm_ = _RE_V_MONTHPART.match(val)
+                if mm_:
+                    k = int(float(toks[s - 3]["nner"]))
+                    year = (docdate.year if mm_.group(1) == "XXXX"
+                            else int(mm_.group(1)))
+                    first = datetime.date(year, int(mm_.group(2)), 1)
+                    iy, iw, _ = first.isocalendar()
+                    wk = iw + k - 1
+                    a = s - 4 if s >= 4 and lower[s - 4] == "the" else s - 3
+                    stamp(a, e, "DATE", f"{iy}-W{wk:02d}")
+                    changed = True
+                    break
+        if not changed:
+            break
+
+    # final anchoring: fill the docdate year / date into partials
+    for s, e, ner, val in _temporal_spans(toks):
+        if ner == "DATE":
+            md = _RE_V_MD.match(val)
+            if md:
+                stamp(s, e, "DATE", f"{docdate.year}{val[4:]}")
+        elif ner == "TIME" and _RE_V_CLOCK.match(val):
+            stamp(s, e, "TIME", docdate.isoformat() + val)
+
+
+def annotate_tokens(toks: list[dict], docdate: datetime.date) -> None:
+    """In-place sutime kernel over one doc's token dicts: resolve →
+    ranges → compose/anchor → mods (the per-doc body of sutime_docs;
+    also the serving/audit path)."""
+    words = [t["word"] for t in toks]
+    lower = [w.lower() for w in words]
+    for item in _resolve(words, lower, docdate):
+        s, e, ner, val = item[:4]
+        force = len(item) > 4 and item[4]
+        # overwrite O/NUMBER tokens, OFFSET placeholders, and
+        # DATE tokens being refined into a wider expression
+        # ("Q3 2020" absorbs the bare-year DATE); force=True
+        # spans (holidays) also outrank statistical NER tags
+        if force or all(
+            toks[k].get("ner", "O") in ("O", "NUMBER", "ORDINAL",
+                                        "DATE")
+            or str(toks[k].get("nner", "")).startswith("OFFSET")
+            for k in range(s, e)
+        ):
+            for k in range(s, e):
+                toks[k]["ner"], toks[k]["nner"] = ner, val
+    _mark_ranges(toks, lower)
+    _compose_anchor(toks, lower, words, docdate)
+    _mark_mods(toks, lower)
+
+
 def sutime_docs(df: DataFrame) -> DataFrame:
     """Resolve relative temporal expressions against the docdate column
     (requires tokens + docdate; overwrites only O-tagged tokens)."""
@@ -879,26 +1512,7 @@ def sutime_docs(df: DataFrame) -> DataFrame:
             new_tokens = []
             for toks, dd in zip(pdf["tokens"], pdf["docdate"]):
                 toks = [dict(t) for t in toks]
-                docdate = datetime.date.fromisoformat(str(dd))
-                words = [t["word"] for t in toks]
-                lower = [w.lower() for w in words]
-                for item in _resolve(words, lower, docdate):
-                    s, e, ner, val = item[:4]
-                    force = len(item) > 4 and item[4]
-                    # overwrite O/NUMBER tokens, OFFSET placeholders, and
-                    # DATE tokens being refined into a wider expression
-                    # ("Q3 2020" absorbs the bare-year DATE); force=True
-                    # spans (holidays) also outrank statistical NER tags
-                    if force or all(
-                        toks[k].get("ner", "O") in ("O", "NUMBER", "ORDINAL",
-                                                    "DATE")
-                        or str(toks[k].get("nner", "")).startswith("OFFSET")
-                        for k in range(s, e)
-                    ):
-                        for k in range(s, e):
-                            toks[k]["ner"], toks[k]["nner"] = ner, val
-                _mark_ranges(toks, lower)
-                _mark_mods(toks, lower)
+                annotate_tokens(toks, datetime.date.fromisoformat(str(dd)))
                 new_tokens.append(toks)
             pdf = pdf.copy()
             pdf["tokens"] = new_tokens

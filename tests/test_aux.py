@@ -130,7 +130,9 @@ def test_sutime_week_arithmetic_duration_ranges_months(spark):
     assert maps[1]["ago"] == ("DATE", "2020-W23")
     # article-as-one offsets
     assert maps[4]["week"] == ("DATE", "2020-W24")
-    assert maps[1]["days"] == ("DATE", "2020-06-18")
+    # r5 reference alignment: numeric "in <n> <unit>" stays a DURATION
+    # (SUTimeITest "in four years" -> P4Y); only article forms offset
+    assert maps[1]["days"] == ("DURATION", "P3D")
     assert maps[2]["2-3"] == ("DURATION", "P2W/P3W")
     assert maps[2]["four"] == ("DURATION", "P2M/P4M")
     m3 = rows[3]["tokens"]
@@ -172,7 +174,9 @@ def test_sutime_decades_seasons_meridiem_weekend(spark):
     maps = [_tok_map(r) for r in rows]
     assert maps[0]["1990s"] == ("DATE", "199X")
     assert maps[0]["mid-2015"] == ("DATE", "2015|MID")
-    assert maps[1]["pm"] == ("TIME", "T19:00")
+    # r5: bare clock times anchor to the docdate (SUTimeITest "7pm" ->
+    # 2005-08-12T19:00)
+    assert maps[1]["pm"] == ("TIME", "2020-06-15T19:00")
     assert maps[1]["weekend"] == ("DATE", "2020-W26-WE")
     assert maps[2]["summer"] == ("DATE", "1969-SU")
     assert maps[2]["fall"][0] != "DATE"  # verb use never fires
@@ -241,8 +245,8 @@ def test_sutime_timex_mod_attributes(spark):
     assert maps[0]["weeks"] == ("DURATION", "P3W|APPROX")
     assert maps[1]["more"] == ("DURATION", "P2Y|MORE_THAN")
     assert maps[1]["less"] == ("DURATION", "P1M|LESS_THAN")
-    assert maps[2]["early"] == ("DATE", "2015|START")
-    assert maps[2]["late"] == ("DATE", "2008|END")
+    assert maps[2]["early"] == ("DATE", "2015|EARLY")
+    assert maps[2]["late"] == ("DATE", "2008|LATE")
     assert maps[3]["least"] == ("DURATION", "P5D|EQUAL_OR_MORE")
     # 'early' not followed by a temporal run stays untouched
     assert maps[4]["early"][0] not in ("DATE", "TIME", "DURATION")
@@ -417,7 +421,7 @@ def test_json_timex_mod_and_anchor(spark):
     doc = json.loads(to_corenlp_json(ann).first()["json"])
     tx = {t["word"]: t.get("timex") for s in doc["sentences"]
           for t in s["tokens"]}
-    assert tx["2015"]["value"] == "2015" and tx["2015"]["mod"] == "START"
+    assert tx["2015"]["value"] == "2015" and tx["2015"]["mod"] == "EARLY"
     assert tx["tomorrow"]["value"] == "2020-06-16"
     assert tx["tomorrow"]["anchorTimeID"] == "t0"
     # an absolute date gets no anchor and no mod
@@ -432,8 +436,8 @@ def test_sutime_timezone_joins_clock_span(spark):
                         fixed="2020-06-15")
     out = sutime_docs(annotate(docs, upto="ner")).first()
     m = _tok_map(out)
-    assert m["5"] == ("TIME", "T17:00")
-    assert m["est"] == ("TIME", "T17:00")
+    assert m["5"] == ("TIME", "2020-06-15T17:00")
+    assert m["est"] == ("TIME", "2020-06-15T17:00")
 
 
 def test_sutime_r5_weekend_century_week_fortnight_decades(spark):
@@ -512,3 +516,53 @@ def test_sutime_itest_duration_tranche(spark):
     assert maps[9]["60"] == ("DURATION", "P60D|EQUAL_OR_LESS")
     assert maps[9]["no"] == ("DURATION", "P60D|EQUAL_OR_LESS")
     assert maps[9]["22-year"] == ("DURATION", "P22Y")
+
+
+def test_sutime_itest_r5_tranche(spark):
+    """SUTimeITest tranche 2 (testSUTimeTime/testSUTime2/testSUTimeDate/
+    testSUTimeDateTime2 re-expressed): written clock times, date+time
+    composition, weekday fusion with explicit dates, written years, BC
+    years, year-prefixed quarters, plural-weekday sets, month-day year
+    anchoring. Docdate 1995-07-20 (a Thursday)."""
+    docs = with_docdate(_docs(spark, [
+        "It was ten minutes to three. Meet at half past noon.",
+        "The concert is at 8:00 pm on Friday.",
+        "Mr. Smith left Friday, October 1, 1999.",
+        "Mr. Smith arrived on the second of December.",
+        "In October of 1963, there was a big snow storm.",
+        "The book was published in nineteen ninety-one.",
+        "I tutored some Thursdays in 1994. She sees him alternate Fridays.",
+        "The 1997 second quarter was strong.",
+        "The city was founded in 567 bc.",
+        "It happened May 1. The play is the third week of April.",
+        "She arrived Saturday night. He left 2 days before yesterday.",
+    ]), fixed="1995-07-20")
+    rows = sutime_docs(annotate(docs, upto="ner")).collect()
+    maps = [_tok_map(r) for r in rows]
+    # written clock, docdate-anchored
+    assert maps[0]["ten"] == ("TIME", "1995-07-20T02:50")
+    assert maps[0]["half"] == ("TIME", "1995-07-20T12:30")
+    # date+time composition through "on"
+    assert maps[1]["8:00"] == ("TIME", "1995-07-21T20:00")
+    assert maps[1]["friday"] == ("TIME", "1995-07-21T20:00")
+    # weekday fused into the explicit date (explicit wins)
+    assert maps[2]["friday"] == ("DATE", "1999-10-01")
+    # "the Nth of Month": most recent month not after the docdate's
+    assert maps[3]["december"] == ("DATE", "1994-12-02")
+    # month of year
+    assert maps[4]["october"] == ("DATE", "1963-10")
+    # written year
+    assert maps[5]["nineteen"] == ("DATE", "1991")
+    # plural weekday sets
+    assert maps[6]["thursdays"] == ("SET", "1994-WXX-4")
+    assert maps[6]["fridays"] == ("SET", "XXXX-WXX-5")
+    # year-prefixed ordinal quarter (not PT1997S!)
+    assert maps[7]["1997"] == ("DATE", "1997-Q2")
+    # BC year (ISO-8601 astronomical)
+    assert maps[8]["567"] == ("DATE", "-0566")
+    # month-day anchors to the docdate year; nth week of month
+    assert maps[9]["may"] == ("DATE", "1995-05-01")
+    assert maps[9]["third"] == ("DATE", "1995-W15")
+    # weekday+TOD composition and duration-before-date offset
+    assert maps[10]["night"] == ("TIME", "1995-07-22TNI")
+    assert maps[10]["2"] == ("DATE", "1995-07-17")
