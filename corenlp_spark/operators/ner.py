@@ -167,8 +167,12 @@ _DAY_WORDS = {"monday", "tuesday", "wednesday", "thursday", "friday",
 _RE_YEAR = re.compile(r"^(1[6-9]\d\d|20\d\d)$")
 _RE_NUM = re.compile(r"^\d{1,3}(,\d{3})*(\.\d+)?$|^\d+(\.\d+)?$")
 _RE_ORD = re.compile(r"^(\d+)(st|nd|rd|th)$")
-_RE_TIME = re.compile(r"^(\d{1,2}):(\d{2})(?::\d{2})?$")
+_RE_TIME = re.compile(r"^(\d{1,2}):(\d{2})(?::(\d{2}))?$")
 _RE_SLASHDATE = re.compile(r"^(\d{1,2})/(\d{1,2})/(\d{2}|\d{4})$")
+_RE_ISODT = re.compile(r"^(\d{4})-(\d\d)-(\d\d)(T\d\d(?::\d\d(?::\d\d)?)?)?$")
+_RE_ISOYM = re.compile(r"^(\d{4})-(\d\d)$")
+_RE_DOTDATE = re.compile(r"^(\d{1,2})\.(\d{1,2})\.(\d{2}|\d{4})$")
+_RE_DASHDATE = re.compile(r"^(\d{1,2})-(\d{1,2})-(\d{4})$")
 
 
 def _expand_year(ys: str) -> int:
@@ -311,16 +315,43 @@ def numeric_pass(words: list[str], ner: list[str], nner: list[str]) -> None:
             t += 1
             continue
         m = _RE_TIME.match(w)
-        if m:  # 4:45 [pm]
-            hh, mm = int(m.group(1)), m.group(2)
+        if m:  # 4:45 [pm], 6:53:32
+            hh, mm, ss = int(m.group(1)), m.group(2), m.group(3)
             end = t + 1
             if end < n and words[end].lower() in ("pm", "p.m.", "am", "a.m."):
                 if words[end].lower().startswith("p") and hh < 12:
                     hh += 12
                 end += 1
+            val = f"T{hh:02d}:{mm}" + (f":{ss}" if ss else "")
             for k in range(t, end):
-                ner[k], nner[k] = "TIME", f"T{hh:02d}:{mm}"
+                ner[k], nner[k] = "TIME", val
             t = end
+            continue
+        # ISO-8601 tokens the tokenizer keeps whole (SUTimeITest
+        # testSUTimeIso): 1988-02-17 / 2008-04 / 2004-03-04T18:32:56 /
+        # 2008-05-16T09, European dotted 19.02.2010, US dashed 12-03-2007
+        m = _RE_ISODT.match(w)
+        if m and 1 <= int(m.group(2)) <= 12 and 1 <= int(m.group(3)) <= 31:
+            ner[t], nner[t] = ("TIME" if m.group(4) else "DATE"), w
+            t += 1
+            continue
+        m = _RE_ISOYM.match(w)
+        if m and 1 <= int(m.group(2)) <= 12:
+            ner[t], nner[t] = "DATE", w
+            t += 1
+            continue
+        m = _RE_DOTDATE.match(w)
+        if m and 1 <= int(m.group(2)) <= 12 and 1 <= int(m.group(1)) <= 31:
+            ner[t], nner[t] = "DATE", (f"{_expand_year(m.group(3))}-"
+                                       f"{int(m.group(2)):02d}-"
+                                       f"{int(m.group(1)):02d}")
+            t += 1
+            continue
+        m = _RE_DASHDATE.match(w)
+        if m and 1 <= int(m.group(1)) <= 12 and 1 <= int(m.group(2)) <= 31:
+            ner[t], nner[t] = "DATE", (f"{m.group(3)}-{int(m.group(1)):02d}-"
+                                       f"{int(m.group(2)):02d}")
+            t += 1
             continue
         if w in _CURRENCY and t + 1 < n and _RE_NUM.match(words[t + 1]):
             val = float(words[t + 1].replace(",", ""))

@@ -40,14 +40,47 @@ _CARDINALS = {"two": 2, "three": 3, "four": 4, "five": 5, "six": 6,
 # common zone abbreviations (time/SUTime timezone tokens join the TIME
 # span; values stay zone-free — no tz database in this engine)
 _TZ_ABBREVS = {"est", "edt", "cst", "cdt", "mst", "mdt", "pst", "pdt",
-               "gmt", "utc", "bst", "cet", "cest", "jst", "ist"}
+               "gmt", "utc", "bst", "cet", "cest", "jst", "ist", "msk"}
+#: RFC-822 numeric offsets the reference's JodaTime zone table renders for
+#: these names (SUTimeITest testSUIsoWithTimezone — note PDT/EDT render at
+#: the STANDARD offset there, matching the gold)
+_TZ_OFFSET = {"pst": "-0800", "pdt": "-0800", "est": "-0500",
+              "edt": "-0500", "cst": "-0600", "cdt": "-0600",
+              "mst": "-0700", "mdt": "-0700", "gmt": "+0000",
+              "utc": "+0000", "msk": "+0300"}
+_TZ_REGION_OFFSET = {"pacific": "-0800", "eastern": "-0500",
+                     "central": "-0600", "mountain": "-0700"}
+_TZ_IANA = {"america/denver": "-0700", "america/los_angeles": "-0800",
+            "america/new_york": "-0500", "america/chicago": "-0600",
+            "europe/london": "+0000", "europe/moscow": "+0300"}
+
+
+def _tz_suffix(words, lower, j):
+    """Timezone tokens starting at j → (end, offset) or None: an abbrev
+    (PST), an IANA name (America/Denver), or "<region> standard time"."""
+    n = len(words)
+    if j >= n:
+        return None
+    if lower[j] in _TZ_OFFSET:
+        return j + 1, _TZ_OFFSET[lower[j]]
+    if lower[j] in _TZ_ABBREVS:
+        return j + 1, ""
+    if lower[j] in _TZ_IANA:
+        return j + 1, _TZ_IANA[lower[j]]
+    if (j + 2 < n and lower[j] in _TZ_REGION_OFFSET
+            and lower[j + 1] in ("standard", "daylight")
+            and lower[j + 2] == "time"):
+        return j + 3, _TZ_REGION_OFFSET[lower[j]]
+    return None
 _REF = {"now": "PRESENT_REF", "currently": "PRESENT_REF",
         "recently": "PAST_REF", "formerly": "PAST_REF", "soon": "FUTURE_REF"}
 _WEEKDAYS = {"monday": 0, "tuesday": 1, "wednesday": 2, "thursday": 3,
              "friday": 4, "saturday": 5, "sunday": 6}
 # TIMEX3 SET values for frequency adverbs
 _FREQ_SETS = {"daily": "P1D", "weekly": "P1W", "monthly": "P1M",
-              "annually": "P1Y", "yearly": "P1Y", "hourly": "PT1H"}
+              "annually": "P1Y", "yearly": "P1Y", "hourly": "PT1H",
+              "quarterly": "P3M", "semi-annual": "P6M",
+              "semiannual": "P6M", "biweekly": "P2W", "bimonthly": "P2M"}
 _ORDINAL_WORDS = {"first": 1, "second": 2, "third": 3, "fourth": 4}
 # fixed-date holidays (month, day) — english.sutime.txt holiday table subset
 _HOLIDAYS_FIXED = {
@@ -304,11 +337,16 @@ def _written_clock(words, lower, i):
 
 
 def _oclock(words, lower, i):
-    """"<hour> o'clock [in the <TOD>]" / "<hour> in the <TOD>"."""
+    """"<hour> o'clock [in the <TOD>]" / "<hour> in the <TOD>" / "<hour>
+    at night" → (end, Thh:mm, plus_days).
+
+    12-hour edge semantics follow SUTimeITest testSUTime12AmPm: "12 in
+    the morning" is midnight (T00:00); "12 in the evening" / "12 at
+    night" is the NEXT day's midnight; "24 o'clock" stays T24:00."""
     n = len(words)
     w = lower[i]
     if w not in _HOUR_WORDS and not (words[i].isdigit()
-                                     and 1 <= int(words[i]) <= 12):
+                                     and 1 <= int(words[i]) <= 24):
         return None
     hh = _HOUR_WORDS.get(w) or int(words[i])
     j = i + 1
@@ -317,11 +355,22 @@ def _oclock(words, lower, i):
         j += 1
     if j + 2 < n and lower[j] == "in" and lower[j + 1] == "the" \
             and lower[j + 2] in ("morning", "afternoon", "evening"):
-        if lower[j + 2] != "morning" and hh < 12:
+        if lower[j + 2] == "morning":
+            if hh == 12:
+                return j + 3, "T00:00", 0
+        elif lower[j + 2] == "evening" and hh == 12:
+            return j + 3, "T00:00", 1
+        elif hh < 12:
             hh += 12
-        return j + 3, f"T{hh:02d}:00"
-    if has_oclock:
-        return j, f"T{hh:02d}:00"
+        return j + 3, f"T{hh:02d}:00", 0
+    if j + 1 < n and lower[j] == "at" and lower[j + 1] == "night":
+        if hh == 12:
+            return j + 2, "T00:00", 1
+        if hh < 12:
+            hh += 12
+        return j + 2, f"T{hh:02d}:00", 0
+    if has_oclock and (hh <= 12 or hh == 24):
+        return j, f"T{hh:02d}:00", 0
     return None
 
 
@@ -333,6 +382,9 @@ _DECADE_PLURALS = {"twenties": 2, "thirties": 3, "forties": 4,
                    "eighties": 8, "nineties": 9}
 _UNITS_1_9 = {"one": 1, "two": 2, "three": 3, "four": 4, "five": 5,
               "six": 6, "seven": 7, "eight": 8, "nine": 9}
+_TEEN_WORDS = {"ten": 10, "eleven": 11, "twelve": 12, "thirteen": 13,
+               "fourteen": 14, "fifteen": 15, "sixteen": 16,
+               "seventeen": 17, "eighteen": 18, "nineteen": 19}
 
 
 def _written_year(words, lower, i):
@@ -344,6 +396,8 @@ def _written_year(words, lower, i):
     nxt = lower[i + 1]
     if nxt in _DECADE_PLURALS:
         return i + 2, f"{cent}{_DECADE_PLURALS[nxt]}X"
+    if nxt in _TEEN_WORDS:  # "twenty ten" → 2010
+        return i + 2, str(cent * 100 + _TEEN_WORDS[nxt])
     if "-" in nxt:
         a, _, b = nxt.partition("-")
         if a in _TENS_WORDS and b in _UNITS_1_9:
@@ -421,6 +475,13 @@ def _resolve(words: list[str], lower: list[str], docdate: datetime.date):
         hol = _holiday(words, lower, i, docdate.year)
         if hol is not None:
             val, ntok = hol
+            # an explicit trailing year re-pins the holiday: "Easter
+            # 2011" → 2011-04-24 (SUTimeITest testSUTimeHolidays)
+            if (i + ntok < n
+                    and _re.match(r"^(1[6-9]|20)\d\d$", words[i + ntok])):
+                hol2 = _holiday(words, lower, i, int(words[i + ntok]))
+                if hol2 is not None:
+                    val, ntok = hol2[0], hol2[1] + 1
             # holidays are authoritative over statistical NER (SUTime's
             # holiday rules outrank the CRF for these capitalized spans,
             # e.g. "New Year's Eve" must be DATE even if tagged PERSON)
@@ -519,6 +580,11 @@ def _resolve(words: list[str], lower: list[str], docdate: datetime.date):
             i = end
             continue
         if w == "year" and i + 1 < n:
+            wy2 = _written_year(words, lower, i + 1)
+            if wy2 is not None:
+                yield i, wy2[0], "DATE", wy2[1]
+                i = wy2[0]
+                continue
             span_y = _word_number_span(words, i + 1)
             if span_y is not None and 1000 <= span_y[1] <= 2200 \
                     and span_y[1] == int(span_y[1]):
@@ -570,8 +636,10 @@ def _resolve(words: list[str], lower: list[str], docdate: datetime.date):
         # times of day (english.sutime.txt TOD patterns): deictic anchor +
         # morning/afternoon/evening/night → TIMEX3 date+TOD suffix
         if (w in ("this", "yesterday", "tomorrow") and i + 1 < n
-                and lower[i + 1] in _TOD):
-            off = {"this": 0, "yesterday": -1, "tomorrow": 1}[w]
+                and lower[i + 1] in _TOD) \
+                or (w == "last" and i + 1 < n and lower[i + 1] == "night"):
+            # "last night" → yesterday's TNI (SUTimeITest testSUTimeInexactTime)
+            off = {"this": 0, "yesterday": -1, "tomorrow": 1, "last": -1}[w]
             d = docdate + datetime.timedelta(days=off)
             yield i, i + 2, "TIME", d.isoformat() + _TOD[lower[i + 1]]
             i += 2
@@ -699,10 +767,30 @@ def _resolve(words: list[str], lower: list[str], docdate: datetime.date):
         # "eleven in the morning" / "three in the morning" → hour + TOD
         oc = _oclock(words, lower, i)
         if oc is not None:
-            end, val = oc
+            end, val, plus = oc
+            if plus:  # "12 at night" rolls into the next day's midnight
+                val = (docdate
+                       + datetime.timedelta(days=plus)).isoformat() + val
             yield i, end, "TIME", val
             i = end
             continue
+        # explicit clock / ISO-datetime token + timezone name → the zone's
+        # RFC-822 offset joins the value ("2:14:12 MSK" → T02:14:12+0300,
+        # "2004-03-04T18:32:56 Pacific Standard Time" → …-0800); force=True
+        # because the CRF tags all-caps zone tokens as ORGANIZATION
+        m_clk = _re.match(r"^(\d{1,2}):(\d{2})(?::(\d{2}))?$", w)
+        iso_t = _re.match(r"^\d{4}-\d\d-\d\dT[\d:]+$", words[i])
+        if m_clk or iso_t:
+            tzs = _tz_suffix(words, lower, i + 1)
+            if tzs is not None:
+                if m_clk:
+                    val = f"T{int(m_clk.group(1)):02d}:{m_clk.group(2)}" + (
+                        f":{m_clk.group(3)}" if m_clk.group(3) else "")
+                else:
+                    val = words[i]
+                yield i, tzs[0], "TIME", val + tzs[1], True
+                i = tzs[0]
+                continue
         # military clock: "1800 hours" → T18:00 (SUTimeITest
         # testSUTimeDateTime:1050) — outranks the PT1800H duration read
         if (len(w) == 4 and w.isdigit() and i + 1 < n
@@ -711,18 +799,20 @@ def _resolve(words: list[str], lower: list[str], docdate: datetime.date):
             yield i, i + 2, "TIME", f"T{w[:2]}:{w[2:]}"
             i += 2
             continue
-        # clock hour + meridiem: "7 pm" → T19:00; a trailing zone token
-        # ("5 pm EST", "noon GMT") joins the span — the value stays
-        # zone-free like the reference's default (no tz database loaded)
+        # clock hour + meridiem: "7 pm" → T19:00; a trailing zone joins
+        # the span and appends its RFC-822 offset when the zone table
+        # knows it ("8:43 PST" → T08:43-0800; unknown zones stay
+        # offset-free)
         if (w.isdigit() and 1 <= int(w) <= 12 and i + 1 < n
                 and lower[i + 1] in ("pm", "p.m.", "am", "a.m.")):
             hh = int(w) % 12 + (12 if lower[i + 1].startswith("p") else 0)
             end = i + 2
-            if end < n and lower[end] in _TZ_ABBREVS:
+            tzs = _tz_suffix(words, lower, end)
+            if tzs is not None:
                 # authoritative: the CRF tags bare all-caps zone tokens as
                 # ORGANIZATION; the clock context is decisive
-                yield i, end + 1, "TIME", f"T{hh:02d}:00", True
-                i = end + 1
+                yield i, tzs[0], "TIME", f"T{hh:02d}:00{tzs[1]}", True
+                i = tzs[0]
                 continue
             yield i, end, "TIME", f"T{hh:02d}:00"
             i = end
@@ -1160,7 +1250,7 @@ _RE_V_MONTHPART = _re.compile(r"^(XXXX|\d{4})-(\d\d)$")
 _RE_V_MD = _re.compile(r"^XXXX-(\d\d)(-\d\d)?$")
 _RE_V_WEEK = _re.compile(r"^(\d{4})-W(\d\d)$")
 _RE_V_YEAR = _re.compile(r"^\d{4}$")
-_RE_V_CLOCK = _re.compile(r"^T\d\d:\d\d$")
+_RE_V_CLOCK = _re.compile(r"^T\d\d:\d\d(:\d\d)?([+-]\d{4})?$")
 
 _WK_ABBREV = {"mon", "tue", "tues", "wed", "thu", "thur", "thurs", "fri",
               "sat", "sun", "mon.", "tue.", "wed.", "thu.", "fri.", "sat.",
@@ -1390,6 +1480,17 @@ def _compose_anchor(toks: list[dict], lower: list[str], words: list[str],
                     stamp(s, e2, "TIME", val2 + "T" + val.split("T", 1)[1])
                     changed = True
                     break
+
+            # ISO datetime ⊕ +/− ⊕ 4-digit offset ("2004-03-04T18:32:56
+            # +1600" — the tokenizer splits the sign off)
+            if ner == "TIME" and "T" in val and "/" not in val \
+                    and "|" not in val and e + 1 < n \
+                    and words[e] in ("+", "-", "−") \
+                    and _re.match(r"^\d{4}$", words[e + 1]):
+                sign = "+" if words[e] == "+" else "-"
+                stamp(s, e + 2, "TIME", f"{val}{sign}{words[e + 1]}")
+                changed = True
+                break
 
             # clock time ⊕ on/at ⊕ bare abbreviated weekday ("quarter to
             # twelve on Wed" — full names resolve to DATE spans upstream)

@@ -47,7 +47,7 @@ def parse_timex(xml: str):
 
 def extract_cases(body: str):
     """Return (test_text, docdate, expected list) or None."""
-    tm = re.search(r"String testText = (.*?);\n", body, re.DOTALL)
+    tm = re.search(r"String testText\s*=\s*(.*?);\n", body, re.DOTALL)
     if not tm:
         return None
     test_text = "".join(_unescape(x) for x in _STR.findall(tm.group(1)))

@@ -430,14 +430,15 @@ def test_json_timex_mod_and_anchor(spark):
 
 
 def test_sutime_timezone_joins_clock_span(spark):
-    """'5 pm EST' — the zone abbreviation joins the TIME span; the value
-    stays zone-free like the reference's default (no tz database)."""
+    """'5 pm EST' — the zone abbreviation joins the TIME span and the
+    value carries the zone's RFC-822 offset (SUTimeITest
+    testSUIsoWithTimezone; r5 upgraded from the zone-free value)."""
     docs = with_docdate(_docs(spark, ["The call is at 5 pm EST today."]),
                         fixed="2020-06-15")
     out = sutime_docs(annotate(docs, upto="ner")).first()
     m = _tok_map(out)
-    assert m["5"] == ("TIME", "2020-06-15T17:00")
-    assert m["est"] == ("TIME", "2020-06-15T17:00")
+    assert m["5"] == ("TIME", "2020-06-15T17:00-0500")
+    assert m["est"] == ("TIME", "2020-06-15T17:00-0500")
 
 
 def test_sutime_r5_weekend_century_week_fortnight_decades(spark):

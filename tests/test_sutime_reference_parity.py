@@ -35,14 +35,26 @@ pytestmark = pytest.mark.skipif(
 
 #: method → minimum passing expected-timex count (of total at r5)
 FLOORS = {
-    "testSUTimeDurations": 19,   # /19
-    "testSUTime2": 20,           # /20
-    "testSUTimeDate": 16,        # /16
-    "testSUTimeDateTime": 14,    # /15 (composite last-week-of gold)
-    "testSUTimeDateTime2": 12,   # /12
-    "testSUTimeTime": 6,         # /6
-    "testSUTimeSet": 4,          # /4
-    "testOverlaps": 16,          # /17 (line-split artifact)
+    "testSUTimeDurations": 19,    # /19
+    "testSUTimeDurations2": 9,    # /13 (INTERSECT composites)
+    "testSUTimeDurations3": 3,    # /4  (range→duration conversion)
+    "testSUTime2": 20,            # /20
+    "testSUTimeDate": 16,         # /16
+    "testSUTimeDate2": 5,         # /5
+    "testSUTimeDateTime": 14,     # /15 (composite last-week-of gold)
+    "testSUTimeDateTime2": 12,    # /12
+    "testSUTimeTime": 6,          # /6
+    "testSUTimeSet": 4,           # /4
+    "testSUTimeHolidays": 3,      # /3
+    "testSUTimeInexactTime": 3,   # /3
+    "testSUTimeIso": 11,          # /13 (split "T" token; bare "day")
+    "testSUTimeIso2": 2,          # /2
+    "testSUIsoWithTimezone": 7,   # /9  (split "T"; IANA-after-clock)
+    "testSUTime12AmPm": 11,       # /12 ("hour of 12" phrasing)
+    "testSUTimeRangeWithoutRange": 2,  # /2
+    "testSUTimeRangeWithRange": 2,     # /3 (range→duration gold)
+    "testSUTimeRangeConversion": 15,   # /16
+    "testOverlaps": 16,           # /17 (line-split artifact)
 }
 
 
