@@ -166,6 +166,15 @@ _DAY_WORDS = {"monday", "tuesday", "wednesday", "thursday", "friday",
               "juneteenth", "epiphany"}
 _RE_YEAR = re.compile(r"^(1[6-9]\d\d|20\d\d)$")
 _RE_NUM = re.compile(r"^\d{1,3}(,\d{3})*(\.\d+)?$|^\d+(\.\d+)?$")
+_RE_SIGNED_NUM = re.compile(r"^-?(\d{1,3}(,\d{3})*(\.\d+)?|\d+(\.\d+)?)$")
+
+
+def _fmt_num(val: float) -> str:
+    """Canonical numeric value string (the reference's Number.toString()
+    shape): integers render as x.0, decimals keep full precision
+    ("3.625" stays 3.625 — NumberNormalizerITest)."""
+    f = float(val)
+    return f"{f:.1f}" if f == int(f) else str(f)
 _RE_ORD = re.compile(r"^(\d+)(st|nd|rd|th)$")
 _RE_TIME = re.compile(r"^(\d{1,2}):(\d{2})(?::(\d{2}))?$")
 _RE_SLASHDATE = re.compile(r"^(\d{1,2})/(\d{1,2})/(\d{2}|\d{4})$")
@@ -234,7 +243,7 @@ _NUM_UNITS = dict(NUMBER_WORDS, **{
 _NUM_SCALES = {"hundred": 100, "thousand": 1000, "million": 10**6,
                "billion": 10**9, "trillion": 10**12}
 _ORD_WORDS = {
-    "first": 1, "second": 2, "third": 3, "fourth": 4, "fifth": 5,
+    "zeroth": 0, "first": 1, "second": 2, "third": 3, "fourth": 4, "fifth": 5,
     "sixth": 6, "seventh": 7, "eighth": 8, "ninth": 9, "tenth": 10,
     "eleventh": 11, "twelfth": 12, "thirteenth": 13, "fourteenth": 14,
     "fifteenth": 15, "sixteenth": 16, "seventeenth": 17, "eighteenth": 18,
@@ -257,33 +266,119 @@ def _unit_value(lw: str):
     return None
 
 
+#: multiplicative small scales (act on the current group, like "hundred")
+_MULT_SCALES = {"hundred": 100, "dozen": 12, "score": 20}
+#: accumulating big scales ("thousand million" chains by multiplication)
+_BIG_SCALES = {"thousand": 1000, "million": 10**6, "billion": 10**9,
+               "trillion": 10**12}
+
+
+def _word_kind(lw: str):
+    """(kind, value) of one number word: unit/teen/tens/compound."""
+    if lw in ("one", "two", "three", "four", "five", "six", "seven",
+              "eight", "nine"):
+        return "unit", _NUM_UNITS[lw]
+    if lw in ("ten", "eleven", "twelve", "thirteen", "fourteen", "fifteen",
+              "sixteen", "seventeen", "eighteen", "nineteen"):
+        return "teen", _NUM_UNITS[lw]
+    if lw in ("twenty", "thirty", "forty", "fourty", "fifty", "sixty",
+              "seventy", "eighty", "ninety"):
+        return "tens", 40 if lw == "fourty" else _NUM_UNITS[lw]
+    if "-" in lw:
+        a, _, b = lw.partition("-")
+        ka = _word_kind(a)
+        kb = _word_kind(b)
+        if ka and kb and ka[0] == "tens" and kb[0] == "unit":
+            return "tens", ka[1] + kb[1]
+    return None
+
+
 def _word_number_span(words: list[str], t: int):
     """Greedy parse of a written-number run starting at ``t`` →
-    (end, value) or None. "two hundred and five" → 205, "three million" →
-    3e6, "forty-five" → 45."""
+    (end, value) or None, per the English number grammar the reference's
+    NumberNormalizer implements (NumberNormalizerITest golds):
+
+    - "four hundred, and twelve" → 412 (and/comma join groups only after
+      a scale word, so "six and three" does NOT compound)
+    - "one two three four" → four separate numbers (a unit may not
+      follow a unit/teen)
+    - "4 million six hundred fifty thousand" → digit-initial mixed forms
+    - "10 thousand million" → chained big scales multiply (1e10)
+    - "two dozen" → 24, "four score" → 80, "a dozen" → 12
+    """
     n = len(words)
     total, current = 0.0, 0.0
-    k, seen = t, False
+    k = t
+    last = "start"          # start|unit|teen|tens|mult|big|sep|digit
+    seen_scale = False
+    seen_word = False
     while k < n:
         lw = words[k].lower()
-        u = _unit_value(lw)
-        if u is not None:
-            current += u
-        elif lw == "hundred":
-            current = (current or 1) * 100  # bare "hundred people" = 100
-        elif lw in _NUM_SCALES and lw != "hundred":
-            total += (current or 1) * _NUM_SCALES[lw]
+        kind = _word_kind(lw)
+        if lw == "zero" and k == t:
+            return t + 1, 0.0
+        if kind is not None:
+            kd, v = kind
+            if kd == "unit" and last in ("unit", "teen"):
+                break
+            if kd in ("teen", "tens") and last in ("unit", "teen", "tens",
+                                                   "digit"):
+                break
+            current += v
+            last = kd
+            seen_word = True
+        elif lw in _MULT_SCALES:
+            if last in ("mult", "sep"):
+                break
+            if current == 0 and k == t:
+                if lw != "hundred":  # bare "hundred people" = 100
+                    break
+                current = 1
+            current = (current or 1) * _MULT_SCALES[lw]
+            last = "mult"
+            seen_scale = seen_word = True
+        elif lw in _BIG_SCALES:
+            if last == "sep":
+                break
+            if current == 0 and total > 0:
+                total *= _BIG_SCALES[lw]  # "10 thousand million" → 1e10
+            else:
+                total += (current or 1) * _BIG_SCALES[lw]
             current = 0.0
-        elif lw == "and" and seen and k + 1 < n                 and _unit_value(words[k + 1].lower()) is not None:
-            k += 1
-            continue
+            last = "big"
+            seen_scale = seen_word = True
+        elif lw in ("and", ",") and seen_scale and k + 1 < n:
+            nxt = words[k + 1].lower()
+            if lw == "," and nxt == "and" and k + 2 < n \
+                    and _word_kind(words[k + 2].lower()) is not None:
+                k += 2          # ", and twelve"
+                last = "sep"
+                continue
+            if _word_kind(nxt) is not None or nxt in _BIG_SCALES:
+                k += 1
+                last = "sep"
+                continue
+            break
+        elif k == t and lw in ("a", "an") and k + 1 < n \
+                and (words[k + 1].lower() in _MULT_SCALES
+                     or words[k + 1].lower() in _BIG_SCALES):
+            current = 1.0
+            last = "unit"
+        elif k == t and _RE_NUM.match(lw) and k + 1 < n \
+                and (words[k + 1].lower() in _MULT_SCALES
+                     or words[k + 1].lower() in _BIG_SCALES):
+            # digit-initial mixed numbers: "4 million", "1.3 million"
+            current = float(lw.replace(",", ""))
+            last = "digit"
         else:
             break
-        seen = True
         k += 1
-    if not seen or k == t + 1 and _unit_value(words[t].lower()) is None:
+    if not seen_word or k == t:
         return None
-    return (k, total + current) if k > t else None
+    if k == t + 1 and _word_kind(words[t].lower()) is None \
+            and words[t].lower() != "zero":
+        return None  # a bare article/digit/scale token is not a span
+    return k, total + current
 
 
 def _day_of(w: str) -> int | None:
@@ -412,21 +507,26 @@ def numeric_pass(words: list[str], ner: list[str], nner: list[str]) -> None:
             ner[t], nner[t] = "DATE", f"OFFSET {off}"
             t += 1
             continue
-        if _RE_NUM.match(w) and w[0].isdigit():
+        if _RE_SIGNED_NUM.match(w) \
+                and not (t + 1 < n and (words[t + 1].lower() in _MULT_SCALES
+                                        or words[t + 1].lower()
+                                        in _BIG_SCALES)):
+            # digit-initial mixed numbers ("4 million") fall through to
+            # the written-number grammar below
             val = float(w.replace(",", ""))
             if t + 1 < n and words[t + 1].lower() in _CURRENCY_UNITS:
                 ner[t] = ner[t + 1] = "MONEY"
-                nner[t] = nner[t + 1] = f"${val:.1f}"
+                nner[t] = nner[t + 1] = "$" + _fmt_num(val)
                 t += 2
                 continue
             if t + 1 < n and words[t + 1] in ("%", "percent"):
                 # PERCENT class with the reference's %-prefixed value
                 # (QuantifiableEntityNormalizer PERCENT normalization)
                 ner[t] = ner[t + 1] = "PERCENT"
-                nner[t] = nner[t + 1] = f"%{val:.1f}"
+                nner[t] = nner[t + 1] = "%" + _fmt_num(val)
                 t += 2
                 continue
-            ner[t], nner[t] = "NUMBER", f"{val:.1f}"
+            ner[t], nner[t] = "NUMBER", _fmt_num(val)
             t += 1
             continue
         # written fractions (QuantifiableEntityNormalizer fraction words):
@@ -444,13 +544,24 @@ def numeric_pass(words: list[str], ner: list[str], nner: list[str]) -> None:
         span = _word_number_span(words, t)
         if span is not None:
             end, val = span
-            cls, v = "NUMBER", f"{float(val):.1f}"
+            # a trailing ordinal word upgrades the cardinal to a compound
+            # ordinal: "twenty first" → 21, "one hundred and fifty first"
+            # → 151, "two hundredth" → 200 (NumberNormalizerITest)
+            if end < n and words[end].lower() in _ORD_WORDS:
+                ov = _ORD_WORDS[words[end].lower()]
+                oval = float(val) * ov if ov in (100, 1000, 10**6) \
+                    else float(val) + ov
+                for k in range(t, end + 1):
+                    ner[k], nner[k] = "ORDINAL", f"{oval:.1f}"
+                t = end + 1
+                continue
+            cls, v = "NUMBER", _fmt_num(val)
             if end < n and words[end].lower() in _FRACTION_WORDS:
                 frac = float(val) * _FRACTION_WORDS[words[end].lower()]
                 v = f"{frac:.4f}".rstrip("0").rstrip(".")
                 end += 1
             elif end < n and words[end].lower() in _CURRENCY_UNITS:
-                cls, v = "MONEY", f"${float(val):.1f}"
+                cls, v = "MONEY", "$" + _fmt_num(val)
                 end += 1
             for k in range(t, end):
                 ner[k], nner[k] = cls, v
