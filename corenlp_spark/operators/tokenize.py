@@ -362,6 +362,13 @@ DEFAULT_OPTIONS = {
     # no pattern may span a newline; each line tokenizes independently
     # (PTBLexer tokenizePerLine=true)
     "tokenize_per_line": False,
+    # ssplit.newlineIsSentenceBreak (WordToSentenceProcessor
+    # NewlineIsSentenceBreak): "never" | "always" | "two_consecutive".
+    # The U+2029 paragraph separator breaks in every mode.
+    "newline_is_sentence_break": "never",
+    # ssplit.isOneSentence: the whole span is one sentence (the
+    # WordToSentenceProcessor null splitter)
+    "ssplit_one_sentence": False,
     "strict_acronym": None,   # None → follow strict_treebank3
     "strict_fraction": None,  # None → follow strict_treebank3
     "quotes": None,           # None → normalize_quotes ? latex : not_cp1252
@@ -947,17 +954,33 @@ def annotate_doc(spans: Iterable[dict],
             close_sentence(span["offset"])  # media barrier ends open sentence
             continue
         span_idx = span["offset"]
-        toks, barriers = tokenize_text_with_barriers(span["text"], options)
+        opt = _resolve_options(options)
+        nl_mode = opt["newline_is_sentence_break"]
+        one_sentence = opt["ssplit_one_sentence"]
+        text = span["text"]
+        toks, barriers = tokenize_text_with_barriers(text, options)
         i = 0
+        prev_end = 0
         while i < len(toks):
             if i in barriers:
                 close_sentence(span_idx)  # markup forces a sentence break
             w, orig, b, e = toks[i]
+            # inter-token whitespace drives the newline strategies
+            # (WordToSentenceProcessor NewlineIsSentenceBreak) and the
+            # always-breaking U+2029 paragraph separator
+            if i > 0:
+                gap = text[prev_end:b]
+                if "\u2029" in gap or (not one_sentence and (
+                        (nl_mode == "always" and "\n" in gap)
+                        or (nl_mode == "two_consecutive"
+                            and gap.count("\n") >= 2))):
+                    close_sentence(span_idx)
+            prev_end = e
             tokens.append(
                 {"idx": len(tokens), "word": w, "original": orig,
                  "begin": b, "end": e, "span_idx": span_idx, "sent": -1}
             )
-            if _SENT_END.match(w):
+            if not one_sentence and _SENT_END.match(w):
                 # attach boundary followers (close quotes / brackets) left
                 while i + 1 < len(toks) and _FOLLOWER.match(toks[i + 1][0]):
                     i += 1

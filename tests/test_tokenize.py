@@ -846,3 +846,40 @@ def test_tokenize_per_line_and_ltgt_entities():
     # entity-wrapped email still one token (EMAIL beats LESSTHAN)
     assert [t[0] for t in tokenize_text("&lt;b...@canada.com&gt; hi")][0] \
         == "&lt;b...@canada.com&gt;"
+
+
+def test_ssplit_newline_strategies():
+    """WordToSentenceProcessorTest testParagraphStrategies +
+    testNullSplitter + testParagraphSeparator: the
+    ssplit.newlineIsSentenceBreak modes, one-sentence mode, and the
+    always-breaking U+2029 paragraph separator."""
+    def sents(text, **opts):
+        spans = [{"kind": "text", "text": text, "media_ref": None,
+                  "offset": 0}]
+        toks, ss = annotate_doc(spans, opts or None)
+        return [" ".join(t["word"] for t in toks[s["start_tok"]:s["end_tok"]])
+                for s in ss]
+
+    i1 = ("Depending on the options,\nthis could be all sorts of things,"
+          "\n\n as I like chocolate. And cookies.")
+    assert sents(i1) == [
+        "Depending on the options , this could be all sorts of things , "
+        "as I like chocolate .", "And cookies ."]
+    assert sents(i1, newline_is_sentence_break="always") == [
+        "Depending on the options ,", "this could be all sorts of things ,",
+        "as I like chocolate .", "And cookies ."]
+    assert sents(i1, newline_is_sentence_break="two_consecutive") == [
+        "Depending on the options , this could be all sorts of things ,",
+        "as I like chocolate .", "And cookies ."]
+    # single newline is NOT a blank line under two_consecutive
+    i2 = i1.replace("\n\n", "\n")
+    assert len(sents(i2, newline_is_sentence_break="two_consecutive")) == 2
+    # null splitter: whole input is one sentence
+    assert sents("This should be one sentence.  There is no split.",
+                 ssplit_one_sentence=True) == [
+        "This should be one sentence . There is no split ."]
+    # U+2029 paragraph separator breaks in every mode
+    assert sents("Hello World.") == ["Hello", "World ."]
+    assert sents("Hello. World.") == ["Hello .", "World ."]
+    assert sents("Hello World. More text.") == ["Hello World .",
+                                                "More text ."]
