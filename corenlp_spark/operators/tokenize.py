@@ -1225,3 +1225,40 @@ def americanize(word: str, capitalize_timex: bool = True) -> str:
                 continue
             return pat.sub(rep, word)
     return word
+
+
+# ---------------------------------------------------------------------------
+# Whitespace tokenizer (the "tokenize.whitespace=true" pipeline option).
+# Behavioral reference (re-expressed): process/WhitespaceTokenizer.java —
+# tokens are maximal runs of non-whitespace; Java's Character.isWhitespace
+# excludes the non-breaking spaces (U+00A0/U+2007/U+202F), so
+# "(800) 326-1456" stays ONE token while U+3000 splits. With
+# ``tokenize_nls`` each newline yields a "*NL*" token.
+# ---------------------------------------------------------------------------
+
+_NONBREAKING = "\u00a0\u2007\u202f"
+
+
+def whitespace_tokenize(text: str, tokenize_nls: bool = False
+                        ) -> list[tuple[str, str, int, int]]:
+    """Whitespace tokenization → (word, original, begin, end) tuples."""
+    out: list[tuple[str, str, int, int]] = []
+    i = 0
+    n = len(text)
+    while i < n:
+        c = text[i]
+        if c == "\n":
+            if tokenize_nls:
+                out.append(("*NL*", "\n", i, i + 1))
+            i += 1
+            continue
+        if c.isspace() and c not in _NONBREAKING:
+            i += 1
+            continue
+        j = i
+        while j < n and not (text[j].isspace()
+                             and text[j] not in _NONBREAKING):
+            j += 1
+        out.append((text[i:j], text[i:j], i, j))
+        i = j
+    return out

@@ -883,3 +883,35 @@ def test_ssplit_newline_strategies():
     assert sents("Hello. World.") == ["Hello .", "World ."]
     assert sents("Hello World. More text.") == ["Hello World .",
                                                 "More text ."]
+
+
+def test_whitespace_tokenizer():
+    """WhitespaceTokenizerTest.java ported: NL modes, non-breaking spaces
+    stay inside tokens, U+3000 splits, whitespace-only and no-whitespace
+    bounds."""
+    from corenlp_spark.operators.tokenize import whitespace_tokenize
+
+    def words(text, nls=False):
+        return [t[0] for t in whitespace_tokenize(text, tokenize_nls=nls)]
+
+    assert words("This is a test . \n This is a second line .") == [
+        "This", "is", "a", "test", ".",
+        "This", "is", "a", "second", "line", "."]
+    assert words("This is a test . \n This is a second line .", nls=True) == [
+        "This", "is", "a", "test", ".", "*NL*",
+        "This", "is", "a", "second", "line", "."]
+    assert words("A \n B \n \n C") == ["A", "B", "C"]
+    assert words("A \n B \n \n C", nls=True) == ["A", "*NL*", "B", "*NL*",
+                                                 "*NL*", "C"]
+    assert words("A. B") == ["A.", "B"]
+    assert words("皇后　　後世 and (800) 326-1456") == [
+        "皇后", "後世", "and", "(800) 326-1456"]
+    assert words("        ", nls=True) == []
+    assert words("") == []
+    assert words("\n\n\n") == []
+    for s in ["Thisisatest.Thisisasecondline.", "ABC", "A.B"]:
+        assert words(s, nls=True) == [s]
+    # invertibility: originals + offsets reconstruct
+    toks = whitespace_tokenize("a  b c \n d", tokenize_nls=True)
+    for w, o, b, e in toks:
+        assert "a  b c \n d"[b:e] == o
