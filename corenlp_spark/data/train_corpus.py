@@ -781,6 +781,30 @@ def ner_corpus() -> list[tuple[list[str], list[str], list[str]]]:
         # sentence-initial common word (capitalized, NOT an entity)
         add([w(["Yesterday", "the", nn, "arrived", "."],
                ["NN", "DT", "NN", "VBD", "."])])
+        # r5 widening #2 — frames the OOD eval exposed as weak:
+        # "linking LOC with LOC" (second slot was drifting to ORG)
+        add([w(["A", "ferry", "linking"], ["DT", "NN", "VBG"]), loc(i + 43),
+             w(["with"], ["IN"]), loc(i + 44),
+             w(["was", "delayed", "."], ["VBD", "VBN", "."])])
+        # "<NNS> of LOC" with trailing adjuncts (streets of X overnight)
+        add([w(["The", "streets", "of"], ["DT", "NNS", "IN"]), loc(i + 45),
+             w(["flooded", "overnight", "."], ["VBD", "RB", "."])])
+        add([w(["Ruins", "south", "of"], ["NNS", "RB", "IN"]), loc(i + 46),
+             w(["drew", "visitors", "this", "summer", "."],
+               ["VBD", "NNS", "DT", "NN", "."])])
+        # 3-token organizations: Base + sector + suffix
+        sector = _pick(["Energy", "Capital", "Industrial", "Shipping"], i)
+        base3 = _pick(ORG_BASES, i + 47)
+        suf3 = _pick(["Partners", "Group", "Holdings"], i + 1)
+        add([([base3, sector, suf3], ["NNP", "NNP", "NNP"],
+              ["B-ORGANIZATION", "I-ORGANIZATION", "I-ORGANIZATION"]),
+             w(["acquired", "a", "rival", nn, "."],
+               ["VBD", "DT", "JJ", "NN", "."])])
+        # capitalized event/weather common nouns are NOT entities
+        add([w(["Donations", "for", "Hurricane", "victims", "rose", "."],
+               ["NNS", "IN", "NNP", "NNS", "VBD", "."])])
+        add([w(["Typhoon", "damage", "closed", "the", nn, "."],
+               ["NNP", "NN", "VBD", "DT", "NN", "."])])
     return out
 
 

@@ -396,6 +396,14 @@ def numeric_pass(words: list[str], ner: list[str], nner: list[str]) -> None:
     t = 0
     while t < n:
         w, lw = words[t], words[t].lower()
+        # currency-symbol + number is decisively MONEY even when the
+        # statistical model mislabels the symbol token ("US$" ≠ LOCATION)
+        if w in _CURRENCY and t + 1 < n and _RE_NUM.match(words[t + 1]):
+            val = float(words[t + 1].replace(",", ""))
+            ner[t] = ner[t + 1] = "MONEY"
+            nner[t] = nner[t + 1] = "$" + _fmt_num(val)
+            t += 2
+            continue
         if ner[t] != "O":
             t += 1
             continue
@@ -447,12 +455,6 @@ def numeric_pass(words: list[str], ner: list[str], nner: list[str]) -> None:
             ner[t], nner[t] = "DATE", (f"{m.group(3)}-{int(m.group(1)):02d}-"
                                        f"{int(m.group(2)):02d}")
             t += 1
-            continue
-        if w in _CURRENCY and t + 1 < n and _RE_NUM.match(words[t + 1]):
-            val = float(words[t + 1].replace(",", ""))
-            ner[t] = ner[t + 1] = "MONEY"
-            nner[t] = nner[t + 1] = f"${val:.1f}"
-            t += 2
             continue
         m = _RE_ORD.match(w)
         if m:

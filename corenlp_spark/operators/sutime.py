@@ -544,7 +544,9 @@ def _resolve(words: list[str], lower: list[str], docdate: datetime.date):
             if (i + 2 < n and lower[i + 1] == "in"
                     and _re.match(r"^(1[6-9]|20)\d\d$", words[i + 2])):
                 year, end = words[i + 2], i + 3
-            yield s0, end, "SET", f"{year}-WXX-{dow}"
+            # authoritative over the statistical NER — a capitalized
+            # plural weekday is decisively temporal, like holidays
+            yield s0, end, "SET", f"{year}-WXX-{dow}", True
             i = end
             continue
         # "the <ordinal> of <month> [year]" → a day-of-month; without an
