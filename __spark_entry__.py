@@ -688,7 +688,7 @@ def _ann_tokens_path() -> str:
     # bump on annotation-semantics changes so a stale /tmp parquet from an
     # older code version is regenerated (both engines always read the same
     # bytes either way — this only keeps the snapshot current)
-    h = hashlib.md5(("ann-v44" + "".join(GOLDEN_SENTENCES)).encode())
+    h = hashlib.md5(("ann-v45" + "".join(GOLDEN_SENTENCES)).encode())
     import os
 
     for name in ("pos.json.gz", "ner.json.gz", "parser.json.gz",
