@@ -64,6 +64,9 @@ NOUNS: list[tuple[str, str]] = [
     ("city", "cities"), ("child", "children"), ("man", "men"), ("woman", "women"),
     ("policy", "policies"), ("theory", "theories"), ("award", "awards"),
     ("league", "leagues"), ("committee", "committees"), ("article", "articles"),
+    # adjective-homograph nouns ("The firm promoted…" — the r5 coref eval
+    # exposed firm→JJ in subject position)
+    ("firm", "firms"), ("patient", "patients"), ("novel", "novels"),
     # profession/agent suffixes (-ist, -ian, -eer, -or)
     ("physicist", "physicists"), ("scientist", "scientists"),
     ("artist", "artists"), ("journalist", "journalists"),

@@ -78,6 +78,22 @@ EVAL_DOCS = [
      [{(0, "The editors"), (1, "They")}, {(0, "the authors"), (1, "them")}]),
     ("Orion Bank sold a warehouse. The bank kept the land.",
      [{(0, "Orion Bank"), (1, "The bank")}]),
+    # r5 widening #2: appositive roles, cross-sentence possessives, two
+    # same-type entities with definite-NP disambiguation, quoted speakers
+    ("Clara Voss, the museum director, retired. Her deputy took over.",
+     [{(0, "Clara Voss"), (0, "the museum director"), (1, "Her")}]),
+    ("Zenith Labs sued Cascade Media. The lawsuit surprised nobody.",
+     [{(0, "Zenith Labs")}, {(0, "Cascade Media")}]),
+    ('"The figures are wrong," said Edwin Hale. He resigned that evening.',
+     [{(0, "Edwin Hale"), (1, "He")}]),
+    ("The engineer who designed the bridge won an award. "
+     "She thanked the jury.",
+     [{(0, "The engineer"), (1, "She")}]),
+    ("Pinnacle Group hired Dora Flint. The firm promoted her twice.",
+     [{(0, "Pinnacle Group"), (1, "The firm")},
+      {(0, "Dora Flint"), (1, "her")}]),
+    ("Victor Hsu and his wife moved to Oslo. He opened a clinic there.",
+     [{(0, "Victor Hsu"), (0, "his"), (1, "He")}]),
 ]
 
 
