@@ -432,25 +432,29 @@ def numeric_pass(words: list[str], ner: list[str], nner: list[str]) -> None:
             continue
         # ISO-8601 tokens the tokenizer keeps whole (SUTimeITest
         # testSUTimeIso): 1988-02-17 / 2008-04 / 2004-03-04T18:32:56 /
-        # 2008-05-16T09, European dotted 19.02.2010, US dashed 12-03-2007
-        m = _RE_ISODT.match(w)
+        # 2008-05-16T09, European dotted 19.02.2010, US dashed 12-03-2007.
+        # One cheap shape gate covers all four per-token regexes.
+        if not (w[:1].isdigit() and ("-" in w or "." in w or "/" in w)):
+            m = None
+        else:
+            m = _RE_ISODT.match(w)
         if m and 1 <= int(m.group(2)) <= 12 and 1 <= int(m.group(3)) <= 31:
             ner[t], nner[t] = ("TIME" if m.group(4) else "DATE"), w
             t += 1
             continue
-        m = _RE_ISOYM.match(w)
+        m = _RE_ISOYM.match(w) if (w[:1].isdigit() and "-" in w) else None
         if m and 1 <= int(m.group(2)) <= 12:
             ner[t], nner[t] = "DATE", w
             t += 1
             continue
-        m = _RE_DOTDATE.match(w)
+        m = _RE_DOTDATE.match(w) if (w[:1].isdigit() and "." in w) else None
         if m and 1 <= int(m.group(2)) <= 12 and 1 <= int(m.group(1)) <= 31:
             ner[t], nner[t] = "DATE", (f"{_expand_year(m.group(3))}-"
                                        f"{int(m.group(2)):02d}-"
                                        f"{int(m.group(1)):02d}")
             t += 1
             continue
-        m = _RE_DASHDATE.match(w)
+        m = _RE_DASHDATE.match(w) if (w[:1].isdigit() and "-" in w) else None
         if m and 1 <= int(m.group(1)) <= 12 and 1 <= int(m.group(2)) <= 31:
             ner[t], nner[t] = "DATE", (f"{m.group(3)}-{int(m.group(1)):02d}-"
                                        f"{int(m.group(2)):02d}")

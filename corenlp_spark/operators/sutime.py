@@ -166,6 +166,22 @@ def _unit_offset(docdate: datetime.date, unit: str, k: int) -> str:
     return str(docdate.year + k)
 
 
+#: first tokens that can begin any holiday expression (gates _holiday)
+_HOLIDAY_TRIGGERS = ({k[0] for k in _HOLIDAYS_FIXED}
+                     | {k[0] for k in _HOLIDAYS_NTH}
+                     | {"christmas", "easter", "thanksgiving", "good",
+                        "palm", "ash", "mardi", "new", "halloween",
+                        "valentine", "valentine's", "st.", "st",
+                        "independence", "labor", "memorial", "veterans",
+                        "presidents", "presidents'", "president",
+                        "mother", "mother's", "mothers", "father",
+                        "father's", "fathers", "mlk", "martin",
+                        "juneteenth", "epiphany", "april", "boxing",
+                        "groundhog", "inauguration", "columbus", "patriots", "pentecost",
+                        "whit", "shrove", "maundy", "corpus", "all",
+                        "assumption", "immaculate", "candlemas"})
+
+
 def _easter(year: int) -> datetime.date:
     """Gauss/Anonymous computus for Western Easter (public algorithm)."""
     a = year % 19
@@ -418,6 +434,16 @@ def _shift_months(d: datetime.date, k: int) -> datetime.date:
     return datetime.date(y, m + 1, min(d.day, calendar.monthrange(y, m + 1)[1]))
 
 
+_RX_YEAR4 = _re.compile(r"^(1[6-9]|20)\d\d$")
+_RX_YEAR_ANY = _re.compile(r"^(19|20)\d\d$")
+_RX_Q = _re.compile(r"^q([1-4])$")
+_RX_ORD_DIGIT = _re.compile(r"^(\d{1,2})(?:st|nd|rd|th)$")
+_RX_ORD_ANY = _re.compile(r"^(\d+)(?:st|nd|rd|th)$")
+_RX_CLOCK = _re.compile(r"^(\d{1,2}):(\d{2})(?::(\d{2}))?$")
+_RX_ISO_T = _re.compile(r"^\d{4}-\d\d-\d\dT[\d:]+$")
+_RX_NUMRANGE = _re.compile(r"^(\d+)[-–](\d+)$")
+
+
 def _resolve(words: list[str], lower: list[str], docdate: datetime.date):
     """Yield (start, end, ner, timex) for relative/duration/set/holiday/
     weekday/quarter expressions."""
@@ -471,14 +497,16 @@ def _resolve(words: list[str], lower: list[str], docdate: datetime.date):
             yield i, i + 1, "SET", _FREQ_SETS[w]
             i += 1
             continue
-        # holidays (fixed + movable feasts), year from the docdate
-        hol = _holiday(words, lower, i, docdate.year)
+        # holidays (fixed + movable feasts), year from the docdate —
+        # trigger-gated so the full matcher runs only on candidate tokens
+        hol = _holiday(words, lower, i, docdate.year) \
+            if w in _HOLIDAY_TRIGGERS else None
         if hol is not None:
             val, ntok = hol
             # an explicit trailing year re-pins the holiday: "Easter
             # 2011" → 2011-04-24 (SUTimeITest testSUTimeHolidays)
             if (i + ntok < n
-                    and _re.match(r"^(1[6-9]|20)\d\d$", words[i + ntok])):
+                    and _RX_YEAR4.match(words[i + ntok])):
                 hol2 = _holiday(words, lower, i, int(words[i + ntok]))
                 if hol2 is not None:
                     val, ntok = hol2[0], hol2[1] + 1
@@ -505,11 +533,11 @@ def _resolve(words: list[str], lower: list[str], docdate: datetime.date):
             i += 1
             continue
         # quarters: "Q3 2020" / "Q3" / "third quarter" / "last quarter"
-        mq = _re.match(r"^q([1-4])$", w)
+        mq = _RX_Q.match(w)
         if mq:
             year = docdate.year
             end = i + 1
-            if i + 1 < n and _re.match(r"^(19|20)\d\d$", lower[i + 1]):
+            if i + 1 < n and _RX_YEAR_ANY.match(lower[i + 1]):
                 year = int(lower[i + 1])
                 end = i + 2
             yield i, end, "DATE", f"{year}-Q{mq.group(1)}"
@@ -519,7 +547,7 @@ def _resolve(words: list[str], lower: list[str], docdate: datetime.date):
             # a year token right before the ordinal pins the year:
             # "The 1997 second quarter" → 1997-Q2 (SUTimeITest)
             year, s0 = docdate.year, i
-            if i > 0 and _re.match(r"^(1[6-9]|20)\d\d$", words[i - 1]):
+            if i > 0 and _RX_YEAR4.match(words[i - 1]):
                 year, s0 = int(words[i - 1]), i - 1
             yield s0, i + 2, "DATE", f"{year}-Q{_ORDINAL_WORDS[w]}"
             i += 2
@@ -542,7 +570,7 @@ def _resolve(words: list[str], lower: list[str], docdate: datetime.date):
             year = "XXXX"
             end = i + 1
             if (i + 2 < n and lower[i + 1] == "in"
-                    and _re.match(r"^(1[6-9]|20)\d\d$", words[i + 2])):
+                    and _RX_YEAR4.match(words[i + 2])):
                 year, end = words[i + 2], i + 3
             # authoritative over the statistical NER — a capitalized
             # plural weekday is decisively temporal, like holidays
@@ -555,14 +583,14 @@ def _resolve(words: list[str], lower: list[str], docdate: datetime.date):
         # ref 1995-07-20; SUTimeITest testSUTime2:433-436,477-480)
         ow = _ORD_WORDS.get(w)
         if ow is None:
-            m_ow = _re.match(r"^(\d{1,2})(?:st|nd|rd|th)$", w)
+            m_ow = _RX_ORD_DIGIT.match(w)
             if m_ow:
                 ow = int(m_ow.group(1))
         if (ow is not None and 1 <= ow <= 31 and i + 2 < n
                 and lower[i + 1] == "of" and lower[i + 2] in _MONTHS):
             mm = _MONTHS[lower[i + 2]]
             end = i + 3
-            if end < n and _re.match(r"^(1[6-9]|20)\d\d$", words[end]):
+            if end < n and _RX_YEAR4.match(words[end]):
                 year = int(words[end])
                 end += 1
             else:
@@ -780,8 +808,12 @@ def _resolve(words: list[str], lower: list[str], docdate: datetime.date):
         # RFC-822 offset joins the value ("2:14:12 MSK" → T02:14:12+0300,
         # "2004-03-04T18:32:56 Pacific Standard Time" → …-0800); force=True
         # because the CRF tags all-caps zone tokens as ORGANIZATION
-        m_clk = _re.match(r"^(\d{1,2}):(\d{2})(?::(\d{2}))?$", w)
-        iso_t = _re.match(r"^\d{4}-\d\d-\d\dT[\d:]+$", words[i])
+        m_clk = iso_t = None
+        if w[:1].isdigit():  # cheap gate before the per-token regexes
+            if ":" in w:
+                m_clk = _RX_CLOCK.match(w)
+            if len(w) > 11 and w[10] == "t":
+                iso_t = _RX_ISO_T.match(words[i])
         if m_clk or iso_t:
             tzs = _tz_suffix(words, lower, i + 1)
             if tzs is not None:
@@ -837,7 +869,7 @@ def _resolve(words: list[str], lower: list[str], docdate: datetime.date):
             continue
         # centuries: "the 19th century" → 18XX (SUTime century-of-era
         # values render as the two leading digits + XX)
-        m_cent = _re.match(r"^(\d{1,2})(?:st|nd|rd|th)$", w)
+        m_cent = _RX_ORD_DIGIT.match(w)
         if m_cent and i + 1 < n and lower[i + 1] in ("century", "century."):
             c = int(m_cent.group(1))
             if 1 <= c <= 21:
@@ -857,7 +889,7 @@ def _resolve(words: list[str], lower: list[str], docdate: datetime.date):
             year = docdate.year
             end = i + 2
             if (i + 3 < n and lower[i + 2] == "of"
-                    and _re.match(r"^(19|20)\d\d$", words[i + 3])):
+                    and _RX_YEAR_ANY.match(words[i + 3])):
                 year = int(words[i + 3])
                 end = i + 4
             yield i, end, "DATE", f"{year}-W{wk:02d}"
@@ -997,7 +1029,7 @@ def _resolve(words: list[str], lower: list[str], docdate: datetime.date):
         # P9D (SUTimeITest.java:81-93 InexactDuration streak rules)
         nth_q = _ORD_WORDS.get(w)
         if nth_q is None:
-            m_on = _re.match(r"^(\d+)(?:st|nd|rd|th)$", w)
+            m_on = _RX_ORD_ANY.match(w)
             if m_on:
                 nth_q = int(m_on.group(1))
         if nth_q is not None:
@@ -1092,7 +1124,7 @@ def _resolve(words: list[str], lower: list[str], docdate: datetime.date):
         # duration ranges: "2-3 weeks" (one NUMRANGE token) and
         # "two to three weeks" → interval-of-durations "P2W/P3W"
         # (SUTime range types over durations, time/SUTime.java)
-        mrange = _re.match(r"^(\d+)[-–](\d+)$", w)
+        mrange = _RX_NUMRANGE.match(w)
         if mrange and i + 1 < n and lower[i + 1] in _UNIT:
             unit = _UNIT[lower[i + 1]]
             yield (i, i + 2, "DURATION",
@@ -1210,6 +1242,11 @@ _MOD_PREFIX: dict[tuple[str, ...], tuple[str, str]] = {
 }
 
 
+#: longest phrase first so "no more than" (EQUAL_OR_LESS) claims the span
+#: before its "more than" suffix would stamp MORE_THAN; ties lexical
+_MOD_ORDERED = sorted(_MOD_PREFIX.items(), key=lambda kv: (-len(kv[0]), kv[0]))
+
+
 def _mark_mods(toks: list[dict], lower: list[str]) -> None:
     """TIMEX3 mod attributes: a mod phrase immediately before a temporal
     run extends the span and appends ``|MOD`` to the value string ("about
@@ -1221,8 +1258,7 @@ def _mark_mods(toks: list[dict], lower: list[str]) -> None:
     # longest phrase first so "no more than" (EQUAL_OR_LESS) claims the
     # span before its "more than" suffix would stamp MORE_THAN
     # (SUTimeITest.java:83-85); ties broken lexically for determinism
-    for phrase, (mod, applies) in sorted(_MOD_PREFIX.items(),
-                                         key=lambda kv: (-len(kv[0]), kv[0])):
+    for phrase, (mod, applies) in _MOD_ORDERED:
         L = len(phrase)
         for i in range(n - L):
             if tuple(lower[i:i + L]) != phrase:
