@@ -86,6 +86,19 @@ GOLDEN_SENTENCES: list[str] = [
     "Banks close on Memorial Day.",
     "They meet the first Monday of March.",
     "The drive took half an hour.",
+    # r5: composition/anchoring, written clocks, ISO forms, sets, BC years
+    "The concert is at 8:00 pm on Friday.",
+    "It was ten minutes to three.",
+    "Mr. Smith left Friday, October 1, 1999.",
+    "She arrived Saturday night.",
+    "In October of 1963, there was a big snow storm.",
+    "The book was published in nineteen ninety-one.",
+    "The 1997 second quarter was strong.",
+    "The city was founded in 567 bc.",
+    "She sees him alternate Fridays.",
+    "The audit happened on 09/18/05.",
+    "The server restarted at 2:14:12 MSK.",
+    "Every third week of October gets busy.",
 ]
 
 MEDIA_REFS: list[str] = [
