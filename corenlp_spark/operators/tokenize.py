@@ -405,7 +405,9 @@ _QUOTES_ASCII = {"‘": "'", "’": "'", "`": "'", "“": '"', "”": '"',
 _PAREN_NORM = {"(": "-LRB-", ")": "-RRB-", "[": "-LSB-", "]": "-RSB-",
                "{": "-LCB-", "}": "-RCB-"}
 
-_SENT_END = re.compile(r"^[.!?]+$|^[。！？]+$")
+# WordToSentenceProcessor.DEFAULT_BOUNDARY_REGEX = "\\.|[!?]+": a single
+# period or a !/? run ends a sentence; an ELLIPSIS token ("...") does not
+_SENT_END = re.compile(r"^(\.|[!?]+)$|^[。！？]+$")
 _FOLLOWER = re.compile(r"^[\"'`)\]}’”]+$|^''$")
 
 
