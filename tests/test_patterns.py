@@ -191,7 +191,8 @@ def test_tokensregex_quantified_groups():
 
     # repeated two-node group, exact count
     pat = compile_pattern("([word:x] [word:y]){2}")
-    assert find_all(pat, _toks(["x", "y", "x", "y"])) == [(0, 4, {})]
+    # r5: unnamed capturing groups carry reference-style numbers
+    assert find_all(pat, _toks(["x", "y", "x", "y"])) == [(0, 4, {"1": (0, 4)})]
     assert not find_all(pat, _toks(["x", "y"]))
 
     # named quantified group: capture spans all reps
