@@ -20,15 +20,31 @@ def _sent_tokens(s):
     return F.filter("tokens", lambda t: t["sent"] == s["sent_idx"])
 
 
-def to_conll(annotated: DataFrame) -> DataFrame:
-    """CoNLL column format: one token per line (IDX WORD LEMMA POS NER),
-    sentences separated by a blank line (CoNLLOutputter.java semantics)."""
-    line = lambda t: F.concat_ws(
-        "\t", (t["idx"] + 1).cast("string"), t["word"], t["lemma"],
-        t["pos"], t["ner"],
-    )
-    block = lambda s: F.array_join(F.transform(_sent_tokens(s), line), "\n")
-    doc = F.array_join(F.transform("sentences", block), "\n\n")
+def to_conll(annotated: DataFrame,
+             columns: list[str] | None = None) -> DataFrame:
+    """CoNLL column format (CoNLLOutputter.java): default columns
+    idx/word/lemma/pos/ner/headidx/deprel, one token per line, "_" for
+    unavailable fields, SENTENCE-LOCAL 1-based ids, blank line after each
+    sentence. ``columns`` mirrors the reference's output.columns option
+    (e.g. ["word", "pos"])."""
+    cols = columns or ["idx", "word", "lemma", "pos", "ner",
+                       "headidx", "deprel"]
+
+    def field(t, s, name):
+        if name == "idx":
+            return (t["idx"] - s["start_tok"] + 1).cast("string")
+        if name in ("headidx", "deprel"):
+            return F.lit("_")  # carried by the CoNLL-U outputter when parsed
+        v = t[name] if name in ("word", "lemma", "pos", "ner") else F.lit(None)
+        return F.coalesce(v.cast("string"), F.lit("_"))
+
+    def block(s):
+        line = lambda t: F.concat_ws("\t", *[field(t, s, c) for c in cols])
+        return F.concat(
+            F.array_join(F.transform(_sent_tokens(s), line), "\n"),
+            F.lit("\n"))
+
+    doc = F.array_join(F.transform("sentences", block), "\n")
     return annotated.select("doc_id", doc.alias("conll"))
 
 

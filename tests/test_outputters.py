@@ -43,7 +43,14 @@ def test_conll_tsv_text_xml_outputters(spark):
     sents = conll.split("\n\n")
     assert len(sents) == 2
     first = sents[0].splitlines()[0].split("\t")
-    assert first == ["1", "Barack", "Barack", "NNP", "PERSON"]
+    # r5: reference 7-column default with _ for head/deprel (those are
+    # carried by the CoNLL-U outputter when the parse is materialized)
+    assert first == ["1", "Barack", "Barack", "NNP", "PERSON", "_", "_"]
+    # sentence-local ids: the second sentence restarts at 1
+    assert sents[1].splitlines()[0].split("\t")[0] == "1"
+    # custom output.columns
+    assert to_conll(ann, ["word", "pos"]).first().conll.splitlines()[0] \
+        == "Barack\tNNP"
 
     tsv = to_tsv(ann).orderBy("sent", "idx").collect()
     assert tsv[0].tsv.split("\t")[:4] == ["d0", "0", "0", "Barack"]
