@@ -369,6 +369,11 @@ DEFAULT_OPTIONS = {
     # ssplit.isOneSentence: the whole span is one sentence (the
     # WordToSentenceProcessor null splitter)
     "ssplit_one_sentence": False,
+    # CleanXmlAnnotator knobs: None → every tag is a sentence barrier
+    # (this engine's fused default); a set → only those tag names break
+    "sentence_ending_tags": None,
+    # False → CleanXmlAnnotator strict mode: mismatched/unclosed tags raise
+    "allow_flawed_xml": True,
     "strict_acronym": None,   # None → follow strict_treebank3
     "strict_fraction": None,  # None → follow strict_treebank3
     "quotes": None,           # None → normalize_quotes ? latex : not_cp1252
@@ -750,6 +755,7 @@ def tokenize_text_with_barriers(text: str, options: dict | None = None):
     norm_text = _CP1252_RE.sub(lambda m: CP1252[m.group()], text)
     out: list[tuple[str, str, int, int]] = []
     barriers: set[int] = set()
+    tag_stack: list[str] = []
     for m in MASTER.finditer(norm_text):
         kind = m.lastgroup
         matched = m.group()
@@ -758,7 +764,31 @@ def tokenize_text_with_barriers(text: str, options: dict | None = None):
             if opt.get("keep_sgml_tokens"):
                 out.append((re.sub("[ \r\n]", " ", matched), raw,
                             m.start(), m.end()))
-            barriers.add(len(out))
+                barriers.add(len(out))
+                continue
+            # CleanXmlAnnotator semantics: maintain the open-tag stack for
+            # flaw detection; break sentences at every tag (this engine's
+            # fused default) or only at ``sentence_ending_tags``
+            inner = matched.strip("<>/ ")
+            tag_name = re.split(r"[\s/>]", inner, 1)[0].lower()
+            if matched.startswith("</"):
+                if tag_stack and tag_stack[-1] == tag_name:
+                    tag_stack.pop()
+                elif not opt.get("allow_flawed_xml", True):
+                    raise ValueError(
+                        f"mismatched close tag </{tag_name}> "
+                        f"(CleanXmlAnnotator strict mode)")
+                elif tag_name in tag_stack:
+                    while tag_stack and tag_stack[-1] != tag_name:
+                        tag_stack.pop()
+                    if tag_stack:
+                        tag_stack.pop()
+            elif not matched.endswith("/>") and not matched.startswith("<!") \
+                    and not matched.startswith("<?"):
+                tag_stack.append(tag_name)
+            se = opt.get("sentence_ending_tags")
+            if se is None or tag_name in se:
+                barriers.add(len(out))
             continue
         if matched == "\ufeff" or (len(matched) == 1
                                    and "\ud800" <= matched <= "\udfff"):
@@ -923,6 +953,9 @@ def tokenize_text_with_barriers(text: str, options: dict | None = None):
         gated = _split_on(gated, "/")
     if opt.get("americanize"):
         gated = [(americanize(w), o, b, e) for w, o, b, e in gated]
+    if tag_stack and not opt.get("allow_flawed_xml", True):
+        raise ValueError(f"unclosed tags at end of text: {tag_stack} "
+                         f"(CleanXmlAnnotator strict mode)")
     return gated, barriers
 
 

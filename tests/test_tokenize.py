@@ -915,3 +915,40 @@ def test_whitespace_tokenizer():
     toks = whitespace_tokenize("a  b c \n d", tokenize_nls=True)
     for w, o, b, e in toks:
         assert "a  b c \n d"[b:e] == o
+
+
+def test_cleanxml_annotator_options():
+    """CleanXmlAnnotatorTest.java ported: sentence-ending-tag selection,
+    nested tags, flawed-XML tolerance vs strict mode."""
+    import pytest
+
+    def sents(text, **opts):
+        spans = [{"kind": "text", "text": text, "media_ref": None,
+                  "offset": 0}]
+        toks, ss = annotate_doc(spans, opts or None)
+        return [" ".join(t["word"] for t in toks[s["start_tok"]:s["end_tok"]])
+                for s in ss]
+
+    two_tags = "<p>This sentence is split</p><foo>over two tags</foo>"
+    # no sentence-ending tags: ONE sentence spans the tags
+    assert sents(two_tags, sentence_ending_tags=set()) == [
+        "This sentence is split over two tags"]
+    # cleanXmlEndSentences("p"): break at p
+    assert sents(two_tags, sentence_ending_tags={"p"}) == [
+        "This sentence is split", "over two tags"]
+    # nested tags
+    assert sents("<p><p>This text is in a</p>nested tag</p>",
+                 sentence_ending_tags={"p"}) == [
+        "This text is in a", "nested tag"]
+    assert sents("<p><p>This text is in a</p>nested tag</p>",
+                 sentence_ending_tags=set()) == [
+        "This text is in a nested tag"]
+    # flawed XML tolerated by default, rejected in strict mode
+    flawed = "<text><p>This text <p>has closing tags wrong</text>"
+    assert sents(flawed, sentence_ending_tags=set()) == [
+        "This text has closing tags wrong"]
+    with pytest.raises(ValueError):
+        sents(flawed, allow_flawed_xml=False)
+    with pytest.raises(ValueError):
+        sents("<text>This text ends before all tags closed",
+              allow_flawed_xml=False)
