@@ -207,7 +207,9 @@ _MD_EXC = {"wo": "will", "ca": "can", "sha": "shall", "'d": "would",
            "am": "be"}
 _PRP_EXC = {"her": "she", "them": "they", "us": "we", "i": "I",
             "their": "they", "me": "I", "him": "he", "my": "I",
-            "his": "he", "our": "we", "your": "you", "its": "it"}
+            "his": "he", "our": "we", "your": "you", "its": "it",
+            # the 'tis/'twas clitic subject ("'t is" → it)
+            "'t": "it", "’t": "it"}
 _RB_NOT = {"n't", "n’t", "nt", "not"}
 
 # stems whose doubled final consonant undoubles ("stopped"→stop) — Morpha

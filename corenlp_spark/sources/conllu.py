@@ -117,14 +117,21 @@ def _feats_expr(xpos, lemma):
     return F.when(xpos == "DT", dt).otherwise(F.coalesce(m[xpos], F.lit("_")))
 
 
-def to_conllu_lines(annotated: DataFrame) -> DataFrame:
+def to_conllu_lines(annotated: DataFrame, mwt: bool = False) -> DataFrame:
     """Annotated docs → CoNLL-U-formatted lines (token rows as TSV strings).
 
     Token ids are sentence-local 1-based; when a ``deps`` column is present
     (``depparse_docs`` / ``annotate_fused`` output) the HEAD/DEPREL columns
     carry the real parse (root → 0/root), as ``CoNLLUOutputter.java`` does.
     Pure column algebra — token→edge resolution via a per-doc map lookup,
-    no UDF."""
+    no UDF.
+
+    ``mwt=True`` adds English multi-word-token range rows ("2-3\tcannot")
+    before contraction splits, per the reference's EnglishMWTCombiner rules
+    (trees/ud/EnglishMWTCombiner.java: 's/n't/'ll/'ve/'re/'d/'m clitics,
+    contiguous can+not / wan+na / gon+na, possessive ', 'tis/'twas). Rows
+    carry (tid, rank) sort keys — order by (doc_id, sent_idx, tid, rank)
+    to interleave ranges before their first token row."""
     cols = {f.name for f in annotated.schema.fields}
     base = annotated
     if "sentences" in cols:
@@ -156,6 +163,8 @@ def to_conllu_lines(annotated: DataFrame) -> DataFrame:
         F.col("t.word").alias("form"),
         F.col("t.lemma").alias("lemma"),
         F.col("t.pos").alias("xpos"),
+        F.col("t.begin").alias("begin"),
+        F.col("t.end").alias("end"),
     ).withColumn("upos", _upos_expr(F.col("xpos")))
     start = F.coalesce(F.col("_sstart")[F.col("sent_idx")], F.lit(0))
     local_id = F.col("idx") - start + 1
@@ -175,4 +184,36 @@ def to_conllu_lines(annotated: DataFrame) -> DataFrame:
         "upos", "xpos", _feats_expr(F.col("xpos"), F.col("lemma")),
         head.cast("string"), rel, deps_col, F.lit("_"),
     )
-    return tok.select("doc_id", "sent_idx", line.alias("line"))
+    rows = tok.select("doc_id", "sent_idx", line.alias("line"),
+                      local_id.alias("tid"), F.lit(1).alias("rank"))
+    if not mwt:
+        return rows
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("idx")
+    nxt = tok.withColumn("n_form", F.lead("form").over(w)) \
+             .withColumn("n_begin", F.lead("begin").over(w)) \
+             .withColumn("n_xpos", F.lead("xpos").over(w))
+    contiguous = F.col("n_begin") == F.col("end")
+    lw = F.lower("form")
+    lnx = F.lower("n_form")
+    is_mwt = (
+        F.col("n_form").rlike(r"^(?i)('s|n't|'ll|'ve|'re|'d|s'|'m)$")
+        | (contiguous & (
+            ((lw == "can") & (lnx == "not"))
+            | (lw.isin("wan", "gon") & (lnx == "na"))))
+        | ((F.col("n_form") == "'") & (F.col("n_xpos") == "POS"))
+        | (F.col("form").rlike(r"^'[tT]$") & lnx.isin("is", "was"))
+    )
+    a = (F.col("idx") - F.coalesce(F.col("_sstart")[F.col("sent_idx")],
+                                   F.lit(0)) + 1)
+    range_line = F.concat_ws(
+        "\t",
+        F.concat(a.cast("string"), F.lit("-"), (a + 1).cast("string")),
+        F.concat("form", "n_form"),
+        *[F.lit("_")] * 8,
+    )
+    ranges = nxt.filter(is_mwt & F.col("n_form").isNotNull()).select(
+        "doc_id", "sent_idx", range_line.alias("line"),
+        a.alias("tid"), F.lit(0).alias("rank"))
+    return rows.unionByName(ranges)

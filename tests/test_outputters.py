@@ -188,3 +188,31 @@ def test_conllu_feats_column(spark, tmp_path):
     back = {r.form: r.feats for r in read_conllu(spark, path).collect()}
     assert back["cats"] == "Number=Plur"
     assert back["visited"] == "Mood=Ind|Tense=Past|VerbForm=Fin"
+
+
+def test_conllu_english_mwt_ranges(spark):
+    """EnglishMWTCombinerTest semantics: multi-word-token range rows
+    before contraction splits (cannot / it's / wanna), lemmas want/to on
+    the wanna parts (trees/ud/EnglishMWTCombiner.java rules)."""
+    from corenlp_spark.plans.fused import annotate_fused
+    from corenlp_spark.sources.conllu import to_conllu_lines
+
+    docs = spark.createDataFrame(
+        [("d1", [{"kind": "text",
+                  "text": "I cannot believe it's yours! I wanna fix this.",
+                  "media_ref": None, "offset": 0}])],
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>")
+    rows = to_conllu_lines(annotate_fused(docs), mwt=True) \
+        .orderBy("sent_idx", "tid", "rank").collect()
+    lines = [r.line for r in rows]
+    ranges = [ln for ln in lines if "-" in ln.split("\t")[0]]
+    assert [ln.split("\t")[:2] for ln in ranges] == [
+        ["2-3", "cannot"], ["5-6", "it's"], ["2-3", "wanna"]]
+    # range rows come immediately before their first token row
+    i = lines.index("2-3\tcannot\t_\t_\t_\t_\t_\t_\t_\t_")
+    assert lines[i + 1].split("\t")[:2] == ["2", "can"]
+    # wanna parts carry the reference's lemmas
+    wan = [ln.split("\t") for ln in lines if ln.split("\t")[1] == "wan"][0]
+    na = [ln.split("\t") for ln in lines if ln.split("\t")[1] == "na"][0]
+    assert wan[2] == "want" and na[2] == "to"
