@@ -16,7 +16,8 @@ from pyspark.sql import functions as F
 
 CONLLU_SCHEMA = (
     "doc_id string, sent_idx int, tok_id int, form string, lemma string, "
-    "upos string, xpos string, feats string, head int, deprel string"
+    "upos string, xpos string, feats string, head int, deprel string, "
+    "deps array<string>"
 )
 
 
@@ -32,7 +33,7 @@ def read_conllu(spark: SparkSession, path: str) -> DataFrame:
         for pdf in batches:
             rows = {k: [] for k in ("doc_id", "sent_idx", "tok_id", "form",
                                     "lemma", "upos", "xpos", "feats",
-                                    "head", "deprel")}
+                                    "head", "deprel", "deps")}
             sent = 0
             for file, line in zip(pdf["file"], pdf["value"]):
                 line = line.strip()
@@ -54,6 +55,12 @@ def read_conllu(spark: SparkSession, path: str) -> DataFrame:
                 rows["feats"].append(cols[5])
                 rows["head"].append(int(cols[6]) if cols[6].isdigit() else 0)
                 rows["deprel"].append(cols[7])
+                # enhanced DEPS: pipe-separated head:rel pairs, possibly
+                # with empty-node heads (2.1) — kept verbatim
+                # (CoNLLUDocumentReader enhanced-graph column)
+                deps = cols[8] if len(cols) > 8 else "_"
+                rows["deps"].append(
+                    [] if deps in ("_", "") else deps.split("|"))
             yield pd.DataFrame(rows)
 
     return raw.mapInPandas(parse, schema=CONLLU_SCHEMA)

@@ -216,3 +216,45 @@ def test_conllu_english_mwt_ranges(spark):
     wan = [ln.split("\t") for ln in lines if ln.split("\t")[1] == "wan"][0]
     na = [ln.split("\t") for ln in lines if ln.split("\t")[1] == "na"][0]
     assert wan[2] == "want" and na[2] == "to"
+
+
+def test_read_conllu_reference_fixtures(spark, tmp_path):
+    """CoNLLUDocumentReaderWriterTest fixtures: MWT range rows and empty
+    nodes are skipped, comment lines ignored, the enhanced DEPS column
+    parses pipe-separated multi-head lists."""
+    import re as _re
+
+    from corenlp_spark.sources.conllu import read_conllu
+
+    mwt = _re.sub("[ ]+", "\t", (
+        "1 I I PRON PRP Case=Nom 2 nsubj 2:nsubj _\n"
+        "2-3 haven't _ _ _ _ _ _ _ _\n"
+        "2 have have VERB VBP Tense=Pres 0 root 0:root _\n"
+        "3 not not PART RB Negative=Neg 2 advmod 2:advmod _\n"
+        "4 a a DET DT Definite=Ind 5 det 5:det _\n"
+        "5 clue clue NOUN NN Number=Sing 2 obj 2:obj _\n"
+        "6 . . PUNCT . _ 2 punct 2:punct _\n\n"))
+    comments = "#comment line 1\n#comment line 2\n" + mwt.replace(
+        "2-3\thaven't\t_\t_\t_\t_\t_\t_\t_\t_\n", "")
+    extra = _re.sub("[ ]+", "\t", (
+        "1 They They PRON PRP _ 2 nsubj 2:nsubj|4:nsubj _\n"
+        "2 buy buy VERB VBP _ 0 root 0:root _\n"
+        "3 and and CONJ CC _ 2 cc 2:cc _\n"
+        "4 sell sell VERB VBP _ 5 conj 5:conj _\n"
+        "5 books book NOUN NNS _ 2 obj 2:obj|4:obj _\n"
+        "6 . . PUNCT . _ 2 punct 2:punct _\n\n"))
+    f1 = tmp_path / "mwt.conllu"; f1.write_text(mwt)
+    f2 = tmp_path / "comments.conllu"; f2.write_text(comments)
+    f3 = tmp_path / "extra.conllu"; f3.write_text(extra)
+
+    rows = read_conllu(spark, str(f1)).orderBy("tok_id").collect()
+    assert [r.form for r in rows] == ["I", "have", "not", "a", "clue", "."]
+    assert rows[0].feats == "Case=Nom"
+
+    rows = read_conllu(spark, str(f2)).orderBy("tok_id").collect()
+    assert len(rows) == 6  # comments ignored
+
+    rows = read_conllu(spark, str(f3)).orderBy("tok_id").collect()
+    assert rows[0].deps == ["2:nsubj", "4:nsubj"]  # multi-head enhanced
+    assert rows[4].deps == ["2:obj", "4:obj"]
+    assert rows[1].head == 0 and rows[1].deprel == "root"
