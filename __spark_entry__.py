@@ -284,6 +284,22 @@ _PARA_PROBES = [
 ]
 
 
+def q_source_quota(spark, sf_dir):
+    """Per-source quota sampling (cap each domain's share of a training
+    mix) with DETERMINISTIC md5(doc_id)-order choice, then the kept-set
+    composition report. Window-per-source — balanced partitions, no
+    global sort; the DuckDB oracle replays the identical window."""
+    from corenlp_spark.functions.sampling import (source_mix_report,
+                                                  source_quota_sample)
+
+    d = _spread(spark, _t(spark, sf_dir, "documents")).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text",
+        "lang", "source")
+    kept = source_quota_sample(d, per_source=40)
+    return source_mix_report(kept).select(
+        "source", "lang", "n_docs", "n_chars", "frac")
+
+
 def q_paragraph_dedup(spark, sf_dir):
     """Cross-document paragraph-level exact dedup (RefinedWeb boilerplate
     removal) over documents ∪ probe docs: paragraphs occurring in ≥2
@@ -1456,6 +1472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_repetition": q_gopher_repetition,
         "pii_scan": q_pii_scan,
         "decontam_overlap": q_decontam,
+        "source_quota": q_source_quota,
         "paragraph_dedup": q_paragraph_dedup,
         "quality_lm": q_quality_lm,
         "kmeans_clusters": q_kmeans_clusters,
@@ -1882,6 +1899,23 @@ def oracle_sql() -> dict[str, str]:
         "gopher_repetition": _gopher_repetition_oracle(),
         "pii_scan": _pii_oracle(),
         "decontam_overlap": _decontam_oracle(),
+        "source_quota": """
+            WITH ranked AS (
+                SELECT doc_id, text, lang, source,
+                       row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                       ) AS rk
+                FROM documents
+            ), kept AS (
+                SELECT * FROM ranked WHERE rk <= 40
+            ), tot AS (SELECT count(*) AS n FROM kept)
+            SELECT source, lang,
+                   count(*) AS n_docs,
+                   sum(length(text)) AS n_chars,
+                   round(count(*) * 1.0 / (SELECT n FROM tot), 6) AS frac
+            FROM kept GROUP BY source, lang ORDER BY source, lang
+        """,
         "paragraph_dedup": _paragraph_oracle(),
         "quality_lm": _quality_lm_oracle(),
         "kmeans_clusters": _kmeans_oracle(),

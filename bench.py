@@ -88,7 +88,7 @@ def main() -> None:
         "quality_score", "lang_id", "ann_cosine_topk", "embedding_dups",
         "events_sessions", "events_daily", "events_funnel",
         "mention_chunks", "entity_link_dict", "gopher_quality",
-        "gopher_repetition", "pii_scan", "decontam_overlap",
+        "gopher_repetition", "pii_scan", "decontam_overlap", "source_quota",
         "paragraph_dedup", "quality_lm", "kmeans_clusters",
         "dedup_components",
     ]

@@ -512,3 +512,24 @@ def test_kmeans_cluster_summary(spark):
     # converged centroids are axis-aligned unit vectors → avg dot ≈ mean norm
     for r in out:
         assert r["avg_score"] > 0.9
+
+
+def test_source_quota_sample(spark):
+    """Deterministic per-source quota: ≤K per source, md5-order choice,
+    stable across runs; mix report fractions sum to 1."""
+    from corenlp_spark.functions.sampling import (source_mix_report,
+                                                  source_quota_sample)
+
+    rows = [(i, f"text {i}", "en" if i % 3 else "fr", f"src{i % 4}")
+            for i in range(40)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string")
+    kept = source_quota_sample(df, per_source=5)
+    got = kept.groupBy("source").count().collect()
+    assert all(r["count"] == 5 for r in got) and len(got) == 4
+    # deterministic: same ids both runs
+    ids1 = sorted(r.doc_id for r in kept.collect())
+    ids2 = sorted(r.doc_id for r in source_quota_sample(df, 5).collect())
+    assert ids1 == ids2
+    rep = source_mix_report(kept).collect()
+    assert abs(sum(r.frac for r in rep) - 1.0) < 1e-6
