@@ -185,3 +185,16 @@ def test_spread_is_noop_when_input_presplit(spark, tmp_path):
     single = spark.read.parquet(str(tmp_path / "one"))
     spread = em._spread(spark, single)
     assert spread.rdd.getNumPartitions() == n
+
+
+def test_source_quota_single_partition_window(spark):
+    """source_quota_sample: ONE hash-partitioned exchange on the source
+    key (the window), no global sort and no extra shuffles — the property
+    that keeps per-domain capping linear at 100 TB."""
+    from corenlp_spark.functions.sampling import source_quota_sample
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan_of(source_quota_sample(d, 40))
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "Exchange rangepartitioning" not in p  # no global sort
+    assert "source" in p.split("Exchange hashpartitioning", 1)[1][:80]
