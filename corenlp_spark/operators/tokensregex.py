@@ -93,6 +93,13 @@ class AltPattern:
 
 
 @dataclass
+class BackRef:
+    r"""\N — the captured group's token WORDS must repeat verbatim
+    (TokenSequenceMatcherITest testTokenSequenceMatcherBackRef)."""
+    number: int
+
+
+@dataclass
 class Group:
     """A (possibly quantified) group: alternatives of item sequences.
 
@@ -255,11 +262,21 @@ def _lex(pattern: str) -> list[tuple]:
         elif ch == "|":
             toks.append(("BAR", None))
             i += 1
+        elif ch == "\\" and i + 1 < n and pattern[i + 1].isdigit():
+            m2 = re.compile(r"\\(\d+)").match(pattern, i)
+            toks.append(("BACKREF", int(m2.group(1))))
+            i = m2.end()
         else:
             qm = _QUANT_RE.match(pattern, i)
-            if qm and toks and toks[-1][0] in ("NODE", "CLOSE"):
+            wm = re.compile(r"[A-Za-z0-9_][\w.'-]*").match(pattern, i)
+            if qm and toks and toks[-1][0] in ("NODE", "CLOSE", "BACKREF"):
                 toks.append(("QUANT", qm.group(0)))
                 i = qm.end()
+            elif wm:
+                # bare word literal (TokenSequencePattern shorthand:
+                # "(/A/+) B \1" — B matches the word exactly)
+                toks.append(("NODE", (False, '["' + wm.group(0) + '"]')))
+                i = wm.end()
             else:
                 raise ValueError(f"bad pattern at {i}: {pattern!r}")
     return toks
@@ -285,6 +302,9 @@ def _parse_alt(toks: list[tuple], i: int, counter: list[int] | None = None
                 quant = toks[i + 1][1]
                 i += 1
             cur.append(Elem(_parse_pred(node[1:-1], negated), quant))
+            i += 1
+        elif kind == "BACKREF":
+            cur.append(BackRef(payload))
             i += 1
         elif kind == "OPEN":
             name = payload
@@ -360,6 +380,17 @@ _REPS_STEP_BUDGET = 10_000
 
 
 def _gen_item(item, toks, ti, groups):
+    if isinstance(item, BackRef):
+        span = groups.get(str(item.number))
+        if span is None:
+            return
+        s0, e0 = span
+        k = e0 - s0
+        if ti + k <= len(toks) and all(
+                toks[ti + j].get("word") == toks[s0 + j].get("word")
+                for j in range(k)):
+            yield ti + k, groups
+        return
     if isinstance(item, Elem):
         lo, hi = item.bounds(len(toks) - ti)
         n = 0

@@ -102,3 +102,14 @@ def test_conjunction_inside_node():
     assert [(s, e) for s, e, _ in
             find_all(compile_pattern("[{pos:NNP} & /B.*/]"), toks)] == [(1, 2)]
     assert not find_all(compile_pattern("[{pos:NNP} & /x.*/]"), toks)
+
+
+def test_backreferences_and_bare_words():
+    r"""testTokenSequenceMatcherBackRef: "(/A/+) B \1" — the captured
+    token run must repeat verbatim after B; bare words are literals."""
+    toks = [{"word": w} for w in
+            "A A A A A A A B A A B A C A E A A A A A A A A A A A B A A A"
+            .split()]
+    ms = find_all(compile_pattern(r"(/A/+) B \1"), toks)
+    spans = [" ".join(t["word"] for t in toks[s:e]) for s, e, _ in ms]
+    assert spans == ["A A B A A", "A A A B A A A"]
