@@ -37,8 +37,8 @@ from dataclasses import dataclass, field
 _NODE = re.compile(r"(!?)\{([^}]*)\}(?:=(\w+))?")
 _REL = re.compile(
     r"\s*([?!]?)\s*(?:(\d+),(\d+))?"
-    r"(>\+\+|>--|<\+\+|<--|>>|<<|<>|\.\.|--|>|<|\.|-)"
-    r"([\w:]*)\s*")
+    r"(>\+\+|>--|<\+\+|<--|>>|<<|<>|\$\+\+|\$--|\$\+|\$-|\$|\.\.|--|>|<|\.|-)"
+    r"([\w:]*)(?:=(\w+))?\s*")
 
 
 @dataclass
@@ -114,13 +114,14 @@ def _parse_constraint(pattern: str, pos: int) -> tuple[tuple, int]:
     mod = rm.group(1)
     bound = (int(rm.group(2)), int(rm.group(3))) if rm.group(2) else None
     op, rel = rm.group(4), rm.group(5)
+    edge_name = rm.group(6)  # ">obj=foo" names the matched edge
     pos = _skip_ws(pattern, rm.end())
     if pos < len(pattern) and pattern[pos] == "(":
         sub, pos = _parse_pattern(pattern, pos + 1)
         pos = _skip_ws(pattern, pos)
         if pos >= len(pattern) or pattern[pos] != ")":
             raise ValueError(f"unclosed group at {pattern[pos:]!r}")
-        return (mod, op, bound, rel, [sub]), pos + 1
+        return (mod, op, bound, rel, [sub], edge_name), pos + 1
     if pos < len(pattern) and pattern[pos] == "[":
         # node alternation: [ {A} | {B} ] — all share this relation
         subs = []
@@ -137,9 +138,9 @@ def _parse_constraint(pattern: str, pos: int) -> tuple[tuple, int]:
                 pos += 1
                 break
             raise ValueError(f"bad node alternation at {pattern[pos:]!r}")
-        return (mod, op, bound, rel, subs), pos
+        return (mod, op, bound, rel, subs, edge_name), pos
     sub_node, pos = _parse_node(pattern, pos)
-    return (mod, op, bound, rel, [SemgrexPattern(sub_node)]), pos
+    return (mod, op, bound, rel, [SemgrexPattern(sub_node)], edge_name), pos
 
 
 def _parse_pattern(pattern: str, pos: int) -> tuple[SemgrexPattern, int]:
@@ -323,6 +324,17 @@ def _rel_candidates(g: SentenceGraph, t: int, op: str, rel: str,
         for h, r in g.parents.get(t, ()):
             if _rel_match(r, rel) and t > h:
                 yield h
+    elif op in ("$", "$+", "$-", "$++", "$--"):
+        # siblings: same governor (semgrex $ relations; $+ = the anchor is
+        # the IMMEDIATE LEFT sibling of the candidate, by token position)
+        sibs = set()
+        for h, _r in g.parents.get(t, ()):
+            for d, _r2 in g.children.get(h, ()):
+                if d != t:
+                    sibs.add(d)
+        for d in sorted(sibs):
+            if op == "$"                     or (op == "$+" and d == t + 1)                     or (op == "$-" and d == t - 1)                     or (op == "$++" and d > t)                     or (op == "$--" and d < t):
+                yield d
     elif op == ".":
         if t + 1 <= hi_b:
             yield t + 1
@@ -338,8 +350,34 @@ def _rel_candidates(g: SentenceGraph, t: int, op: str, rel: str,
 def _apply_constraints(seq, g: SentenceGraph, t: int,
                        bindings: list[dict]) -> list[dict]:
     """Thread one constraint sequence through the current bindings."""
-    for mod, op, bound, rel, subs in seq:
+    for mod, op, bound, rel, subs, edge_name in seq:
         sub_bindings: list[dict[str, int]] = []
+        if edge_name and op in (">", "<"):
+            # named edge: record (gov, dep, rel) under "edge:<name>"
+            pairs = (
+                [(t, d, r) for d, r in g.children.get(t, ())
+                 if _rel_match(r, rel)] if op == ">" else
+                [(h, t, r) for h, r in g.parents.get(t, ())
+                 if _rel_match(r, rel)])
+            for gov, dep, r in pairs:
+                cand = dep if op == ">" else gov
+                for sub in subs:
+                    for b2 in _match_at(sub, g, cand):
+                        sub_bindings.append(
+                            dict(b2, **{"edge:" + edge_name: (gov, dep, r)}))
+                    if sub_bindings and len(subs) > 1:
+                        break
+            if mod == "!":
+                if sub_bindings:
+                    return []
+                continue
+            if not sub_bindings:
+                if mod == "?":
+                    continue
+                return []
+            bindings = [dict(b, **sb) for b in bindings
+                        for sb in sub_bindings]
+            continue
         for cand in _rel_candidates(g, t, op, rel, bound):
             for sub in subs:
                 sub_bindings.extend(_match_at(sub, g, cand))
