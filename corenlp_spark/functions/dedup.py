@@ -97,11 +97,15 @@ def _shingles(col, k: int = 3):
     return _shingles_of(_tokens(col), k)
 
 
-def minhash_signatures(docs: DataFrame, n_bands: int = 8, k: int = 3) -> DataFrame:
-    """(doc_id, band, mh): per-band minhash of word k-shingles."""
-    sh = docs.withColumn("_tk", _tokens(F.col("text"))).select(
+def _shingle_table(docs: DataFrame, k: int) -> DataFrame:
+    """(doc_id, sh): the per-doc distinct shingle array."""
+    return docs.withColumn("_tk", _tokens(F.col("text"))).select(
         "doc_id", _shingles_of(F.col("_tk"), k).alias("sh")
     )
+
+
+def _band_sigs(sh: DataFrame, n_bands: int) -> DataFrame:
+    """(doc_id, band, mh) from a shingle-array table."""
     bands = F.array(*[
         F.struct(
             F.lit(b).alias("band"),
@@ -116,35 +120,77 @@ def minhash_signatures(docs: DataFrame, n_bands: int = 8, k: int = 3) -> DataFra
     )
 
 
+def minhash_signatures(docs: DataFrame, n_bands: int = 8, k: int = 3) -> DataFrame:
+    """(doc_id, band, mh): per-band minhash of word k-shingles."""
+    return _band_sigs(_shingle_table(docs, k), n_bands)
+
+
 def minhash_dup_pairs(
     docs: DataFrame, n_bands: int = 8, k: int = 3, threshold: float = 0.8
 ) -> DataFrame:
     """Near-duplicate pairs: LSH band-bucket candidates verified by exact
-    shingle Jaccard ≥ threshold. Returns (doc_a, doc_b, jaccard), doc_a<doc_b."""
-    sig = minhash_signatures(docs, n_bands, k)
-    cand = (
-        sig.alias("x")
-        .join(sig.alias("y"), ["band", "mh"])
-        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+    shingle Jaccard ≥ threshold. Returns (doc_a, doc_b, jaccard), doc_a<doc_b.
+
+    r6 shape (guide §8: decide with small co-located data, never shuffle
+    the payload per-pair): the old plan joined every candidate PAIR back to
+    the shingle-array table twice — at sf1.0 that carried 4.2M candidate
+    rows × ~1 KB of shingles per side (~8 GB of exchange) to keep 2.5k
+    pairs, after a .distinct() exchange over all candidates. Now each doc's
+    shingle set travels ONCE per band into its (band, mh) bucket
+    (n_bands × corpus bytes, the minimum any bucket-verify needs), and an
+    Arrow-batched kernel verifies all pairs inside the bucket. Cross-band
+    duplicate candidates are dropped map-side by the first-collision rule
+    (emit a pair only in the LOWEST band whose minhashes agree — each doc
+    carries its full mh vector, so no dedup exchange is needed).
+    Jaccard/rounding arithmetic is bit-identical (int set sizes, double
+    division, HALF_UP 1e-6 — the same formula the similarity kernels use).
+    Per-bucket work is quadratic in bucket size exactly as the join output
+    was; a bucket is one task either way (same single join key)."""
+    import pandas as pd
+
+    id_type = docs.schema["doc_id"].dataType.simpleString()
+    sh = _shingle_table(docs, k)
+    mhs = F.array(*[
+        F.array_min(
+            F.transform("sh", lambda s: F.md5(F.concat(s, F.lit(f"#{b}"))))
+        )
+        for b in range(n_bands)
+    ])
+    posted = (
+        sh.select("doc_id", "sh", mhs.alias("mhs"))
         .select(
-            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+            "doc_id", "sh", "mhs",
+            F.posexplode("mhs").alias("band", "mh"),
         )
-        .distinct()
     )
-    sh = docs.withColumn("_tk", _tokens(F.col("text"))).select(
-        "doc_id", _shingles_of(F.col("_tk"), k).alias("sh")
-    )
-    return (
-        cand.join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
-        .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
-        .withColumn(
-            "jaccard",
-            F.size(F.array_intersect("sh_a", "sh_b"))
-            / F.size(F.array_union("sh_a", "sh_b")),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
-    )
+
+    def verify(pdf: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b, out_j = [], [], []
+        m = len(pdf)
+        if m >= 2:
+            band = int(pdf["band"].iloc[0])
+            order = sorted(range(m), key=lambda i: pdf["doc_id"].iloc[i])
+            ids = [pdf["doc_id"].iloc[i] for i in order]
+            sets = [frozenset(pdf["sh"].iloc[i]) for i in order]
+            vecs = [list(pdf["mhs"].iloc[i][:band]) for i in order]
+            for i in range(m):
+                si, vi = sets[i], vecs[i]
+                for j in range(i + 1, m):
+                    # first-collision: skip pairs already met in a lower band
+                    if any(a == b for a, b in zip(vi, vecs[j])):
+                        continue
+                    inter = len(si & sets[j])
+                    union = len(si) + len(sets[j]) - inter
+                    jac = inter / union
+                    if jac >= threshold:
+                        # HALF_UP to 6dp (F.round semantics; jac >= 0)
+                        out_a.append(ids[i])
+                        out_b.append(ids[j])
+                        out_j.append(int(jac * 1e6 + 0.5) / 1e6)
+        return pd.DataFrame({"doc_a": out_a, "doc_b": out_b, "jaccard": out_j})
+
+    return posted.groupBy("band", "mh").applyInPandas(
+        verify, schema=f"doc_a {id_type}, doc_b {id_type}, jaccard double")
 
 
 def simhash(docs: DataFrame, bits: int = 64) -> DataFrame:
@@ -191,40 +237,82 @@ _SIMHASH_BLOCKS = 4
 _SIMHASH_BLOCK_BITS = 15
 
 
-def simhash_pairs_from_sigs(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
+def simhash_pairs_from_sigs(sigs: DataFrame, max_hamming: int = 3,
+                            chunk: int = 1024) -> DataFrame:
     """Near-dup pairs from a (doc_id, simhash) signature table.
 
     Multi-table LSH: each signature is posted under 4 (block_id, block_key)
-    buckets; candidates come from 4 equi-joins (unioned via explode), are
-    distinct-ed, then verified by exact hamming. Guaranteed recall for
-    hamming ≤ 3 with 60-bit hashes; no all-pairs compare — the join stays
-    an equi-join AQE can split on skewed buckets."""
+    buckets; candidates meet in an equi-join per bucket and are verified by
+    exact hamming map-side. Guaranteed recall for hamming ≤ 3 with 60-bit
+    hashes; no all-pairs compare.
+
+    Two r6 restructurings (guide §2.4 / §2.5):
+
+    * First-collision dedup replaces the old ``.distinct()``: a pair
+      colliding in several tables used to be deduped by an exchange over
+      EVERY verified pair (quadratic in near-dup cluster sizes). Both
+      simhashes ride the join row, so table membership is recomputable
+      map-side — emit the pair only from the LOWEST table whose blocks
+      agree (every earlier table's block must differ). Exactly one row per
+      qualifying pair, zero dedup shuffle.
+
+    * Triangular chunk-split fixes same-key skew AQE cannot touch: a mass-
+      duplicate corpus concentrates thousands of docs on ONE (tbl, key)
+      value (observed 15.7k docs → 123M comparisons in a single task).
+      Each bucket member gets a deterministic chunk id
+      ``pmod(xxhash64(doc_id), ceil(n/chunk))``; the self-join runs on
+      (tbl, key, i, j) chunk pairs with i ≤ j, so a hot bucket becomes
+      nc·(nc+1)/2 independent join groups of ~chunk² comparisons each.
+      Bucket sizes come from one small aggregation (≤ tables·2^15 rows,
+      bounded by the key width — always broadcastable)."""
     mask = (1 << _SIMHASH_BLOCK_BITS) - 1
+
+    def _block(sim, t):
+        return F.shiftright(sim, t * _SIMHASH_BLOCK_BITS).bitwiseAND(F.lit(mask))
+
     posted = sigs.select(
         "doc_id", "simhash",
         F.explode(F.array(*[
-            F.struct(
-                F.lit(t).alias("tbl"),
-                F.shiftright("simhash", t * _SIMHASH_BLOCK_BITS)
-                .bitwiseAND(F.lit(mask)).alias("key"))
+            F.struct(F.lit(t).alias("tbl"), _block(F.col("simhash"), t).alias("key"))
             for t in range(_SIMHASH_BLOCKS)
         ])).alias("b"),
     ).select("doc_id", "simhash", "b.tbl", "b.key")
-    pairs = (
-        posted.alias("x").join(posted.alias("y"), ["tbl", "key"])
-        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
-        .select(
-            F.col("x.doc_id").alias("doc_a"),
-            F.col("y.doc_id").alias("doc_b"),
-            F.bit_count(F.col("x.simhash").bitwiseXOR(F.col("y.simhash")))
-            .alias("hamming"),
+    sizes = posted.groupBy("tbl", "key").agg(F.count("*").alias("_n"))
+    chunked = (
+        posted.join(F.broadcast(sizes), ["tbl", "key"])
+        .withColumn("nc", F.ceil(F.col("_n") / chunk).cast("int"))
+        .withColumn("ci", F.pmod(F.xxhash64("doc_id"), F.col("nc")).cast("int"))
+        .drop("_n")
+    )
+    x = chunked.select(
+        F.col("doc_id").alias("da"), F.col("simhash").alias("sa"),
+        "tbl", "key", F.col("ci").alias("i"),
+        F.explode(F.sequence(F.col("ci"), F.col("nc") - 1)).alias("j"),
+    )
+    y = chunked.select(
+        F.col("doc_id").alias("db"), F.col("simhash").alias("sb"),
+        "tbl", "key", F.col("ci").alias("j"),
+        F.explode(F.sequence(F.lit(0), F.col("ci"))).alias("i"),
+    )
+    first_collision = F.lit(True)
+    for t in range(_SIMHASH_BLOCKS - 1):
+        first_collision = first_collision & (
+            (F.col("tbl") <= t)
+            | (_block(F.col("sa"), t) != _block(F.col("sb"), t))
         )
-        # verify hamming BEFORE the dedup shuffle: bit_count is a map-side
-        # codegen expr, while distinct is a full exchange — filtering first
-        # shrinks the shuffle from all candidates to true pairs (~3× here;
-        # far more at scale where bucket collisions outnumber real dups)
-        .filter(F.col("hamming") <= max_hamming)
-        .distinct()  # a pair may collide in several tables
+    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    pairs = (
+        x.join(y, ["tbl", "key", "i", "j"])
+        # same-chunk groups see both orientations — keep one; cross-chunk
+        # groups see exactly one orientation (chunk ids fix the sides)
+        .filter((F.col("i") < F.col("j")) | (F.col("da") < F.col("db")))
+        .filter(ham <= max_hamming)
+        .filter(first_collision)
+        .select(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
+            ham.alias("hamming"),
+        )
     )
     return pairs
 
@@ -304,13 +392,19 @@ def dup_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
     adversarial chains. Deterministic."""
     from pyspark.sql import functions as F
 
+    # materialize the DIRECTED pairs first (r6): the symmetrization union
+    # references the pair pipeline twice, and Catalyst plans the two
+    # branches as independent subtrees — without this checkpoint the whole
+    # upstream pair computation (LSH bucketing + verification) ran twice
+    # per action before the union's distinct. Checkpointing fwd runs it
+    # once; the union/distinct then operates on the (small) edge list.
     fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    fwd = fwd.localCheckpoint(eager=True)
     edges = fwd.unionByName(
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct()
-    # materialize ONCE: every iteration joins edges, and without this the
-    # whole upstream pair pipeline (LSH bucketing + verification) would
-    # recompute per round
+    # materialize ONCE more: every iteration (and the driver path) reuses
+    # the deduped symmetric edge list
     edges = edges.localCheckpoint(eager=True)
     # size-gated hybrid (the GraphFrames/connected-components recipe):
     # below the cutoff the whole graph is a few MB — union-find on the

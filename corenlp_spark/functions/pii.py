@@ -32,23 +32,38 @@ PII_PATTERNS: list[tuple[str, str, str]] = [
 ]
 
 
+#: cheap structural gate: every pattern in the cascade requires a digit
+#: (card/ssn/phone/ip) or an '@' (email), so a document matching neither
+#: character can match NO pattern — counts are provably 0 and redaction is
+#: provably the identity. One single-char-class scan (which bails at the
+#: first hit) replaces the 10 full-pattern scans for clean documents
+#: (guide §1.2 per-task work; §2.3 don't compute what you throw away).
+_PII_GATE = "[0-9@]"
+
+
 def pii_counts(col) -> list[Column]:
     """Per-kind match counts on the ORIGINAL text (count before redaction:
     the cascade rewrites bytes, so counting after would undercount kinds
-    whose shapes overlap an earlier replacement)."""
+    whose shapes overlap an earlier replacement). Gated on _PII_GATE —
+    identical counts, but documents with no digit/'@' skip the regex
+    cascade entirely."""
+    gate = col.rlike(_PII_GATE)
     return [
-        F.regexp_count(col, F.lit(pat)).cast("long").alias(f"n_{kind}")
+        F.when(gate, F.regexp_count(col, F.lit(pat)))
+        .otherwise(F.lit(0)).cast("long").alias(f"n_{kind}")
         for kind, pat, _ in PII_PATTERNS
     ]
 
 
 def pii_redact(col) -> Column:
     """Redacted text: the cascade applied in declared order. Each step is a
-    global regexp_replace — one codegen'd pass per pattern, no UDF."""
+    global regexp_replace — one codegen'd pass per pattern, no UDF. Gated on
+    _PII_GATE: a doc with no digit/'@' cannot match any pattern, so its
+    redaction is the input unchanged (byte-identical result)."""
     out = col
     for _, pat, repl in PII_PATTERNS:
         out = F.regexp_replace(out, pat, repl)
-    return out
+    return F.when(col.rlike(_PII_GATE), out).otherwise(col)
 
 
 def pii_scan(docs: DataFrame, text_col: str = "text",

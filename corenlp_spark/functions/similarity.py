@@ -188,14 +188,23 @@ def lsh_ann_pairs(
     Signatures and verification run as Arrow-batched numpy kernels
     (sequential-order accumulation — see _seq_dot) instead of interpreted
     per-element higher-order functions: ~20× faster at equal bit-exactness.
-    The candidate generation stays a DataFrame equi-join on (band, sig) —
-    the scale-bearing shuffle Catalyst/AQE manage.
 
-    Shuffle-payload discipline: the band equi-join and the (id_a, id_b)
-    ``.distinct()`` carry IDS ONLY — the vectors (768+ floats at real
-    embedding dims, ×n_bands replication) never ride the candidate
-    exchange. Vectors + norms re-join by id once, only for the surviving
-    deduped pairs, feeding the exact-verify kernel."""
+    r6 shape (guide §8 — decide where the data already is): each vector is
+    posted ONCE per band into its (band, sig) bucket, carrying its norm
+    and its full per-band signature vector; an Arrow-batched kernel then
+    verifies every pair INSIDE the bucket with a chunked gram-matrix
+    sweep. The old plan built an (id_a, id_b) candidate join + distinct
+    and then re-attached both vectors to every surviving pair through two
+    more joins — at 20k vectors that exchanged ~6M pair rows (two of the
+    exchanges carrying full vector payloads) to keep a handful; the new
+    plan's only exchange is n_bands × corpus vectors (the minimum any
+    bucket verify needs). Cross-band duplicate candidates are dropped
+    map-side by the first-collision rule (a pair is verified only in the
+    LOWEST band whose signatures agree), so no dedup exchange exists.
+    Scores accumulate in the same sequential dimension order, so results
+    are bit-identical. Per-bucket work is quadratic in bucket size exactly
+    as the join output was (same single join key either way); the kernel
+    chunks its row blocks to bound memory on hot buckets."""
     from typing import Iterator
 
     import numpy as np
@@ -205,7 +214,7 @@ def lsh_ann_pairs(
     P = np.array(planes, dtype=np.float64).T  # dim × (bands·bits)
     pow2 = np.array([2 ** j for j in range(band_bits)], dtype=np.int64)
 
-    def signatures(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def post(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -215,61 +224,59 @@ def lsh_ann_pairs(
             for k in range(V.shape[1]):
                 D = D + V[:, k, None] * P[None, k, :]
             bits = (D >= 0).astype(np.int64)
+            sigs = np.stack([
+                bits[:, b * band_bits:(b + 1) * band_bits] @ pow2
+                for b in range(n_bands)
+            ], axis=1)  # (n, n_bands)
+            nrm = np.sqrt(_seq_dot(V, V))
             frames = []
             for band in range(n_bands):
-                sig = bits[:, band * band_bits:(band + 1) * band_bits] @ pow2
                 frames.append(pd.DataFrame({
-                    id_col: pdf[id_col].values, "band": band, "sig": sig,
+                    id_col: pdf[id_col].values, "band": band,
+                    "sig": sigs[:, band], "sigs": list(sigs),
+                    "nrm": nrm, vec_col: pdf[vec_col].values,
                 }))
             yield pd.concat(frames, ignore_index=True)
 
-    def with_norm(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-            yield pd.DataFrame({id_col: pdf[id_col].values,
-                                vec_col: pdf[vec_col].values,
-                                "nrm": np.sqrt(_seq_dot(V, V))})
+    posted = emb.select(id_col, vec_col).mapInPandas(
+        post, schema=(f"{id_col} long, band int, sig long, sigs array<long>, "
+                      f"nrm double, {vec_col} array<float>"))
 
-    sig = emb.select(id_col, vec_col).mapInPandas(
-        signatures, schema=f"{id_col} long, band int, sig long")
-    vecs = emb.select(id_col, vec_col).mapInPandas(
-        with_norm, schema=f"{id_col} long, {vec_col} array<float>, nrm double")
-
-    a = sig.select(F.col(id_col).alias("id_a"), "band", "sig")
-    b = sig.select(F.col(id_col).alias("id_b"), "band", "sig")
-    pairs = (
-        a.join(b, ["band", "sig"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
-    cand = (
-        pairs
-        .join(vecs.select(F.col(id_col).alias("id_a"),
-                          F.col(vec_col).alias("v_a"),
-                          F.col("nrm").alias("n_a")), "id_a")
-        .join(vecs.select(F.col(id_col).alias("id_b"),
-                          F.col(vec_col).alias("v_b"),
-                          F.col("nrm").alias("n_b")), "id_b")
-    )
-
-    def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            A = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["v_a"]])
-            B = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["v_b"]])
-            raw = _seq_dot(A, B) / (pdf["n_a"].values * pdf["n_b"].values)
+    def bucket_verify(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = len(pdf)
+        if m < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "score": []})
+        band = int(pdf["band"].iloc[0])
+        pdf = pdf.sort_values(id_col, kind="mergesort")
+        ids = pdf[id_col].values
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+        nrm = pdf["nrm"].values
+        sigs = np.stack(pdf["sigs"].values)  # (m, n_bands)
+        out_a, out_b, out_s = [], [], []
+        block = 2048
+        for i0 in range(0, m - 1, block):
+            i1 = min(i0 + block, m)
+            acc = np.zeros((i1 - i0, m))
+            for k in range(V.shape[1]):
+                acc = acc + V[i0:i1, k, None] * V[None, :, k]
+            raw = acc / (nrm[i0:i1, None] * nrm[None, :])
             # HALF_UP to 6dp (F.round / DuckDB semantics; np.round is
             # half-even and would diverge at exact ties)
             score = np.sign(raw) * np.floor(np.abs(raw) * 1e6 + 0.5) / 1e6
-            out = pd.DataFrame({"id_a": pdf["id_a"].values,
-                                "id_b": pdf["id_b"].values, "score": score})
-            yield out[out["score"] >= threshold]
+            keep = score >= threshold
+            # upper triangle only (ids sorted → id_a < id_b)
+            keep &= np.arange(i0, i1)[:, None] < np.arange(m)[None, :]
+            # first-collision: drop pairs already verified in a lower band
+            for b2 in range(band):
+                keep &= sigs[i0:i1, b2, None] != sigs[None, :, b2]
+            ii, jj = np.nonzero(keep)
+            out_a.extend(ids[ii + i0])
+            out_b.extend(ids[jj])
+            out_s.extend(score[ii, jj])
+        return pd.DataFrame({"id_a": out_a, "id_b": out_b, "score": out_s})
 
-    return cand.mapInPandas(verify, schema="id_a long, id_b long, score double")
+    return posted.groupBy("band", "sig").applyInPandas(
+        bucket_verify, schema="id_a long, id_b long, score double")
 
 
 def kmeans_cluster_summary(

@@ -204,6 +204,19 @@ GOPHER_TOP_NGRAM = {2: 0.20, 3: 0.18, 4: 0.16}
 GOPHER_DUP_NGRAM = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
 
 
+def _round6_like_spark(x: float) -> float:
+    """F.round(double, 6) replica: Spark rounds the SHORTEST-DECIMAL
+    representation of the double (BigDecimal.valueOf) HALF_UP. Python's
+    repr() is the same shortest round-trip string, so Decimal(repr(x))
+    quantized HALF_UP is bit-identical — including the 10-smooth-
+    denominator tie cases where the common floor(x·1e6 + 0.5) shortcut
+    disagrees with BigDecimal."""
+    import decimal
+
+    return float(decimal.Decimal(repr(x)).quantize(
+        decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP))
+
+
 def gopher_repetition(df, text_col: str = "text", id_col: str = "doc_id"):
     """Gopher repetition signals (Rae et al. 2021 Appendix A): per document,
     the character fraction of the heaviest n-gram (n=2..4) and of all
@@ -219,73 +232,72 @@ def gopher_repetition(df, text_col: str = "text", id_col: str = "doc_id"):
     this filter rejects. Tie-free (the published "most frequent n-gram" is
     ambiguous under count ties) and replayable exactly in SQL.
 
-    Scale shape: ONE explode over (n, gram) rows — ~``sum(T-n+1)`` rows per
-    doc — then a single map-side-combining groupBy on (doc, n, gram) and a
-    per-doc rollup. Linear in corpus size, no self-joins; the wide result
-    is a pivot of 9 small aggregates, not 9 passes over the text.
+    Scale shape (r6, guide §2.4/§4.2): ZERO shuffles — the per-document
+    n-gram counting is embarrassingly row-local, so it runs as one
+    Arrow-batched kernel (a Counter per (doc, n)) in a single narrow map
+    over the corpus. The previous shape exploded ~9·T gram rows per doc
+    through a (doc, n, gram) groupBy plus a per-doc rollup — two exchanges
+    carrying every gram string; this one carries nothing and is linear in
+    corpus size. Tokenization mirrors ``tokens()`` exactly (ASCII \\w/\\s,
+    the Java regex default) and rounding replicates F.round's BigDecimal
+    HALF_UP, so values are bit-identical; the DuckDB oracle still replays
+    the exploded groupBy form.
     """
-    toks = tokens(F.col(text_col))
+    import re
+    from collections import Counter
+    from typing import Iterator
+
+    import pandas as pd
+
+    id_type = df.schema[id_col].dataType.simpleString()
     ns = sorted(GOPHER_TOP_NGRAM) + sorted(GOPHER_DUP_NGRAM)
-    base = df.select(
-        F.col(id_col).alias("_id"),
-        toks.alias("_tk"),
-    ).select(
-        "_id",
-        F.length(F.concat_ws(" ", F.col("_tk"))).alias("_total"),
-        F.explode(F.array(*[F.lit(n) for n in ns])).alias("n"),
-        F.col("_tk"),
-    ).select(
-        "_id", "_total", "n",
-        # sequence(1, 0) steps BACKWARD in Spark — short docs need an
-        # explicit empty-array guard, not a clamped upper bound
-        F.explode(F.when(
-            F.size("_tk") >= F.col("n"),
-            F.transform(
-                F.sequence(F.lit(1), F.size("_tk") - F.col("n") + 1),
-                lambda i: F.concat_ws(" ", F.slice(F.col("_tk"), i,
-                                                   F.col("n"))),
-            )).otherwise(F.array().cast("array<string>"))).alias("gram"),
-    )
-    per_gram = base.groupBy("_id", "_total", "n", "gram").agg(
-        F.count("*").alias("cnt"))
-    per_doc_n = per_gram.groupBy("_id", "_total", "n").agg(
-        F.max(F.col("cnt") * F.length("gram")).alias("top_chars"),
-        F.sum(F.when(F.col("cnt") > 1, F.col("cnt") * F.length("gram"))
-              .otherwise(F.lit(0))).alias("dup_chars"),
-    )
-    safe_total = F.greatest(F.col("_total"), F.lit(1))
-    # a doc shorter than n contributes no rows for that n — its fraction is
-    # 0 by definition (no n-gram repeats); docs shorter than min(n)=2 tokens
-    # are absent from the result entirely (they carry no repetition signal)
-    top_cols = [
-        F.round(F.least(F.coalesce(
-            F.max(F.when(F.col("n") == n, F.col("top_chars"))), F.lit(0))
-            / safe_total, F.lit(1.0)), 6).alias(f"top{n}_frac")
-        for n in sorted(GOPHER_TOP_NGRAM)
-    ]
-    dup_cols = [
-        F.round(F.least(F.coalesce(
-            F.max(F.when(F.col("n") == n, F.col("dup_chars"))), F.lit(0))
-            / safe_total, F.lit(1.0)), 6).alias(f"dup{n}_frac")
-        for n in sorted(GOPHER_DUP_NGRAM)
-    ]
-    wide = per_doc_n.groupBy("_id", "_total").agg(*top_cols, *dup_cols)
-    passes = [
-        (F.col(f"top{n}_frac") <= thr)
-        for n, thr in sorted(GOPHER_TOP_NGRAM.items())
-    ] + [
-        (F.col(f"dup{n}_frac") <= thr)
-        for n, thr in sorted(GOPHER_DUP_NGRAM.items())
-    ]
-    ok = passes[0]
-    for p in passes[1:]:
-        ok = ok & p
-    return wide.select(
-        F.col("_id").alias(id_col),
-        *[f"top{n}_frac" for n in sorted(GOPHER_TOP_NGRAM)],
-        *[f"dup{n}_frac" for n in sorted(GOPHER_DUP_NGRAM)],
-        ok.alias("passes_repetition"),
-    )
+    top_ns, dup_ns = sorted(GOPHER_TOP_NGRAM), sorted(GOPHER_DUP_NGRAM)
+    frac_cols = [f"top{n}_frac" for n in top_ns] + [f"dup{n}_frac" for n in dup_ns]
+    thresholds = [GOPHER_TOP_NGRAM[n] for n in top_ns] + [
+        GOPHER_DUP_NGRAM[n] for n in dup_ns]
+    punct = re.compile(r"[^\w\s]", re.ASCII)
+    ws = re.compile(r"\s+", re.ASCII)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {c: [] for c in ["doc_id", *frac_cols,
+                                                    "passes_repetition"]}
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                toks = [t for t in ws.split(punct.sub(" ", (text or "").lower()))
+                        if t]
+                if len(toks) < 2:
+                    # no repetition signal — absent from the result, same
+                    # row set as the exploded groupBy form
+                    continue
+                total = max(len(" ".join(toks)), 1)
+                fracs = []
+                for n in ns:
+                    if len(toks) < n:
+                        fracs.append(0.0)
+                        continue
+                    counts = Counter(
+                        " ".join(toks[i:i + n])
+                        for i in range(len(toks) - n + 1))
+                    if n in GOPHER_TOP_NGRAM:
+                        chars = max(c * len(g) for g, c in counts.items())
+                    else:
+                        chars = sum(c * len(g) for g, c in counts.items()
+                                    if c > 1)
+                    fracs.append(_round6_like_spark(min(chars / total, 1.0)))
+                out["doc_id"].append(doc_id)
+                for c, v in zip(frac_cols, fracs):
+                    out[c].append(v)
+                out["passes_repetition"].append(
+                    all(v <= t for v, t in zip(fracs, thresholds)))
+            yield pd.DataFrame(out)
+
+    schema = ", ".join([f"doc_id {id_type}"]
+                       + [f"{c} double" for c in frac_cols]
+                       + ["passes_repetition boolean"])
+    out = df.select(id_col, text_col).mapInPandas(kernel, schema=schema)
+    if id_col != "doc_id":
+        out = out.withColumnRenamed("doc_id", id_col)
+    return out
 
 
 def unigram_lm_scores(df, text_col: str = "text",

@@ -38,6 +38,20 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # InferFiltersFromGenerate turns every explode(<array expr>) into a
+        # pushable Filter(size(<array expr>) > 0) that RE-EVALUATES the full
+        # array expression — for our tokenize/shingle/minhash trees that is
+        # an interpreted higher-order-function forest, evaluated once in the
+        # filter and again in the Generate. Worse, the filter pushes below
+        # the _spread repartition down to the single-split parquet scan,
+        # serializing minutes of interpreted work onto one task (observed:
+        # minhash band posting stuck >280 s single-threaded at sf1.0; the
+        # same double-eval cost exists on a real cluster). Our exploded
+        # arrays are never empty-heavy, so the rule's row-pruning benefit is
+        # nil — exclude it (guide §4.4 discusses the same
+        # duplicated-evaluation family for Python UDFs).
+        .config("spark.sql.optimizer.excludedRules",
+                "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

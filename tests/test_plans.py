@@ -61,20 +61,17 @@ def test_mention_rows_is_shuffle_free_and_matches_sql_twin(spark):
 
 
 def test_embedding_dups_has_no_nested_loop_join(spark):
-    """The near-dup driver query must take the bucketed LSH path: candidates
-    meet in an equi-join on (band, sig), never an O(n²) nested loop
-    (VERDICT r1 'What's wrong' #3)."""
+    """The near-dup driver query must take the bucketed LSH path — never an
+    O(n²) nested loop (VERDICT r1 'What's wrong' #3). r6 shape: candidates
+    are verified INSIDE their (band, sig) bucket by a grouped Arrow kernel,
+    so the plan has NO join at all and exactly ONE exchange (the bucket
+    groupBy, carrying each vector once per band) — no candidate-pair
+    distinct, no per-pair vector re-attach joins."""
     p = plan_of(em.queries()["embedding_dups"](spark, SF))
     assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
-    assert "Join" in p  # the band/sig equi-join is present
-    # shuffle-payload gate (VERDICT r2 #6): the candidate dedup aggregates
-    # (id_a, id_b) ONLY — vectors/norms must not ride the exchange+distinct
-    import re
-
-    dedups = [a for a in re.findall(r"HashAggregate\(keys=\[[^\]]*\]", p)
-              if "id_a" in a]
-    assert dedups, "expected an id-pair distinct in the plan"
-    assert all("v_a" not in a and "n_a" not in a for a in dedups), dedups
+    assert "Join" not in p  # bucket-local verify: no join anywhere
+    assert "FlatMapGroupsInPandas" in p  # the per-bucket verify kernel
+    assert p.count("Exchange") == 1, p  # the single (band, sig) exchange
 
 
 def test_ivf_cell_join_carries_ids_only(spark):
