@@ -34,12 +34,20 @@ def source_quota_sample(docs: DataFrame, per_source: int,
 
 def source_mix_report(docs: DataFrame, source_col: str = "source",
                       lang_col: str = "lang") -> DataFrame:
-    """(source, lang, n_docs, n_chars, frac) composition rows."""
+    """(source, lang, n_docs, n_chars, frac) composition rows.
+
+    The corpus total is derived from the grouped result itself (an
+    unpartitioned window sum over the handful of (source, lang) rows) —
+    the previous separate ``docs.count()`` action recomputed the entire
+    upstream plan (the quota-sample window included) a second time
+    (guide §1.2: don't compute things twice; ADVICE r5)."""
     agg = docs.groupBy(source_col, lang_col).agg(
         F.count("*").alias("n_docs"),
         F.sum(F.length("text")).alias("n_chars"),
     )
-    total = docs.count()
-    return agg.withColumn(
-        "frac", F.round(F.col("n_docs") / F.lit(total), 6)
-    ).orderBy(source_col, lang_col)
+    w = Window.partitionBy()
+    return (
+        agg.withColumn(
+            "frac", F.round(F.col("n_docs") / F.sum("n_docs").over(w), 6))
+        .orderBy(source_col, lang_col)
+    )

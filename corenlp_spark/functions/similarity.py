@@ -86,6 +86,40 @@ def _planes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     return out
 
 
+def _assign_kernel(cents, vec_col: str, with_score: bool):
+    """Arrow-batched argmax-dot assignment, bit-identical to the
+    ``_cell_expr`` higher-order fold: dot products accumulate sequentially
+    over the dimension axis in float64 (same op order as F.aggregate and
+    DuckDB's list_dot_product), ties break toward the LARGER cell (the
+    array_max struct ordering). ~20× faster than the interpreted HOF tree
+    per row (guide §4.2)."""
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    C = np.array(cents, dtype=np.float64)  # (k, dim)
+
+    def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            S = np.zeros((len(V), C.shape[0]))
+            for kk in range(V.shape[1]):
+                S = S + V[:, kk, None] * C[None, :, kk]
+            # last argmax = larger cell wins exact ties
+            cell = (C.shape[0] - 1) - np.argmax(S[:, ::-1], axis=1)
+            out = {"cell": cell.astype(np.int32)}
+            if with_score:
+                out["s"] = S[np.arange(len(V)), cell]
+            else:
+                out[vec_col] = pdf[vec_col].values
+            yield pd.DataFrame(out)
+
+    return kern
+
+
 def train_centroids(
     emb: DataFrame, dim: int, k: int = 16, iters: int = 5,
     vec_col: str = "embedding",
@@ -95,12 +129,15 @@ def train_centroids(
     iteration, map-side partial means); only the k×dim centroid table ever
     reaches the driver — the standard k-means-on-Spark shape that holds at
     any corpus size. Deterministic: seeded-unit-vector init, fixed
-    iteration count, no RNG."""
+    iteration count, no RNG. Assignment runs as the Arrow/numpy kernel
+    (_assign_kernel — bit-parity with the interpreted fold)."""
     from pyspark.sql import functions as F
 
     cents = _planes(dim, k)
     for _ in range(iters):
-        celed = emb.withColumn("cell", _cell_expr(F.col(vec_col), cents))
+        celed = emb.select(vec_col).mapInPandas(
+            _assign_kernel(cents, vec_col, with_score=False),
+            schema=f"cell int, {vec_col} array<float>")
         means = (
             celed.select("cell", F.posexplode(vec_col).alias("pos", "x"))
             .groupBy("cell", "pos").agg(F.avg("x").alias("m"))
@@ -296,17 +333,11 @@ def kmeans_cluster_summary(
     from pyspark.sql import functions as F
 
     cents = train_centroids(emb, dim, k=k, iters=iters, vec_col=vec_col)
-    v = F.col(vec_col)
-    pairs = [
-        F.struct(_dot(v, F.array(*[F.lit(x) for x in c])).alias("s"),
-                 F.lit(i).alias("c"))
-        for i, c in enumerate(cents)
-    ]
-    best = F.array_max(F.array(*pairs))
+    assigned = emb.select(vec_col).mapInPandas(
+        _assign_kernel(cents, vec_col, with_score=True),
+        schema="cell int, s double")
     return (
-        emb.select(best.getField("c").alias("cell"),
-                   best.getField("s").alias("s"))
-        .groupBy("cell")
+        assigned.groupBy("cell")
         .agg(F.count("*").alias("n_vecs"),
              F.round(F.avg("s"), 6).alias("avg_score"))
     )

@@ -321,9 +321,16 @@ def unigram_lm_scores(df, text_col: str = "text",
     shuffles tokens by word with map-side partial aggregation on doc_id.
     Returns (doc_id, n_toks, avg_logprob). Docs with zero alphanumeric
     tokens are excluded (no tokens to score)."""
+    from pyspark import StorageLevel
+
     toks = df.select(
         F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_tk")
     ).select("_id", F.explode("_tk").alias("word"))
+    # the exploded token table feeds BOTH the vocab aggregation and the
+    # scoring join, and Catalyst plans the two consumers as independent
+    # subtrees — persist so the corpus is tokenized once per action, not
+    # twice (guide §5; same ReusedExchange gap the dedup paths guard)
+    toks = toks.persist(StorageLevel.MEMORY_AND_DISK)
     vocab = toks.groupBy("word").agg(F.count("*").alias("c"))
     total = vocab.agg(F.sum("c").alias("_total"))
     logp = vocab.crossJoin(F.broadcast(total)).select(
