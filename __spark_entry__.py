@@ -427,54 +427,87 @@ def q_events_daily(spark, sf_dir):
 
 
 def q_mention_chunks_sql(spark, sf_dir):
-    """Entity-mention run-chunking (LabeledChunkIdentifier semantics) in pure
-    SQL over a gazetteer tagging of document tokens — the SQL-checkable twin
-    of the NER mention chunker."""
-    from pyspark.sql import Window
+    """Entity-mention run-chunking (LabeledChunkIdentifier semantics) over a
+    gazetteer tagging of document tokens — the SQL-checkable twin of the NER
+    mention chunker.
 
-    d = _t(spark, sf_dir, "documents")
-    toks = F.split(F.lower(F.regexp_replace("text", r"[^\w\s]", " ")), r"\s+")
-    tok = (
-        d.select(F.col("doc_id").cast("long").alias("doc_id"),
-                 F.posexplode(F.filter(toks, lambda x: x != "")).alias("pos", "word"))
-        .withColumn(
-            "tag",
-            F.when(F.col("word").isin("spark", "hash", "merge"), "TOOL")
-            .when(F.col("word").isin("customer", "order", "part"), "ENTITY")
-            .otherwise("O"),
-        )
+    r6 shape (guide §2.4): run detection is row-local, so the per-document
+    run statistics (run count, tagged-token count, longest run) are computed
+    in-row with array algebra and reduced by ONE tiny global aggregate — the
+    previous shape exploded every token through a doc-partitioned window
+    (lag + running sum) plus two groupBys, shuffling ~60 rows per document
+    to rediscover adjacency the array already encodes. Result rows are
+    identical (same run boundaries, counts, max lengths; a tag with zero
+    runs is absent either way)."""
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
+    toks = F.filter(
+        F.split(F.lower(F.regexp_replace("text", r"[^\w\s]", " ")), r"\s+"),
+        lambda x: x != "")
+    tags_expr = F.transform(
+        toks,
+        lambda w: F.when(w.isin("spark", "hash", "merge"), "TOOL")
+        .when(w.isin("customer", "order", "part"), "ENTITY")
+        .otherwise("O"),
     )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    runs = (
-        tok.withColumn("prev", F.lag("tag").over(w))
-        .withColumn("chg", (F.col("prev").isNull() | (F.col("prev") != F.col("tag"))).cast("int"))
-        .withColumn("run_id", F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0)))
-    )
-    return (
-        runs.filter(F.col("tag") != "O")
-        .groupBy("doc_id", "run_id", "tag")
-        .agg(F.min("pos").alias("start_pos"), (F.max("pos") + 1).alias("end_pos"),
-             F.count("*").alias("n_tokens"))
-        .drop("run_id")
-        .groupBy("tag")
-        .agg(F.count("*").alias("n_mentions"),
-             F.sum("n_tokens").cast("long").alias("n_tokens"),
-             F.max(F.col("end_pos") - F.col("start_pos")).cast("long").alias("max_len"))
-        .orderBy("tag")
-    )
+
+    def per_tag(tags, t):
+        n_tok = F.size(F.filter(tags, lambda x: x == t))
+        starts = F.filter(
+            tags,
+            lambda x, i: (x == F.lit(t))
+            & ((i == 0) | (F.get(tags, i - 1) != F.lit(t))))
+        n_runs = F.size(starts)
+        maxlen = F.aggregate(
+            tags,
+            F.struct(F.lit(0).alias("cur"), F.lit(0).alias("best")),
+            lambda acc, x: F.struct(
+                F.when(x == t, acc.cur + 1).otherwise(F.lit(0)).alias("cur"),
+                F.when(x == t, F.greatest(acc.best, acc.cur + 1))
+                .otherwise(acc.best).alias("best")),
+            lambda acc: acc.best)
+        return n_runs, n_tok, maxlen
+
+    per_doc = d.select(tags_expr.alias("_tags"))
+    cols = {}
+    for t in ("ENTITY", "TOOL"):
+        r, k, m = per_tag(F.col("_tags"), t)
+        cols[t] = (r.alias(f"r_{t}"), k.alias(f"k_{t}"), m.alias(f"m_{t}"))
+    wide = per_doc.select(*[c for t in cols for c in cols[t]])
+    agg = wide.agg(*[
+        f for t in ("ENTITY", "TOOL") for f in (
+            F.sum(f"r_{t}").cast("long").alias(f"nm_{t}"),
+            F.sum(f"k_{t}").cast("long").alias(f"nt_{t}"),
+            F.max(f"m_{t}").cast("long").alias(f"ml_{t}"))
+    ])
+    rows = agg.select(F.explode(F.array(*[
+        F.struct(F.lit(t).alias("tag"),
+                 F.col(f"nm_{t}").alias("n_mentions"),
+                 F.col(f"nt_{t}").alias("n_tokens"),
+                 F.col(f"ml_{t}").alias("max_len"))
+        for t in ("ENTITY", "TOOL")
+    ])).alias("x")).select("x.*")
+    return rows.filter(F.col("n_mentions") > 0).orderBy("tag")
 
 
 def q_entity_link_sql(spark, sf_dir):
     """Broadcast alias-dictionary join (WikidictAnnotator semantics) over
     document tokens; inline VALUES dict so DuckDB sees the same dictionary."""
     d = _t(spark, sf_dir, "documents")
+    entries = [("spark", "Apache_Spark", 0.99), ("customer", "Customer", 0.8),
+               ("table", "Table_(database)", 0.7), ("window", "Window_function", 0.6),
+               ("merge", "Merge_(SQL)", 0.3)]
     toks = F.split(F.lower(F.regexp_replace("text", r"[^\w\s]", " ")), r"\s+")
-    tok = d.select(F.explode(F.filter(toks, lambda x: x != "")).alias("surface"))
+    # push the dictionary-membership semi-filter below the explode (guide
+    # §2.3 — project/filter before the fan-out): the inner join keeps only
+    # dictionary surfaces anyway, so dropping other tokens inside the array
+    # is result-identical and shrinks the generate+join input ~30×. The
+    # kept-surface list derives from the same literal entries the broadcast
+    # dict is built from (score gate included), so they cannot desync.
+    keep = F.array(*[F.lit(s) for s, _, sc in entries if sc >= 0.5])
+    tok = d.select(F.explode(
+        F.filter(toks, lambda x: F.array_contains(keep, x))).alias("surface"))
     dictionary = spark.createDataFrame(
-        [("spark", "Apache_Spark", 0.99), ("customer", "Customer", 0.8),
-         ("table", "Table_(database)", 0.7), ("window", "Window_function", 0.6),
-         ("merge", "Merge_(SQL)", 0.3)],
-        "surface string, link string, score double",
+        entries, "surface string, link string, score double",
     ).filter(F.col("score") >= 0.5)
     return (
         tok.join(F.broadcast(dictionary), "surface")

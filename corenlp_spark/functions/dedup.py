@@ -416,10 +416,12 @@ def dup_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
     # (component = min reachable id), same DuckDB oracle.
     n_edges = edges.count()
     if n_edges <= driver_cutoff:
-        # collect as plain 2-tuples, not Rows (~5× lighter on the driver:
-        # ≤500k edges ≈ tens of MB; VERDICT r4 audit watch-item)
-        rows = [(r[0], r[1]) for r in
-                edges.toLocalIterator(prefetchPartitions=True)]
+        # fetch via Arrow toPandas: ONE job and a columnar transfer
+        # (toLocalIterator ran a sequential job per partition — ~2 s of
+        # scheduler latency for a milliseconds-sized fetch); ≤500k edges
+        # ≈ a few MB of int64 columns on the driver
+        pdf = edges.toPandas()
+        rows = list(zip(pdf["src"].tolist(), pdf["dst"].tolist()))
         parent: dict = {}
 
         def find(x):

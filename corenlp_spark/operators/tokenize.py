@@ -416,6 +416,9 @@ _SENT_END = re.compile(r"^(\.|[!?]+)$|^[。！？]+$")
 _FOLLOWER = re.compile(r"^[\"'`)\]}’”]+$|^''$")
 
 
+_PLAIN_ASCII_WORD = re.compile(r"[A-Za-z0-9]+\Z")
+
+
 def _split_word(original: str, begin: int, opt: dict):
     """Post-pass on a WORD match: abbreviation periods, clitics, split table.
 
@@ -423,6 +426,14 @@ def _split_word(original: str, begin: int, opt: dict):
     option dict — threaded explicitly so concurrent pipelines with different
     tokenize options never share state (no module-level option global).
     """
+    # fast path: a plain ASCII alphanumeric word can only be transformed by
+    # the SPLIT_WORDS table (every other branch needs a period, hyphen,
+    # apostrophe variant, or soft hyphen); outside that table it passes
+    # through verbatim — provably the same 4-tuple the full cascade yields
+    if _PLAIN_ASCII_WORD.match(original) \
+            and original.lower() not in SPLIT_WORDS:
+        yield (original, original, begin, begin + len(original))
+        return
     # soft hyphens vanish from the normalized word, stay in the original;
     # a token that is ONLY soft hyphens surfaces as "-" (ptbGold:
     # "Indo\u00ADnesian ship\u00ADping \u00AD" \u2192 Indonesian shipping -)
