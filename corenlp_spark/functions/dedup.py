@@ -196,36 +196,58 @@ def minhash_dup_pairs(
 def simhash(docs: DataFrame, bits: int = 64) -> DataFrame:
     """(doc_id, simhash): sign-sum simhash from per-token md5 bits.
 
-    bit_j(token) = j-th bit of md5(token); simhash bit j = majority vote.
-    Pure SQL: explode tokens, aggregate per-bit counts via conv(md5) masks.
-    """
-    toks = F.filter(
-        F.split(F.lower(F.regexp_replace("text", r"[^\w\s]", " ")), r"\s+"),
-        lambda t: t != "",
-    )
-    t = docs.select("doc_id", F.explode(F.array_distinct(toks)).alias("tok"))
-    # 64-bit value from first 16 hex chars of md5
-    t = t.withColumn("h", F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long"))
-    # per-bit ±1 sign-sum rewritten as 2·ones − n (identical majority vote,
-    # value-checked against the DuckDB ±1 oracle): summing the raw bit
-    # drops 60 CASE branches from the codegen'd agg — measured 1.7× faster
-    # at sf0.1 (r5, the dedup_simhash perf watch)
-    per_bit = [
-        F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))).alias(f"o{b}")
-        for b in range(60)
-    ]
-    agg = t.groupBy("doc_id").agg(F.count("*").alias("n"), *per_bit)
-    sim = agg.select(
-        "doc_id",
-        sum(
-            [F.when(2 * F.col(f"o{b}") > F.col("n"),
-                    F.lit(2 ** b).cast("long"))
-             .otherwise(F.lit(0).cast("long"))
-             for b in range(60)],
-            F.lit(0).cast("long"),
-        ).alias("simhash"),
-    )
-    return sim
+    bit_j(token) = j-th bit of md5(token); simhash bit j = majority vote
+    (2·ones > n form). r6 shape (guide §2.4/§4.2): the whole signature is
+    row-local integer arithmetic, so it runs as ONE Arrow-batched kernel —
+    md5 per distinct token, a vectorized per-bit segment sum
+    (np.add.reduceat over the batch's token matrix), majority vote, done.
+    The previous shape exploded every distinct token into a 61-column
+    groupBy — a shuffle of ~45 rows × 61 longs per doc that existed only
+    to reassemble what the row already had. Tokenization mirrors the SQL
+    twin exactly (ASCII \\w/\\s, the Java regex default); md5 and the
+    15-hex-digit truncation are byte-identical, all integer math — the
+    DuckDB oracle still replays the exploded ±1 form bit-for-bit.
+    Docs with zero tokens are absent from the result, as before."""
+    import hashlib
+    import re
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    id_type = docs.schema["doc_id"].dataType.simpleString()
+    punct = re.compile(r"[^\w\s]", re.ASCII)
+    ws = re.compile(r"\s+", re.ASCII)
+    shifts = np.arange(60, dtype=np.uint64)
+    pow2 = (np.uint64(1) << shifts).astype(np.int64)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        md5 = hashlib.md5
+        for pdf in batches:
+            ids, hs, counts = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                toks = dict.fromkeys(
+                    t for t in ws.split(punct.sub(" ", (text or "").lower()))
+                    if t)
+                if not toks:
+                    continue
+                ids.append(doc_id)
+                counts.append(len(toks))
+                hs.extend(int(md5(t.encode()).hexdigest()[:15], 16)
+                          for t in toks)
+            if not ids:
+                continue
+            H = np.array(hs, dtype=np.uint64)
+            B = ((H[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
+            starts = np.zeros(len(ids), dtype=np.int64)
+            np.cumsum(np.array(counts[:-1], dtype=np.int64), out=starts[1:])
+            ones = np.add.reduceat(B, starts, axis=0)
+            n = np.array(counts, dtype=np.int64)[:, None]
+            sim = ((2 * ones > n) * pow2[None, :]).sum(axis=1)
+            yield pd.DataFrame({"doc_id": ids, "simhash": sim})
+
+    return docs.select("doc_id", "text").mapInPandas(
+        kernel, schema=f"doc_id {id_type}, simhash long")
 
 
 #: the 60-bit simhash split into 4 disjoint 15-bit blocks — by pigeonhole

@@ -235,37 +235,72 @@ class AveragedPerceptronTagger:
         """Per-token template rows with the 5 prev-tag-dependent slots left
         as None (indexes 1,2,3,12,13 of the _pos_features order), plus the
         (lw, sh, suf2, known) values the dynamic slots and the open-class
-        mask need. Builds exactly the strings _pos_features builds."""
+        mask need. Produces exactly the feature-id rows the f-string path
+        produced, in the same order (the gather-sum order is part of the
+        bit-parity contract) — but all word-local ids come from a per-WORD
+        memo (r6, guide §1.2 per-task work: word types repeat Zipf-style in
+        any corpus, so the ~20 f-string builds + dict probes per TOKEN
+        collapse to one tuple fetch per repeated word; same value-keyed
+        memo discipline as the existing dynamic-template _pmemo)."""
         fget = self._fid.get
         z = self._zrow
+        wmemo = getattr(self, "_wordmemo", None)
+        if wmemo is None:
+            wmemo = self._wordmemo = {}
+            self._sh2memo = {}
+            self._cid = (fget("w-1=<s>", z), fget("w+1=</s>", z),
+                         fget("w+2=</s>", z), fget("bias", z),
+                         fget("hyph", z), fget("first", z))
+        sh2memo = self._sh2memo
+        sid_prev, sid_n1, sid_n2, bias_id, hyph_id, first_id = self._cid
         n = len(words)
+        entries = []
+        for w in words:
+            e = wmemo.get(w)
+            if e is None:
+                lw = w.lower()
+                sh = f"{'X' if w[:1].isupper() else 'x'}{'d' if any(c.isdigit() for c in w) else ''}"
+                suf2 = lw[-2:]
+                e = (
+                    lw, sh, suf2,
+                    ("X" if w[:1].isupper() else "x") if w else "</s>",  # 3: next-shape char
+                    f"w={lw}" in self.weights,             # 4: known
+                    fget(f"w={lw}", z),                    # 5: w= id
+                    (fget(f"suf4={lw[-4:]}", z), fget(f"suf3={lw[-3:]}", z),
+                     fget(f"suf2={suf2}", z), fget(f"suf1={lw[-1:]}", z),
+                     fget(f"pre1={lw[:1]}", z), fget(f"pre2={lw[:2]}", z),
+                     fget(f"shape={sh}", z)),              # 6: mid block
+                    "-" in w[1:-1],                        # 7: hyph flag
+                    fget(f"w-1={lw}", z),                  # 8
+                    fget(f"w+1={lw}", z),                  # 9
+                    fget(f"w+2={lw}", z),                  # 10
+                    fget(f"first+suf2={suf2}", z),         # 11
+                )
+                wmemo[w] = e
+            entries.append(e)
         out = []
         for i in range(n):
-            w = words[i]
-            lw = w.lower()
-            sh = f"{'X' if w[:1].isupper() else 'x'}{'d' if any(c.isdigit() for c in w) else ''}"
-            nw = words[i + 1] if i + 1 < n else ""
-            nsh = f"{'X' if nw[:1].isupper() else 'x'}" if nw else "</s>"
-            suf2 = lw[-2:]
+            e = entries[i]
+            sh = e[1]
+            nsh = entries[i + 1][3] if i + 1 < n else "</s>"
+            k2 = (sh, nsh)
+            sh2_id = sh2memo.get(k2)
+            if sh2_id is None:
+                sh2_id = sh2memo[k2] = fget(f"sh2={sh}+{nsh}", z)
             rows = [
-                fget(f"w={lw}", z), None, None, None,
-                fget(f"sh2={sh}+{nsh}", z),
-                fget(f"suf4={lw[-4:]}", z), fget(f"suf3={lw[-3:]}", z),
-                fget(f"suf2={suf2}", z), fget(f"suf1={lw[-1:]}", z),
-                fget(f"pre1={lw[:1]}", z), fget(f"pre2={lw[:2]}", z),
-                fget(f"shape={sh}", z), None, None,
-                fget(f"w-1={words[i-1].lower() if i > 0 else '<s>'}", z),
-                fget(f"w+1={words[i+1].lower() if i + 1 < n else '</s>'}", z),
-                fget(f"w+2={words[i+2].lower() if i + 2 < n else '</s>'}", z),
-                fget("bias", z),
+                e[5], None, None, None, sh2_id,
+                *e[6], None, None,
+                entries[i - 1][8] if i > 0 else sid_prev,
+                entries[i + 1][9] if i + 1 < n else sid_n1,
+                entries[i + 2][10] if i + 2 < n else sid_n2,
+                bias_id,
             ]
-            if "-" in w[1:-1]:
-                rows.append(fget("hyph", z))
+            if e[7]:
+                rows.append(hyph_id)
             if i == 0:
-                rows.append(fget("first", z))
-                rows.append(fget(f"first+suf2={suf2}", z))
-            out.append((rows, lw, sh, suf2,
-                        f"w={lw}" in self.weights))
+                rows.append(first_id)
+                rows.append(e[11])
+            out.append((rows, e[0], sh, e[2], e[4]))
         return out
 
     def predict_with_constraints_batch(
@@ -689,6 +724,89 @@ class StructuredPerceptronNER:
         self._Wm = W
         self._zrow = len(feats)
 
+    def _ner_row_ids(self, words: list[str], pos: list[str]
+                     ) -> list[list[int]]:
+        """Feature-ID rows for one sentence — the id-space twin of
+        ``_ner_sent_features`` (same features, same order, so the
+        gather-sum is bit-identical), with every word/shape/POS-local id
+        served from a value-keyed memo instead of rebuilding the f-string
+        and probing the feature dict per token (r6 — same discipline as
+        the POS _pos_static word memo)."""
+        fget = self._fid.get
+        z = self._zrow
+        m = getattr(self, "_idmemo", None)
+        if m is None:
+            consts = {c: fget(c, z) for c in
+                      ("bias", "first", "abbr", "orgsuf", "orgsuf+1",
+                       "title-1", "locprep-1", "locprep-2cc", "cc-pair")}
+            consts["w-1=<s>"] = fget("w-1=<s>", z)
+            consts["w+1=</s>"] = fget("w+1=</s>", z)
+            m = self._idmemo = ({}, {}, {}, {}, {}, consts)
+        wm, p1m, p2m, shm, pm, cid = m
+        n = len(words)
+        lws = [w.lower() for w in words]
+        shs = [_shape(w) for w in words]
+        ents = []
+        for lw in lws:
+            e = wm.get(lw)
+            if e is None:
+                e = wm[lw] = (
+                    fget(f"w={lw}", z), fget(f"suf3={lw[-3:]}", z),
+                    fget(f"pre2={lw[:2]}", z), fget(f"w-1={lw}", z),
+                    fget(f"w+1={lw}", z))
+            ents.append(e)
+
+        def _memo1(memo, prefix, val):
+            key = (prefix, val)
+            v = memo.get(key)
+            if v is None:
+                v = memo[key] = fget(f"{prefix}{val}", z)
+            return v
+
+        out = []
+        bias = cid["bias"]
+        for i in range(n):
+            e = ents[i]
+            lw, sh = lws[i], shs[i]
+            plw = lws[i - 1] if i > 0 else "<s>"
+            nlw = lws[i + 1] if i + 1 < n else "</s>"
+            k1 = (plw, sh)
+            r_p1 = p1m.get(k1)
+            if r_p1 is None:
+                r_p1 = p1m[k1] = fget(f"w-1+sh={plw}+{sh}", z)
+            k2 = (sh, nlw)
+            r_p2 = p2m.get(k2)
+            if r_p2 is None:
+                r_p2 = p2m[k2] = fget(f"sh+w+1={sh}+{nlw}", z)
+            row = [
+                e[0], _memo1(shm, "sh=", sh), e[1], e[2],
+                ents[i - 1][3] if i > 0 else cid["w-1=<s>"],
+                ents[i + 1][4] if i + 1 < n else cid["w+1=</s>"],
+                _memo1(shm, "sh-1=", shs[i - 1] if i > 0 else "<s>"),
+                _memo1(shm, "sh+1=", shs[i + 1] if i + 1 < n else "</s>"),
+                _memo1(pm, "p=", pos[i]),
+                _memo1(pm, "p-1=", pos[i - 1] if i > 0 else "<s>"),
+                r_p1, r_p2, bias,
+            ]
+            if i == 0:
+                row.append(cid["first"])
+            if words[i].endswith("."):
+                row.append(cid["abbr"])
+            if lw in _ORG_SUFFIX_WORDS:
+                row.append(cid["orgsuf"])
+            if nlw in _ORG_SUFFIX_WORDS:
+                row.append(cid["orgsuf+1"])
+            if plw in _PERSON_TITLES:
+                row.append(cid["title-1"])
+            if plw in _LOC_CUES:
+                row.append(cid["locprep-1"])
+            if i >= 3 and lws[i - 3] in _LOC_CUES and plw in ("and", "with"):
+                row.append(cid["locprep-2cc"])
+            if i >= 2 and lws[i - 1] in ("and", "with") and shs[i - 2] == sh:
+                row.append(cid["cc-pair"])
+            out.append(row)
+        return out
+
     def decode_batch(self, sents: list[tuple[list[str], list[str],
                                              set[int] | None]]
                      ) -> list[list[str]]:
@@ -713,10 +831,8 @@ class StructuredPerceptronNER:
         rows: list[list[int]] = []
         bounds = []
         for i, words, pos, force_o in live:
-            feats = _ner_sent_features(words, pos)
             start = len(rows)
-            for fl in feats:
-                rows.append([fget(f, z) for f in fl])
+            rows.extend(self._ner_row_ids(words, pos))
             bounds.append((start, len(rows)))
         N = len(rows)
         Lb = max(len(r) for r in rows)
