@@ -120,9 +120,61 @@ def _band_sigs(sh: DataFrame, n_bands: int) -> DataFrame:
     )
 
 
+def _shingle_mhs_kernel(n_bands: int, k: int, with_sh: bool, id_type: str):
+    """Arrow-batched (doc_id[, sh], mhs) kernel: distinct word k-shingles
+    and the per-band min-md5 signatures, computed row-locally in one pass
+    (r6, guide §4.2 — replaces the interpreted transform/array_min HOF
+    forest; md5 hex and the shingle construction are byte-identical to the
+    SQL twin, including the short-doc concat_ws-skips-missing semantics and
+    lexicographic hex min)."""
+    import hashlib
+    import re
+    from typing import Iterator
+
+    import pandas as pd
+
+    punct = re.compile(r"[^\w\s]", re.ASCII)
+    ws = re.compile(r"\s+", re.ASCII)
+    suffixes = [f"#{b}".encode() for b in range(n_bands)]
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        md5 = hashlib.md5
+        for pdf in batches:
+            out = {"doc_id": [], "mhs": []}
+            if with_sh:
+                out["sh"] = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                toks = [t for t in
+                        ws.split(punct.sub(" ", (text or "").lower())) if t]
+                n = len(toks)
+                grams = list(dict.fromkeys(
+                    " ".join(toks[i:i + k]) for i in range(max(n - k, 0) + 1)))
+                out["doc_id"].append(doc_id)
+                if with_sh:
+                    out["sh"].append(grams)
+                enc = [g.encode() for g in grams]
+                out["mhs"].append([
+                    min(md5(e + suf).hexdigest() for e in enc)
+                    for suf in suffixes
+                ])
+            yield pd.DataFrame(out)
+
+    cols = f"doc_id {id_type}, "
+    if with_sh:
+        cols += "sh array<string>, "
+    return kernel, cols + "mhs array<string>"
+
+
 def minhash_signatures(docs: DataFrame, n_bands: int = 8, k: int = 3) -> DataFrame:
-    """(doc_id, band, mh): per-band minhash of word k-shingles."""
-    return _band_sigs(_shingle_table(docs, k), n_bands)
+    """(doc_id, band, mh): per-band minhash of word k-shingles — the
+    signatures come from the row-local Arrow kernel (one narrow map), then
+    one posexplode to the per-band rows."""
+    kernel, schema = _shingle_mhs_kernel(
+        n_bands, k, with_sh=False,
+        id_type=docs.schema["doc_id"].dataType.simpleString())
+    sigs = docs.select("doc_id", "text").mapInPandas(kernel, schema=schema)
+    return sigs.select(
+        "doc_id", F.posexplode("mhs").alias("band", "mh"))
 
 
 def minhash_dup_pairs(
@@ -149,19 +201,12 @@ def minhash_dup_pairs(
     import pandas as pd
 
     id_type = docs.schema["doc_id"].dataType.simpleString()
-    sh = _shingle_table(docs, k)
-    mhs = F.array(*[
-        F.array_min(
-            F.transform("sh", lambda s: F.md5(F.concat(s, F.lit(f"#{b}"))))
-        )
-        for b in range(n_bands)
-    ])
+    kernel, schema = _shingle_mhs_kernel(n_bands, k, with_sh=True,
+                                         id_type=id_type)
     posted = (
-        sh.select("doc_id", "sh", mhs.alias("mhs"))
-        .select(
-            "doc_id", "sh", "mhs",
-            F.posexplode("mhs").alias("band", "mh"),
-        )
+        docs.select("doc_id", "text").mapInPandas(kernel, schema=schema)
+        .select("doc_id", "sh", "mhs",
+                F.posexplode("mhs").alias("band", "mh"))
     )
 
     def verify(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -367,9 +412,11 @@ def ngram_jaccard_pairs(
     dedup signal). Jaccard is computed over the pruned shingle space on both
     sides, so near-dup pairs above ``threshold`` still surface.
     """
-    sh = docs.withColumn("_tk", _tokens(F.col("text"))).select(
-        "doc_id", F.explode(_shingles_of(F.col("_tk"), k)).alias("s")
-    )
+    kernel, schema = _shingle_mhs_kernel(
+        0, k, with_sh=True,
+        id_type=docs.schema["doc_id"].dataType.simpleString())
+    sh = (docs.select("doc_id", "text").mapInPandas(kernel, schema=schema)
+          .select("doc_id", F.explode("sh").alias("s")))
     hot = sh.groupBy("s").count().filter(F.col("count") > hot_cap)  # stop-shingles
     # persist the pruned shingle table: it feeds BOTH sides of the
     # inverted-index self-join AND the per-doc size agg, and Catalyst does
