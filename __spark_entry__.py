@@ -439,40 +439,49 @@ def q_mention_chunks_sql(spark, sf_dir):
     to rediscover adjacency the array already encodes. Result rows are
     identical (same run boundaries, counts, max lengths; a tag with zero
     runs is absent either way)."""
+    import re
+    from typing import Iterator
+
+    import pandas as pd
+
     d = _spread(spark, _t(spark, sf_dir, "documents"))
-    toks = F.filter(
-        F.split(F.lower(F.regexp_replace("text", r"[^\w\s]", " ")), r"\s+"),
-        lambda x: x != "")
-    tags_expr = F.transform(
-        toks,
-        lambda w: F.when(w.isin("spark", "hash", "merge"), "TOOL")
-        .when(w.isin("customer", "order", "part"), "ENTITY")
-        .otherwise("O"),
-    )
+    groups = {"TOOL": {"spark", "hash", "merge"},
+              "ENTITY": {"customer", "order", "part"}}
+    punct = re.compile(r"[^\w\s]", re.ASCII)
+    ws = re.compile(r"\s+", re.ASCII)
 
-    def per_tag(tags, t):
-        n_tok = F.size(F.filter(tags, lambda x: x == t))
-        starts = F.filter(
-            tags,
-            lambda x, i: (x == F.lit(t))
-            & ((i == 0) | (F.get(tags, i - 1) != F.lit(t))))
-        n_runs = F.size(starts)
-        maxlen = F.aggregate(
-            tags,
-            F.struct(F.lit(0).alias("cur"), F.lit(0).alias("best")),
-            lambda acc, x: F.struct(
-                F.when(x == t, acc.cur + 1).otherwise(F.lit(0)).alias("cur"),
-                F.when(x == t, F.greatest(acc.best, acc.cur + 1))
-                .otherwise(acc.best).alias("best")),
-            lambda acc: acc.best)
-        return n_runs, n_tok, maxlen
+    def run_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f"{p}_{t}" for t in ("ENTITY", "TOOL") for p in ("r", "k", "m")]
+        for pdf in batches:
+            out = {c: [] for c in cols}
+            for text in pdf["text"]:
+                toks = [t for t in
+                        ws.split(punct.sub(" ", (text or "").lower())) if t]
+                for tag in ("ENTITY", "TOOL"):
+                    words = groups[tag]
+                    runs = toks_in = best = cur = 0
+                    prev = False
+                    for w in toks:
+                        hit = w in words
+                        if hit:
+                            toks_in += 1
+                            cur += 1
+                            if cur > best:
+                                best = cur
+                            if not prev:
+                                runs += 1
+                        else:
+                            cur = 0
+                        prev = hit
+                    out[f"r_{tag}"].append(runs)
+                    out[f"k_{tag}"].append(toks_in)
+                    out[f"m_{tag}"].append(best)
+            yield pd.DataFrame(out)
 
-    per_doc = d.select(tags_expr.alias("_tags"))
-    cols = {}
-    for t in ("ENTITY", "TOOL"):
-        r, k, m = per_tag(F.col("_tags"), t)
-        cols[t] = (r.alias(f"r_{t}"), k.alias(f"k_{t}"), m.alias(f"m_{t}"))
-    wide = per_doc.select(*[c for t in cols for c in cols[t]])
+    wide = d.select("text").mapInPandas(
+        run_stats,
+        schema=("r_ENTITY int, k_ENTITY int, m_ENTITY int, "
+                "r_TOOL int, k_TOOL int, m_TOOL int"))
     agg = wide.agg(*[
         f for t in ("ENTITY", "TOOL") for f in (
             F.sum(f"r_{t}").cast("long").alias(f"nm_{t}"),

@@ -39,13 +39,28 @@ def contaminated_docs(docs: DataFrame, benchmark: DataFrame, n: int = 8,
 
     ``benchmark`` is (bench_id, text); its distinct n-grams are broadcast.
     """
+    from corenlp_spark.functions.dedup import _shingle_mhs_kernel
+
     bench = benchmark.select(
         F.col("bench_id"),
         F.explode(F.array_distinct(_ngrams(F.col("text"), n))).alias("gram"),
     )
-    corpus = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(F.array_distinct(_ngrams(F.col(text_col), n))).alias("gram"),
+    # corpus-side n-grams via the row-local Arrow kernel (r6 — same
+    # distinct n-gram set and tokenization as the column expression, built
+    # in one pass instead of the interpreted transform/concat_ws tree);
+    # NOTE the kernel emits the all-tokens gram for docs shorter than n
+    # (concat_ws-skips-missing semantics) while _ngrams emits none — the
+    # join result is identical because the benchmark side only carries
+    # full n-grams, but we filter short docs' grams to keep the exploded
+    # row set itself identical to the expression form.
+    kernel, schema = _shingle_mhs_kernel(
+        0, n, with_sh=True,
+        id_type=docs.schema[id_col].dataType.simpleString())
+    corpus = (
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+        .mapInPandas(kernel, schema=schema)
+        .select("doc_id", F.explode("sh").alias("gram"))
+        .filter(F.size(F.split("gram", " ")) == n)
     )
     return (
         corpus.join(F.broadcast(bench), "gram")
