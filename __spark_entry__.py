@@ -616,8 +616,15 @@ def q_dedup_simhash_pairs(spark, sf_dir):
         F.col("doc_id").cast("string").alias("doc_id"), "text")
     probes = spark.createDataFrame(_NEAR_DUP_PROBES,
                                    "doc_id string, text string")
-    return (simhash_dup_pairs(d.unionByName(probes), max_hamming=3)
-            .orderBy("doc_a", "doc_b"))
+    pairs = simhash_dup_pairs(d.unionByName(probes), max_hamming=3)
+    # hash-repartition before the declared global sort (r6): the sort's
+    # range-boundary sampling otherwise re-executes the whole pair join a
+    # second time; behind an AQE-materialized shuffle stage the sampling
+    # reads shuffle files instead. Result rows and their final order are
+    # unchanged — this only deduplicates the join execution.
+    pairs = pairs.repartition(
+        spark.sparkContext.defaultParallelism * 2, "doc_a", "doc_b")
+    return pairs.orderBy("doc_a", "doc_b")
 
 
 def _simhash_pairs_oracle() -> str:

@@ -279,17 +279,16 @@ def lsh_ann_pairs(
         post, schema=(f"{id_col} long, band int, sig long, sigs array<long>, "
                       f"nrm double, {vec_col} array<float>"))
 
-    def bucket_verify(pdf: pd.DataFrame) -> pd.DataFrame:
+    def bucket_verify(pdf: pd.DataFrame, out_a, out_b, out_s) -> None:
         m = len(pdf)
         if m < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "score": []})
+            return
         band = int(pdf["band"].iloc[0])
         pdf = pdf.sort_values(id_col, kind="mergesort")
         ids = pdf[id_col].values
         V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
         nrm = pdf["nrm"].values
         sigs = np.stack(pdf["sigs"].values)  # (m, n_bands)
-        out_a, out_b, out_s = [], [], []
         block = 2048
         for i0 in range(0, m - 1, block):
             i1 = min(i0 + block, m)
@@ -310,10 +309,24 @@ def lsh_ann_pairs(
             out_a.extend(ids[ii + i0])
             out_b.extend(ids[jj])
             out_s.extend(score[ii, jj])
-        return pd.DataFrame({"id_a": out_a, "id_b": out_b, "score": out_s})
 
-    return posted.groupBy("band", "sig").applyInPandas(
-        bucket_verify, schema="id_a long, id_b long, score double")
+    def partition_verify(batches):
+        # one pandas concat + groupby per PARTITION rather than one
+        # function dispatch per bucket: with thousands of small buckets the
+        # per-group Arrow/pandas dispatch overhead dominates the math
+        # (observed at the smaller sf) — the hash repartition below already
+        # co-locates every bucket's rows in one partition
+        chunks = list(batches)
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True)
+            out_a, out_b, out_s = [], [], []
+            for _, g in pdf.groupby(["band", "sig"], sort=False):
+                bucket_verify(g, out_a, out_b, out_s)
+            yield pd.DataFrame({"id_a": out_a, "id_b": out_b,
+                                "score": out_s})
+
+    return posted.repartition("band", "sig").mapInPandas(
+        partition_verify, schema="id_a long, id_b long, score double")
 
 
 def kmeans_cluster_summary(

@@ -70,8 +70,9 @@ def test_embedding_dups_has_no_nested_loop_join(spark):
     p = plan_of(em.queries()["embedding_dups"](spark, SF))
     assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
     assert "Join" not in p  # bucket-local verify: no join anywhere
-    assert "FlatMapGroupsInPandas" in p  # the per-bucket verify kernel
-    assert p.count("Exchange") == 1, p  # the single (band, sig) exchange
+    assert "MapInPandas" in p  # the per-partition bucket-verify kernel
+    # exactly one shuffle: the (band, sig) repartition feeding the kernel
+    assert p.count("Exchange hashpartitioning") == 1, p
 
 
 def test_ivf_cell_join_carries_ids_only(spark):
