@@ -35,7 +35,23 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+        # local-mode sizing: this ONE JVM hosts every executor task slot
+        # (32 concurrent tasks here) plus all cached storage, and the
+        # unified memory manager protects storageFraction from execution
+        # borrowing — at 16g a wide sort got ~0.3g/task once intermediate
+        # caches accumulated (observed: the 27M-row pair sort oscillating
+        # 2-4× run-to-run). 48g ≈ 1.5g/slot on this 128 GiB host; on a real
+        # cluster the analogous knob is per-executor memory and this env
+        # override applies unchanged.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        # long-running drivers accumulate unreferenced shuffle/broadcast
+        # state between ContextCleaner GCs (default trigger: 30 min) —
+        # measured here as a monotonic 11→32 s degradation of the 27M-row
+        # pair query across consecutive runs that reset to 8 s once a GC
+        # let the cleaner drain. A 1-minute periodic GC keeps the state
+        # trimmed for pennies (one collection/min on a mostly-idle heap).
+        .config("spark.cleaner.periodicGC.interval",
+                os.environ.get("SPARK_PERIODIC_GC", "1min"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # InferFiltersFromGenerate turns every explode(<array expr>) into a
