@@ -321,14 +321,23 @@ def run_sieves(mentions: list[Mention], tokens: list[dict] | None = None) -> Non
         return range(i - 1, max(i - 1 - window, -1), -1)
 
     # Sieve 1-2: exact / relaxed (determiner-stripped) string match, non-pronoun
+    # (lowered/stripped forms precomputed once per mention — they were being
+    # recomputed per PAIR inside the O(n·window) scan; same pure values)
+    _low = [m.text.lower() for m in mentions]
+    _stripped = [_strip_det(m.text) for m in mentions]
+    _swords = [set(x.split()) for x in _stripped]
+    _hlow = [m.head_word.lower() for m in mentions]
+    _gender = [_dict.gender_of(m.text, m.head_word) for m in mentions]
+
+    def _gagree(i, j):
+        return "UNKNOWN" in (_gender[i], _gender[j]) or _gender[i] == _gender[j]
     for i in range(n):
         if mentions[i].kind in ("pronoun", "coordination"):
             continue
         for j in antecedents(i):
             if mentions[j].kind in ("pronoun", "coordination"):
                 continue
-            if mentions[i].text.lower() == mentions[j].text.lower() or \
-                    _strip_det(mentions[i].text) == _strip_det(mentions[j].text):
+            if _low[i] == _low[j] or _stripped[i] == _stripped[j]:
                 union(i, j)
                 break
     # Sieve 3: precise constructs — acronym (KBPAnnotator.java:167-216 analog)
@@ -407,7 +416,7 @@ def run_sieves(mentions: list[Mention], tokens: list[dict] | None = None) -> Non
             mj = mentions[j]
             if mj.kind in ("pronoun", "coordination"):
                 continue
-            if _dict.demonym_match(_strip_det(mi.text), _strip_det(mj.text)):
+            if _dict.demonym_match(_stripped[i], _stripped[j]):
                 union(i, j)
                 break
     # Sieve 4: strict head match 1 (same head word, same NER class)
@@ -419,8 +428,8 @@ def run_sieves(mentions: list[Mention], tokens: list[dict] | None = None) -> Non
             mj = mentions[j]
             if mj.kind in ("pronoun", "coordination"):
                 continue
-            if mi.head_word.lower() == mj.head_word.lower() and mi.ner == mj.ner \
-                    and _genders_agree(mi, mj):
+            if _hlow[i] == _hlow[j] and mi.ner == mj.ner \
+                    and _gagree(i, j):
                 union(i, j)
                 break
     # Sieve 4b: strict head match 2-4 — same head + word inclusion (the
@@ -430,16 +439,16 @@ def run_sieves(mentions: list[Mention], tokens: list[dict] | None = None) -> Non
         mi = mentions[i]
         if mi.kind in ("pronoun", "coordination"):
             continue
-        wi = set(_strip_det(mi.text).split())
+        wi = _swords[i]
         for j in antecedents(i):
             mj = mentions[j]
             if mj.kind in ("pronoun", "coordination"):
                 continue
-            if mi.head_word.lower() != mj.head_word.lower():
+            if _hlow[i] != _hlow[j]:
                 continue
-            wj = set(_strip_det(mj.text).split())
+            wj = _swords[j]
             if wi and wj and (wi <= wj or wj <= wi) \
-                    and _genders_agree(mi, mj):
+                    and _gagree(i, j):
                 union(i, j)
                 break
     # Sieve 4c: relaxed head match — the mention's head word appears inside
@@ -454,7 +463,7 @@ def run_sieves(mentions: list[Mention], tokens: list[dict] | None = None) -> Non
             mj = mentions[j]
             if mj.kind != "entity" or mi.ner != mj.ner or mj.end - mj.start < 2:
                 continue
-            if hw in _strip_det(mj.text).split() and _genders_agree(mi, mj):
+            if hw in _swords[j] and _gagree(i, j):
                 union(i, j)
                 break
     # Sieve 4d: DiscourseMatch/SpeakerMatch (dcoref discourse processing):
