@@ -423,7 +423,10 @@ def ngram_jaccard_pairs(
     # not collapse those three subtrees into a ReusedExchange (verified: 8
     # FileScans of the docs parquet in the executed plan without the cache).
     # Shingle rows are (id, hashable string) — a small fraction of the text
-    # they index — so MEMORY_AND_DISK is cheap at any scale.
+    # they index — so MEMORY_AND_DISK is cheap at any scale. (A raw-rows
+    # persist BEFORE the hot census was tried and measured slower at both
+    # sfs — the per-consumer anti-join replay costs more than the one
+    # extra kernel pass it saves.)
     from pyspark import StorageLevel
 
     sh = (sh.join(F.broadcast(hot), "s", "left_anti")
