@@ -237,8 +237,11 @@ class ArcStandardParser:
         self._pstr: list[str] = []        # pid → pos string
         self._lid: dict[str, int] = {"<null>": 0}
         self._lstr: list[str] = ["<null>"]
-        # int-keyed memo caches for the step-dynamic templates
-        self._memo: dict[tuple, int] = {}
+        # r6: one dict per dynamic template, keyed by collision-free
+        # composite ints (pos/label ids < 4096 by construction — registries
+        # only hold the tagset/labelset) or word tuples; replaces the shared
+        # tuple-keyed memo (same resolved ids, fewer allocations per probe)
+        self._tmemo: list[dict] = [dict() for _ in range(19)]
         # (word, pos) → 19-row tuple; Zipfian token distribution makes the
         # hit rate ≈ 1 — capped so a pathological vocabulary cannot grow an
         # executor's memory without bound (beyond the cap, rows are built
@@ -368,10 +371,11 @@ class ArcStandardParser:
 
         fget = self._fid.get
         z = self._zrow
-        memo = self._memo
         pstr, lstr = self._pstr, self._lstr
         lab_id = self._lab_id
         bias = self._bias_row
+        (m13, m14, m18, m19, m20, m21, m22, m23, m24, m31, m32, m33,
+         m34, m35, m36, m37, m15, m16, m17) = self._tmemo
         flat: list[int] = []
         while active:
             # advance forced shifts / retire finished configs without scoring
@@ -423,52 +427,50 @@ class ArcStandardParser:
                 if dist > 5:
                     dist = 5
                 # memoized dynamic templates (string built once per distinct
-                # value combination, then int-keyed forever)
-                key = (0, p1, p2)
-                f13 = memo.get(key)
+                # value combination, then int-keyed forever; pos/label ids
+                # < 4096 — the registries only hold the tag/label sets — so
+                # the composite keys cannot collide)
+                key = p1 * 4096 + p2
+                f13 = m13.get(key)
                 if f13 is None:
-                    f13 = memo[key] = fget(
+                    f13 = m13[key] = fget(
                         f"s1p+s2p={pstr[p1]}+{pstr[p2]}", z)
-                key = (1, p1, pb1)
-                f14 = memo.get(key)
+                key = p1 * 4096 + pb1
+                f14 = m14.get(key)
                 if f14 is None:
-                    f14 = memo[key] = fget(
+                    f14 = m14[key] = fget(
                         f"s1p+b1p={pstr[p1]}+{pstr[pb1]}", z)
-                key = (2, p2, pb1)
-                f18 = memo.get(key)
+                key = p2 * 4096 + pb1
+                f18 = m18.get(key)
                 if f18 is None:
-                    f18 = memo[key] = fget(
+                    f18 = m18[key] = fget(
                         f"s2p+b1p={pstr[p2]}+{pstr[pb1]}", z)
-                key = (3, p1, p2, pb1)
-                f19 = memo.get(key)
+                key = (p1 * 4096 + p2) * 4096 + pb1
+                f19 = m19.get(key)
                 if f19 is None:
-                    f19 = memo[key] = fget(
+                    f19 = m19[key] = fget(
                         f"s1p+s2p+b1p={pstr[p1]}+{pstr[p2]}+{pstr[pb1]}", z)
-                key = (4, p1, p2, p3)
-                f20 = memo.get(key)
+                key = (p1 * 4096 + p2) * 4096 + p3
+                f20 = m20.get(key)
                 if f20 is None:
-                    f20 = memo[key] = fget(
+                    f20 = m20[key] = fget(
                         f"s1p+s2p+s3p={pstr[p1]}+{pstr[p2]}+{pstr[p3]}", z)
                 l1l = 0 if s1lc is None else labid.get(s1lc, 0)
                 l1r = 0 if s1rc is None else labid.get(s1rc, 0)
                 l2l = 0 if s2lc is None else labid.get(s2lc, 0)
                 l2r = 0 if s2rc is None else labid.get(s2rc, 0)
-                key = (5, l1l)
-                f21 = memo.get(key)
+                f21 = m21.get(l1l)
                 if f21 is None:
-                    f21 = memo[key] = fget(f"s1lcl={lstr[l1l]}", z)
-                key = (6, l1r)
-                f22 = memo.get(key)
+                    f21 = m21[l1l] = fget(f"s1lcl={lstr[l1l]}", z)
+                f22 = m22.get(l1r)
                 if f22 is None:
-                    f22 = memo[key] = fget(f"s1rcl={lstr[l1r]}", z)
-                key = (7, l2l)
-                f23 = memo.get(key)
+                    f22 = m22[l1r] = fget(f"s1rcl={lstr[l1r]}", z)
+                f23 = m23.get(l2l)
                 if f23 is None:
-                    f23 = memo[key] = fget(f"s2lcl={lstr[l2l]}", z)
-                key = (8, l2r)
-                f24 = memo.get(key)
+                    f23 = m23[l2l] = fget(f"s2lcl={lstr[l2l]}", z)
+                f24 = m24.get(l2r)
                 if f24 is None:
-                    f24 = memo[key] = fget(f"s2rcl={lstr[l2r]}", z)
+                    f24 = m24[l2r] = fget(f"s2rcl={lstr[l2r]}", z)
                 # grandchild labels: leftmost child of s1's leftmost child, …
                 kk = kids.get(s1lc) if s1lc is not None else None
                 g1l = labid.get(min(kk), 0) if kk else 0
@@ -476,37 +478,52 @@ class ArcStandardParser:
                 g1r = labid.get(max(kk), 0) if kk else 0
                 kk = kids.get(s2rc) if s2rc is not None else None
                 g2r = labid.get(max(kk), 0) if kk else 0
-                key = (9, g1l)
-                f31 = memo.get(key)
+                f31 = m31.get(g1l)
                 if f31 is None:
-                    f31 = memo[key] = fget(f"s1lcl2={lstr[g1l]}", z)
-                key = (10, g1r)
-                f32 = memo.get(key)
+                    f31 = m31[g1l] = fget(f"s1lcl2={lstr[g1l]}", z)
+                f32 = m32.get(g1r)
                 if f32 is None:
-                    f32 = memo[key] = fget(f"s1rcl2={lstr[g1r]}", z)
-                key = (11, g2r)
-                f33 = memo.get(key)
+                    f32 = m32[g1r] = fget(f"s1rcl2={lstr[g1r]}", z)
+                f33 = m33.get(g2r)
                 if f33 is None:
-                    f33 = memo[key] = fget(f"s2rcl2={lstr[g2r]}", z)
-                key = (12, p1, p2, dist)
-                f34 = memo.get(key)
+                    f33 = m33[g2r] = fget(f"s2rcl2={lstr[g2r]}", z)
+                key = (p1 * 4096 + p2) * 8 + dist
+                f34 = m34.get(key)
                 if f34 is None:
-                    f34 = memo[key] = fget(
+                    f34 = m34[key] = fget(
                         f"s1p+s2p+dist={pstr[p1]}+{pstr[p2]}+{dist}", z)
-                key = (13, nval1)
-                f35 = memo.get(key)
+                f35 = m35.get(nval1)
                 if f35 is None:
-                    f35 = memo[key] = fget(f"s1val={nval1}", z)
-                key = (14, nval2)
-                f36 = memo.get(key)
+                    f35 = m35[nval1] = fget(f"s1val={nval1}", z)
+                f36 = m36.get(nval2)
                 if f36 is None:
-                    f36 = memo[key] = fget(f"s2val={nval2}", z)
-                key = (15, p2, nval2)
-                f37 = memo.get(key)
+                    f36 = m36[nval2] = fget(f"s2val={nval2}", z)
+                key = nval2 * 4096 + p2
+                f37 = m37.get(key)
                 if f37 is None:
-                    f37 = memo[key] = fget(
+                    f37 = m37[key] = fget(
                         f"s2p+s2val={pstr[p2]}+{nval2}", z)
                 ws1, ws2 = wl[s1], wl[s2]
+                # word-keyed memos are capped (tokrow-cache discipline): a
+                # pathological vocabulary degrades to the plain fget path
+                key = (ws1, ws2)
+                f15 = m15.get(key)
+                if f15 is None:
+                    f15 = fget(f"s1w+s2w={ws1}+{ws2}", z)
+                    if len(m15) < 500_000:
+                        m15[key] = f15
+                key = (ws1, p2)
+                f16 = m16.get(key)
+                if f16 is None:
+                    f16 = fget(f"s1w+s2p={ws1}+{pstr[p2]}", z)
+                    if len(m16) < 500_000:
+                        m16[key] = f16
+                key = (p1, ws2)
+                f17 = m17.get(key)
+                if f17 is None:
+                    f17 = fget(f"s1p+s2w={pstr[p1]}+{ws2}", z)
+                    if len(m17) < 500_000:
+                        m17[key] = f17
                 trlc1 = tr[n if s1lc is None else s1lc]
                 trrc1 = tr[n if s1rc is None else s1rc]
                 trlc2 = tr[n if s2lc is None else s2lc]
@@ -518,9 +535,7 @@ class ArcStandardParser:
                     tb1[7], tb1[8], tb1[9],       # b1w b1p b1wp
                     tb2[10], tb2[11], tb3[12],    # b2p b2w b3p
                     f13, f14,
-                    fget(f"s1w+s2w={ws1}+{ws2}", z),
-                    fget(f"s1w+s2p={ws1}+{pstr[p2]}", z),
-                    fget(f"s1p+s2w={pstr[p1]}+{ws2}", z),
+                    f15, f16, f17,
                     f18, f19, f20,
                     f21, f22, f23, f24,
                     trlc1[13], trrc1[14], trlc2[15], trrc2[16],
@@ -579,9 +594,14 @@ class ArcStandardParser:
         only learns the base ``nmod`` attachment, never the preposition
         identity it can simply read off the tree)."""
         case_of = {}
+        any_nmod = False
         for h, d, r in edges:
             if r == "case" and h >= 0:
                 case_of.setdefault(h, d)
+            elif r[:4] == "nmod":
+                any_nmod = True
+        if not any_nmod:
+            return edges  # no nmod edge → the loop below is an identity map
         out = []
         for h, d, r in edges:
             if r == "nmod" or (r.startswith("nmod:")

@@ -406,6 +406,15 @@ _QUANT_3W: frozenset[str] = frozenset({
 })
 
 
+# r6 trigger gates: every structural pass below requires a sentence-level
+# trigger word, so sentences without one skip the pass scans entirely
+# (identical output — the passes are membership-guarded no-ops without it).
+_PREP_FIRST: frozenset[str] = frozenset(
+    p.split("_", 1)[0] for p in TWO_WORD_PREPS
+) | frozenset(p.split("_", 1)[0] for p in THREE_WORD_PREPS)
+_QUANT_ALL: frozenset[str] = _QUANT_2W | _QUANT_3W
+
+
 def enhance_edges(
     words: list[str], pos: list[str], edges: list[tuple[int, int, str]],
 ) -> list[tuple[int, int, str]]:
@@ -428,7 +437,14 @@ def enhance_edges(
     restored, never a second structural rewrite.
     """
     lower = [w.lower() for w in words]
+    has_prep = any(w in _PREP_FIRST for w in lower)
+    has_quant = any(w in _QUANT_ALL
+                    or (w.endswith("s") and w[:-1].isdigit()) for w in lower)
     parent: dict[int, tuple[int, str]] = {}
+    if not has_prep and not has_quant:
+        for h, d, r in edges:
+            parent[d] = (h, r)
+        return [(h, d, r) for d, (h, r) in sorted(parent.items())]
     kids: dict[int, list[tuple[int, str]]] = {}
     for h, d, r in edges:
         parent[d] = (h, r)
@@ -445,7 +461,7 @@ def enhance_edges(
     structurally_done: set[int] = set()
 
     # --- idempotence: already-MWE'd case phrase → restore the subtype ----
-    for d in list(emap):
+    for d in (list(emap) if has_prep else ()):
         h, r = emap[d]
         if not r.startswith("nmod") or r == "nmod:poss":
             continue
@@ -461,7 +477,7 @@ def enhance_edges(
             structurally_done.update([d, c, *fixed])
 
     # --- three-word preps: gov —rel→ w2(front) —nmod→ g2(house) ----------
-    for w2 in list(kids):
+    for w2 in (list(kids) if has_prep else ()):
         if w2 < 0 or w2 in structurally_done or w2 not in emap:
             continue
         w1 = case_child(w2)
@@ -485,7 +501,7 @@ def enhance_edges(
             break
 
     # --- two-word preps: case child c of nominal d, preceded by w1 -------
-    for d in list(emap):
+    for d in (list(emap) if has_prep else ()):
         h, r = emap[d]
         if d in structurally_done or not r.startswith("nmod") or r == "nmod:poss":
             continue
@@ -506,7 +522,7 @@ def enhance_edges(
         structurally_done.update([d, c, w1])
 
     # --- quantmod demotion -----------------------------------------------
-    for q in list(emap):
+    for q in (list(emap) if has_quant else ()):
         h, r = emap[q]
         if q in structurally_done or r.split(":")[0] not in (
                 "nsubj", "obj", "iobj", "root"):

@@ -390,12 +390,34 @@ def _day_of(w: str) -> int | None:
     return v if 1 <= v <= 31 else None
 
 
+#: r6 gate — every cascade branch that can START at a pure-ASCII-alphabetic
+#: token requires the token itself to be one of these words (months incl.
+#: undotted abbrevs, written numbers/scales/ordinals, fraction/offset heads);
+#: everything else in the cascade needs a digit, symbol, dot, hyphen or
+#: apostrophe in the token, i.e. a non-isalpha character. Built from the
+#: live tables above so the sets cannot drift apart.
+_NP_TRIGGERS: frozenset[str] = frozenset(
+    list(MONTHS) + [a for a in MONTH_ABBREV if "." not in a]
+    + list(_NUM_UNITS) + list(_MULT_SCALES) + list(_BIG_SCALES)
+    + list(_NUM_SCALES) + list(_ORD_WORDS)
+    + ["zero", "half", "fourty", "today", "yesterday", "tomorrow"])
+_NP_AN_SCALES: frozenset[str] = (
+    frozenset(_MULT_SCALES) | frozenset(_BIG_SCALES) | frozenset(_NUM_SCALES))
+
+
 def numeric_pass(words: list[str], ner: list[str], nner: list[str]) -> None:
     """In-place overwrite of O tags with numeric/temporal classes + values."""
     n = len(words)
     t = 0
     while t < n:
         w, lw = words[t], words[t].lower()
+        # fast path: a plain alphabetic non-trigger word can start no branch
+        # ("a"/"an" only head a span when a scale word follows)
+        if w.isascii() and w.isalpha() and lw not in _NP_TRIGGERS and not (
+                lw in ("a", "an") and t + 1 < n
+                and words[t + 1].lower() in _NP_AN_SCALES):
+            t += 1
+            continue
         # currency-symbol + number is decisively MONEY even when the
         # statistical model mislabels the symbol token ("US$" ≠ LOCATION)
         if w in _CURRENCY and t + 1 < n and _RE_NUM.match(words[t + 1]):
