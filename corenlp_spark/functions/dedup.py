@@ -120,6 +120,12 @@ def _band_sigs(sh: DataFrame, n_bands: int) -> DataFrame:
     )
 
 
+#: (n_bands → gram → [band-salted md5 hexes]) — see _shingle_mhs_kernel
+_MD5_BAND_CACHE: dict[int, dict[str, list[str]]] = {}
+#: token → truncated md5 int — see simhash()
+_MD5_TOKEN_CACHE: dict[str, int] = {}
+
+
 def _shingle_mhs_kernel(n_bands: int, k: int, with_sh: bool, id_type: str):
     """Arrow-batched (doc_id[, sh], mhs) kernel: distinct word k-shingles
     and the per-band min-md5 signatures, computed row-locally in one pass
@@ -136,6 +142,11 @@ def _shingle_mhs_kernel(n_bands: int, k: int, with_sh: bool, id_type: str):
     punct = re.compile(r"[^\w\s]", re.ASCII)
     ws = re.compile(r"\s+", re.ASCII)
     suffixes = [f"#{b}".encode() for b in range(n_bands)]
+    # r6: md5 is a pure function of (gram, band) and corpora repeat shingles
+    # (Zipf), so per-gram band digests are cached across docs AND tasks
+    # (module-level, reused Python workers). Capped so a pathological
+    # vocabulary degrades to the plain path; values identical by purity.
+    cache = _MD5_BAND_CACHE.setdefault(n_bands, {})
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         md5 = hashlib.md5
@@ -152,11 +163,17 @@ def _shingle_mhs_kernel(n_bands: int, k: int, with_sh: bool, id_type: str):
                 out["doc_id"].append(doc_id)
                 if with_sh:
                     out["sh"].append(grams)
-                enc = [g.encode() for g in grams]
-                out["mhs"].append([
-                    min(md5(e + suf).hexdigest() for e in enc)
-                    for suf in suffixes
-                ])
+                rows = []
+                for g in grams:
+                    hx = cache.get(g)
+                    if hx is None:
+                        e = g.encode()
+                        hx = [md5(e + suf).hexdigest() for suf in suffixes]
+                        if len(cache) < 200_000:
+                            cache[g] = hx
+                    rows.append(hx)
+                out["mhs"].append(
+                    [min(r[b] for r in rows) for b in range(n_bands)])
             yield pd.DataFrame(out)
 
     cols = f"doc_id {id_type}, "
@@ -209,8 +226,7 @@ def minhash_dup_pairs(
                 F.posexplode("mhs").alias("band", "mh"))
     )
 
-    def verify(pdf: pd.DataFrame) -> pd.DataFrame:
-        out_a, out_b, out_j = [], [], []
+    def verify(pdf: pd.DataFrame, out_a, out_b, out_j) -> None:
         m = len(pdf)
         if m >= 2:
             band = int(pdf["band"].iloc[0])
@@ -232,10 +248,26 @@ def minhash_dup_pairs(
                         out_a.append(ids[i])
                         out_b.append(ids[j])
                         out_j.append(int(jac * 1e6 + 0.5) / 1e6)
-        return pd.DataFrame({"doc_a": out_a, "doc_b": out_b, "jaccard": out_j})
 
-    return posted.groupBy("band", "mh").applyInPandas(
-        verify, schema=f"doc_a {id_type}, doc_b {id_type}, jaccard double")
+    def partition_verify(batches):
+        # r6 (same restructure as similarity.lsh_ann_pairs): one pandas
+        # concat + groupby per PARTITION instead of one Arrow/pandas
+        # dispatch per bucket — with many small (band, mh) buckets the
+        # per-group dispatch dominates the set math; the hash repartition
+        # below co-locates every bucket's rows in one partition, so the
+        # per-bucket pair sets (and values) are unchanged
+        chunks = list(batches)
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True)
+            out_a, out_b, out_j = [], [], []
+            for _, g in pdf.groupby(["band", "mh"], sort=False):
+                verify(g, out_a, out_b, out_j)
+            yield pd.DataFrame({"doc_a": out_a, "doc_b": out_b,
+                                "jaccard": out_j})
+
+    return posted.repartition("band", "mh").mapInPandas(
+        partition_verify,
+        schema=f"doc_a {id_type}, doc_b {id_type}, jaccard double")
 
 
 def simhash(docs: DataFrame, bits: int = 64) -> DataFrame:
@@ -265,6 +297,7 @@ def simhash(docs: DataFrame, bits: int = 64) -> DataFrame:
     ws = re.compile(r"\s+", re.ASCII)
     shifts = np.arange(60, dtype=np.uint64)
     pow2 = (np.uint64(1) << shifts).astype(np.int64)
+    cache = _MD5_TOKEN_CACHE  # pure value cache (md5 of the token bytes)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         md5 = hashlib.md5
@@ -278,8 +311,13 @@ def simhash(docs: DataFrame, bits: int = 64) -> DataFrame:
                     continue
                 ids.append(doc_id)
                 counts.append(len(toks))
-                hs.extend(int(md5(t.encode()).hexdigest()[:15], 16)
-                          for t in toks)
+                for t in toks:
+                    h = cache.get(t)
+                    if h is None:
+                        h = int(md5(t.encode()).hexdigest()[:15], 16)
+                        if len(cache) < 500_000:
+                            cache[t] = h
+                    hs.append(h)
             if not ids:
                 continue
             H = np.array(hs, dtype=np.uint64)
