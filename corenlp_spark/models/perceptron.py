@@ -217,6 +217,10 @@ class AveragedPerceptronTagger:
         for t, i in self._tid.items():
             self._tstr[i] = t
         self._pmemo: dict[tuple, int] = {}
+        # r6: per-template memos (int / small-tuple keys; tag ids < 4096 —
+        # the registry only holds the tagset — so pt2*4096+pt is collision-
+        # free). Same resolved ids as the shared tuple-keyed memo.
+        self._pmemo5: list[dict] = [dict() for _ in range(5)]
 
     def _tag_id(self, t: str) -> int:
         """Growable tag registry — fixed (constraint) tags may lie outside
@@ -318,7 +322,7 @@ class AveragedPerceptronTagger:
         z = self._zrow
         T = len(tags)
         fget = self._fid.get
-        memo = self._pmemo
+        m0, m1, m2, m3, m4 = self._pmemo5
         tstr = self._tstr
         tag_id = self._tag_id
         sid = self._tid["<s>"]
@@ -357,27 +361,26 @@ class AveragedPerceptronTagger:
                 else:
                     rows, lw, sh, suf2, known = d.static[t]
                     pt, pt2 = d.prev, d.prev2
-                    key = (0, pt)
-                    r1 = memo.get(key)
+                    r1 = m0.get(pt)
                     if r1 is None:
-                        r1 = memo[key] = fget(f"pt={tstr[pt]}", z)
-                    key = (1, pt, lw)
-                    r2 = memo.get(key)
+                        r1 = m0[pt] = fget(f"pt={tstr[pt]}", z)
+                    key = (pt, lw)
+                    r2 = m1.get(key)
                     if r2 is None:
-                        r2 = memo[key] = fget(f"pt+w={tstr[pt]}+{lw}", z)
-                    key = (2, pt2, pt)
-                    r3 = memo.get(key)
+                        r2 = m1[key] = fget(f"pt+w={tstr[pt]}+{lw}", z)
+                    key = pt2 * 4096 + pt
+                    r3 = m2.get(key)
                     if r3 is None:
-                        r3 = memo[key] = fget(
+                        r3 = m2[key] = fget(
                             f"pt2={tstr[pt2]}+{tstr[pt]}", z)
-                    key = (3, pt, sh)
-                    r12 = memo.get(key)
+                    key = (pt, sh)
+                    r12 = m3.get(key)
                     if r12 is None:
-                        r12 = memo[key] = fget(f"pt+sh={tstr[pt]}+{sh}", z)
-                    key = (4, pt, suf2)
-                    r13 = memo.get(key)
+                        r12 = m3[key] = fget(f"pt+sh={tstr[pt]}+{sh}", z)
+                    key = (pt, suf2)
+                    r13 = m4.get(key)
                     if r13 is None:
-                        r13 = memo[key] = fget(
+                        r13 = m4[key] = fget(
                             f"pt+suf2={tstr[pt]}+{suf2}", z)
                     rows = list(rows)
                     rows[1], rows[2], rows[3] = r1, r2, r3

@@ -78,13 +78,19 @@ class _Graph:
             self.parent[d] = (h, r)
 
     def kids(self, t, rel_prefix=None):
+        if rel_prefix is None:
+            yield from self.children.get(t, ())
+            return
+        sub = rel_prefix + ":"
         for d, r in self.children.get(t, ()):
-            if rel_prefix is None or r == rel_prefix or r.startswith(rel_prefix + ":"):
+            if r == rel_prefix or r.startswith(sub):
                 yield d, r
 
     def first(self, t, rel):
-        for d, r in self.kids(t, rel):
-            return d
+        sub = rel + ":"
+        for d, r in self.children.get(t, ()):
+            if r == rel or r.startswith(sub):
+                return d
         return None
 
     def word(self, t):
