@@ -196,3 +196,20 @@ def test_source_quota_single_partition_window(spark):
     assert p.count("Exchange hashpartitioning") == 1
     assert "Exchange rangepartitioning" not in p  # no global sort
     assert "source" in p.split("Exchange hashpartitioning", 1)[1][:80]
+
+
+def test_minhash_verify_is_bucket_local_grouped(spark):
+    """r6: minhash pair verification runs as ONE partition-grouped Arrow
+    kernel behind a (band, mh) hash repartition — no per-bucket
+    FlatMapGroupsInPandas dispatch, no candidate-pair joins, no distinct
+    exchange. Shingle payloads cross the wire exactly once per band."""
+    from corenlp_spark.functions.dedup import minhash_dup_pairs
+    from pyspark.sql import functions as F
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text")
+    p = plan_of(minhash_dup_pairs(d, n_bands=4, k=3, threshold=0.5))
+    assert "MapInPandas" in p
+    assert "FlatMapGroupsInPandas" not in p
+    assert "Join" not in p
+    assert p.count("Exchange hashpartitioning") == 1, p
