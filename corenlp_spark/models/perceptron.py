@@ -485,16 +485,26 @@ NER_LABELS = ["O", "B-PERSON", "I-PERSON", "B-ORGANIZATION", "I-ORGANIZATION",
 _NEG = -1e4
 
 
+_SHAPE_CACHE: dict[str, str] = {}  # pure word → shape (capped, r6)
+
+
 def _shape(w: str) -> str:
+    s = _SHAPE_CACHE.get(w)
+    if s is not None:
+        return s
     if not w:
-        return "-"
-    if w.isupper() and w.isalpha() and len(w) > 1:
-        return "XX"
-    if w[:1].isupper():
-        return "Xx"
-    if any(c.isdigit() for c in w):
-        return "d"
-    return "x"
+        s = "-"
+    elif w.isupper() and w.isalpha() and len(w) > 1:
+        s = "XX"
+    elif w[:1].isupper():
+        s = "Xx"
+    elif any(c.isdigit() for c in w):
+        s = "d"
+    else:
+        s = "x"
+    if len(_SHAPE_CACHE) < 500_000:
+        _SHAPE_CACHE[w] = s
+    return s
 
 
 # closed feature classes (the analog of NERFeatureFactory's gazette/distsim

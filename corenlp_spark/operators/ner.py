@@ -622,16 +622,24 @@ def _ner_force_o(words: list[str]) -> set[int]:
     # pass — pin them to O in the model's decode; pronouns/demonstratives
     # are never entity tokens (CoNLL03 convention — a capitalized
     # sentence-initial "It" must not decode as ORGANIZATION)
-    return {
-        i for i, w in enumerate(words)
-        if not w[:1].isalpha()
-        or any(c.isdigit() for c in w)  # Q3, 4:45pm — numeric pass owns
-        or w.lower() in MONTHS or w.lower() in _DAY_WORDS
-        # exempt multi-char ALL-CAPS tokens: 'US'/'IT' in headline case are
-        # acronyms ('the US' = LOCATION), not the pronouns us/it
-        or (w.lower() in _PRONOUN_WORDS
-            and not (len(w) > 1 and w.isupper()))
-    }
+    out = set()
+    for i, w in enumerate(words):
+        # all-alphabetic tokens (the common case) cannot contain a digit
+        # and their first char is a letter — only the word-set checks apply
+        if not w.isalpha() and (
+                not w[:1].isalpha()
+                or any(c.isdigit() for c in w)):  # Q3, 4:45pm — numeric owns
+            out.add(i)
+            continue
+        lw = w.lower()
+        if lw in MONTHS or lw in _DAY_WORDS \
+                or (lw in _PRONOUN_WORDS
+                    # exempt multi-char ALL-CAPS tokens: 'US'/'IT' in
+                    # headline case are acronyms ('the US' = LOCATION),
+                    # not the pronouns us/it
+                    and not (len(w) > 1 and w.isupper())):
+            out.add(i)
+    return out
 
 
 def tag_sentence_ner(words: list[str], pos: list[str]) -> tuple[list[str], list[str]]:
