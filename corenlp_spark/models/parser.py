@@ -544,7 +544,7 @@ class ArcStandardParser:
                     bias,
                 ))
                 buf_nonempty[r] = bool(buf)
-            sub = np.array(flat, dtype=np.int64).reshape(C, L)
+            sub = np.fromiter(flat, dtype=np.int64, count=C * L).reshape(C, L)
             S = W[sub[:, 0]].copy()
             for k in range(1, L):
                 S += W[sub[:, k]]
