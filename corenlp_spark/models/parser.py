@@ -330,30 +330,148 @@ class ArcStandardParser:
         legality constraints, ArcStandard.canApply)."""
         return self.parse_batch([(words, pos)])[0]
 
+    def _ensure_feature_tables(self, max_val: int):
+        """Dense lazy-filled tables for the pos/label/valence-keyed dynamic
+        templates (r6 vectorized decode): −1 = not yet resolved; a resolved
+        cell holds exactly the id the f-string path returns (the feature-id
+        lookup is deterministic), so fill order cannot change scores.
+        Tables grow when the POS registry or the max valence grows; label
+        ids are pre-registered from the action inventory so the label axis
+        is fixed for a whole batch."""
+        import numpy as np
+
+        for a in self._acts_desc:
+            k, _, rel = a.partition("|")
+            if k in ("L", "R") and rel:
+                self._lab_id(rel)
+        NP = len(self._pstr)
+        NL = len(self._lstr)
+        VC = max_val
+        t = getattr(self, "_ftab", None)
+        if t is not None and t["NP"] >= NP and t["NL"] >= NL \
+                and t["VC"] >= VC:
+            return t
+        if t is not None:
+            NP = max(NP, t["NP"])
+            NL = max(NL, t["NL"])
+            VC = max(VC, t["VC"])
+        pstr, lstr = self._pstr, self._lstr
+        new = {
+            "NP": NP, "NL": NL, "VC": VC,
+            "T13": np.full((NP, NP), -1, np.int64),
+            "T14": np.full((NP, NP), -1, np.int64),
+            "T18": np.full((NP, NP), -1, np.int64),
+            "T19": np.full((NP, NP, NP), -1, np.int64),
+            "T20": np.full((NP, NP, NP), -1, np.int64),
+            "T21": np.full(NL, -1, np.int64),
+            "T22": np.full(NL, -1, np.int64),
+            "T23": np.full(NL, -1, np.int64),
+            "T24": np.full(NL, -1, np.int64),
+            "T31": np.full(NL, -1, np.int64),
+            "T32": np.full(NL, -1, np.int64),
+            "T33": np.full(NL, -1, np.int64),
+            "T34": np.full((NP, NP, 6), -1, np.int64),
+            "T35": np.full(VC, -1, np.int64),
+            "T36": np.full(VC, -1, np.int64),
+            "T37": np.full((VC, NP), -1, np.int64),
+            "fmt": {
+                "T13": lambda a, b: f"s1p+s2p={pstr[a]}+{pstr[b]}",
+                "T14": lambda a, b: f"s1p+b1p={pstr[a]}+{pstr[b]}",
+                "T18": lambda a, b: f"s2p+b1p={pstr[a]}+{pstr[b]}",
+                "T19": lambda a, b, c:
+                    f"s1p+s2p+b1p={pstr[a]}+{pstr[b]}+{pstr[c]}",
+                "T20": lambda a, b, c:
+                    f"s1p+s2p+s3p={pstr[a]}+{pstr[b]}+{pstr[c]}",
+                "T21": lambda l: f"s1lcl={lstr[l]}",
+                "T22": lambda l: f"s1rcl={lstr[l]}",
+                "T23": lambda l: f"s2lcl={lstr[l]}",
+                "T24": lambda l: f"s2rcl={lstr[l]}",
+                "T31": lambda l: f"s1lcl2={lstr[l]}",
+                "T32": lambda l: f"s1rcl2={lstr[l]}",
+                "T33": lambda l: f"s2rcl2={lstr[l]}",
+                "T34": lambda a, b, d:
+                    f"s1p+s2p+dist={pstr[a]}+{pstr[b]}+{d}",
+                "T35": lambda v: f"s1val={v}",
+                "T36": lambda v: f"s2val={v}",
+                "T37": lambda v, p: f"s2p+s2val={pstr[p]}+{v}",
+            },
+        }
+        if t is not None:
+            for k, arr in new.items():
+                if k in ("NP", "NL", "VC", "fmt"):
+                    continue
+                old = t[k]
+                arr[tuple(slice(0, s) for s in old.shape)] = old
+        self._ftab = new
+        return new
+
+    def _tab_fill1(self, T, i, fmt):
+        import numpy as np
+
+        v = T[i]
+        if (v < 0).any():
+            fget, z = self._fid.get, self._zrow
+            for r in np.nonzero(v < 0)[0].tolist():
+                a = int(i[r])
+                if T[a] < 0:
+                    T[a] = fget(fmt(a), z)
+                v[r] = T[a]
+        return v
+
+    def _tab_fill2(self, T, i, j, fmt):
+        import numpy as np
+
+        v = T[i, j]
+        if (v < 0).any():
+            fget, z = self._fid.get, self._zrow
+            for r in np.nonzero(v < 0)[0].tolist():
+                a, b = int(i[r]), int(j[r])
+                if T[a, b] < 0:
+                    T[a, b] = fget(fmt(a, b), z)
+                v[r] = T[a, b]
+        return v
+
+    def _tab_fill3(self, T, i, j, k, fmt):
+        import numpy as np
+
+        v = T[i, j, k]
+        if (v < 0).any():
+            fget, z = self._fid.get, self._zrow
+            for r in np.nonzero(v < 0)[0].tolist():
+                a, b, c = int(i[r]), int(j[r]), int(k[r])
+                if T[a, b, c] < 0:
+                    T[a, b, c] = fget(fmt(a, b, c), z)
+                v[r] = T[a, b, c]
+        return v
+
     def parse_batch(self, sents: list[tuple[list[str], list[str]]]
                     ) -> list[list[tuple[int, int, str]]]:
         """Greedy arc-standard decode of MANY sentences together: every
         iteration advances every non-finished configuration with ONE numpy
         score over the whole batch (the cross-sentence batching the
         reference gets from ``DependencyParser.java:941,975`` batch predict;
-        VERDICT r3 #1). Per-configuration results are identical to the
-        one-sentence loop: feature order, float-add order, penalty adds and
+        VERDICT r3 #1). r6: feature RESOLUTION is vectorized too — per-token
+        rows, pos ids, child extents/valences and arc labels live in flat
+        numpy arrays indexed by per-sentence base offsets, and the dynamic
+        pos/label/valence templates resolve through dense lazy-filled
+        tables; only the three word-pair memos and the transition
+        application remain per-configuration Python. Per-configuration
+        results are identical to the one-sentence loop: feature order,
+        float-add order (39 sequential adds, bias last), penalty adds and
         first-max tie-break are preserved exactly."""
         import numpy as np
 
         self._ensure_batch_matrices()
         W, acts = self._W, self._acts_desc
-        L = 39  # _features always returns exactly 39 templates
         n_out: list[list[tuple[int, int, str]] | None] = [None] * len(sents)
 
         class _Cfg:
-            __slots__ = ("i", "n", "words", "pos", "wl", "pids", "tokrows",
-                         "stack", "buffer", "head_of", "label_of", "labid_of",
-                         "kids_of", "steps")
+            __slots__ = ("i", "n", "words", "pos", "wl", "pids", "stack",
+                         "bp", "head_of", "label_of", "steps", "base")
 
         pos_id = self._pos_id
         null_pid = pos_id("<null>")
-        active: list[_Cfg] = []
+        cfgs: list[_Cfg] = []
         for i, (words, pos) in enumerate(sents):
             if not words:
                 n_out[i] = []
@@ -362,34 +480,65 @@ class ArcStandardParser:
             c.i, c.n, c.words, c.pos = i, len(words), words, pos
             c.wl = [w.lower() for w in words]
             c.pids = [pos_id(p) for p in pos]
-            c.tokrows = self._tok_rows(words, pos)
-            c.stack, c.buffer = [], list(range(len(words)))
-            c.head_of, c.label_of, c.kids_of = {}, {}, {}
-            c.labid_of = {}
+            c.stack, c.bp = [], 0
+            c.head_of, c.label_of = {}, {}
             c.steps = 0
-            active.append(c)
+            cfgs.append(c)
+        if not cfgs:
+            return n_out
 
+        # flat per-token state: one row per token plus a sentinel <null>
+        # row per sentence at base+n (PID there = <null>, labels/children 0)
+        tot = 0
+        for c in cfgs:
+            c.base = tot
+            tot += c.n + 1
+        trflat: list[int] = []
+        pidflat: list[int] = []
+        for c in cfgs:
+            for row in self._tok_rows(c.words, c.pos):
+                trflat.extend(row)
+            pidflat.extend(c.pids)
+            pidflat.append(null_pid)
+        TR = np.fromiter(trflat, np.int64, tot * 19).reshape(tot, 19)
+        PID = np.fromiter(pidflat, np.int64, tot)
+        KMIN = np.full(tot, -1, np.int64)   # leftmost child per token
+        KMAX = np.full(tot, -1, np.int64)   # rightmost child per token
+        KN = np.zeros(tot, np.int64)        # valence per token
+        LAB = np.zeros(tot, np.int64)       # arc label id (0 = <null>)
+
+        tab = self._ensure_feature_tables(max(c.n for c in cfgs) + 2)
+        fmt = tab["fmt"]
+        T13, T14, T18 = tab["T13"], tab["T14"], tab["T18"]
+        T19, T20, T34 = tab["T19"], tab["T20"], tab["T34"]
+        T21, T22, T23, T24 = tab["T21"], tab["T22"], tab["T23"], tab["T24"]
+        T31, T32, T33 = tab["T31"], tab["T32"], tab["T33"]
+        T35, T36, T37 = tab["T35"], tab["T36"], tab["T37"]
+        fill1, fill2, fill3 = self._tab_fill1, self._tab_fill2, self._tab_fill3
+        pstr = self._pstr
         fget = self._fid.get
         z = self._zrow
-        pstr, lstr = self._pstr, self._lstr
         lab_id = self._lab_id
-        bias = self._bias_row
-        (m13, m14, m18, m19, m20, m21, m22, m23, m24, m31, m32, m33,
-         m34, m35, m36, m37, m15, m16, m17) = self._tmemo
-        flat: list[int] = []
+        bias_row = W[self._bias_row]
+        m15, m16, m17 = self._tmemo[16], self._tmemo[17], self._tmemo[18]
+        i64 = np.int64
+
+        active = cfgs
         while active:
             # advance forced shifts / retire finished configs without scoring
             need: list[_Cfg] = []
             for c in active:
                 while True:
-                    if not (c.buffer or len(c.stack) > 1) or c.steps >= 4 * c.n + 8:
+                    if not (c.bp < c.n or len(c.stack) > 1) \
+                            or c.steps >= 4 * c.n + 8:
                         n_out[c.i] = self._finalize(c.words, c.pos, c.n,
                                                     c.stack, c.head_of,
                                                     c.label_of)
                         break
                     if len(c.stack) < 2:
                         c.steps += 1
-                        c.stack.append(c.buffer.pop(0))
+                        c.stack.append(c.bp)
+                        c.bp += 1
                         continue
                     need.append(c)
                     break
@@ -397,178 +546,155 @@ class ArcStandardParser:
             if not active:
                 break
             C = len(active)
-            buf_nonempty = np.empty(C, dtype=bool)
-            flat.clear()
-            for r, c in enumerate(active):
+            l_s1 = []
+            l_s2 = []
+            l_s3 = []
+            l_b1 = []
+            l_b2 = []
+            l_b3 = []
+            l_d = []
+            l_ne = []
+            l_base = []
+            l_null = []
+            l_f15 = []
+            l_f16 = []
+            l_f17 = []
+            for c in active:
                 c.steps += 1
-                stack, buf, n = c.stack, c.buffer, c.n
-                tr, pids, wl, labid = c.tokrows, c.pids, c.wl, c.labid_of
-                kids = c.kids_of
+                stack = c.stack
+                n, g, bp = c.n, c.base, c.bp
                 s1 = stack[-1]
                 s2 = stack[-2]
-                s3 = stack[-3] if len(stack) >= 3 else None
-                b1 = buf[0] if buf else None
-                t1, t2 = tr[s1], tr[s2]
-                t3 = tr[n if s3 is None else s3]
-                tb1 = tr[n if b1 is None else b1]
-                tb2 = tr[buf[1]] if len(buf) >= 2 else tr[n]
-                tb3 = tr[buf[2]] if len(buf) >= 3 else tr[n]
-                k1, k2 = kids.get(s1), kids.get(s2)
-                s1lc = min(k1) if k1 else None
-                s1rc = max(k1) if k1 else None
-                s2lc = min(k2) if k2 else None
-                s2rc = max(k2) if k2 else None
-                p1, p2 = pids[s1], pids[s2]
-                p3 = null_pid if s3 is None else pids[s3]
-                pb1 = null_pid if b1 is None else pids[b1]
-                nval1 = len(k1) if k1 else 0
-                nval2 = len(k2) if k2 else 0
-                dist = s1 - s2
-                if dist > 5:
-                    dist = 5
-                # memoized dynamic templates (string built once per distinct
-                # value combination, then int-keyed forever; pos/label ids
-                # < 4096 — the registries only hold the tag/label sets — so
-                # the composite keys cannot collide)
-                key = p1 * 4096 + p2
-                f13 = m13.get(key)
-                if f13 is None:
-                    f13 = m13[key] = fget(
-                        f"s1p+s2p={pstr[p1]}+{pstr[p2]}", z)
-                key = p1 * 4096 + pb1
-                f14 = m14.get(key)
-                if f14 is None:
-                    f14 = m14[key] = fget(
-                        f"s1p+b1p={pstr[p1]}+{pstr[pb1]}", z)
-                key = p2 * 4096 + pb1
-                f18 = m18.get(key)
-                if f18 is None:
-                    f18 = m18[key] = fget(
-                        f"s2p+b1p={pstr[p2]}+{pstr[pb1]}", z)
-                key = (p1 * 4096 + p2) * 4096 + pb1
-                f19 = m19.get(key)
-                if f19 is None:
-                    f19 = m19[key] = fget(
-                        f"s1p+s2p+b1p={pstr[p1]}+{pstr[p2]}+{pstr[pb1]}", z)
-                key = (p1 * 4096 + p2) * 4096 + p3
-                f20 = m20.get(key)
-                if f20 is None:
-                    f20 = m20[key] = fget(
-                        f"s1p+s2p+s3p={pstr[p1]}+{pstr[p2]}+{pstr[p3]}", z)
-                l1l = 0 if s1lc is None else labid.get(s1lc, 0)
-                l1r = 0 if s1rc is None else labid.get(s1rc, 0)
-                l2l = 0 if s2lc is None else labid.get(s2lc, 0)
-                l2r = 0 if s2rc is None else labid.get(s2rc, 0)
-                f21 = m21.get(l1l)
-                if f21 is None:
-                    f21 = m21[l1l] = fget(f"s1lcl={lstr[l1l]}", z)
-                f22 = m22.get(l1r)
-                if f22 is None:
-                    f22 = m22[l1r] = fget(f"s1rcl={lstr[l1r]}", z)
-                f23 = m23.get(l2l)
-                if f23 is None:
-                    f23 = m23[l2l] = fget(f"s2lcl={lstr[l2l]}", z)
-                f24 = m24.get(l2r)
-                if f24 is None:
-                    f24 = m24[l2r] = fget(f"s2rcl={lstr[l2r]}", z)
-                # grandchild labels: leftmost child of s1's leftmost child, …
-                kk = kids.get(s1lc) if s1lc is not None else None
-                g1l = labid.get(min(kk), 0) if kk else 0
-                kk = kids.get(s1rc) if s1rc is not None else None
-                g1r = labid.get(max(kk), 0) if kk else 0
-                kk = kids.get(s2rc) if s2rc is not None else None
-                g2r = labid.get(max(kk), 0) if kk else 0
-                f31 = m31.get(g1l)
-                if f31 is None:
-                    f31 = m31[g1l] = fget(f"s1lcl2={lstr[g1l]}", z)
-                f32 = m32.get(g1r)
-                if f32 is None:
-                    f32 = m32[g1r] = fget(f"s1rcl2={lstr[g1r]}", z)
-                f33 = m33.get(g2r)
-                if f33 is None:
-                    f33 = m33[g2r] = fget(f"s2rcl2={lstr[g2r]}", z)
-                key = (p1 * 4096 + p2) * 8 + dist
-                f34 = m34.get(key)
-                if f34 is None:
-                    f34 = m34[key] = fget(
-                        f"s1p+s2p+dist={pstr[p1]}+{pstr[p2]}+{dist}", z)
-                f35 = m35.get(nval1)
-                if f35 is None:
-                    f35 = m35[nval1] = fget(f"s1val={nval1}", z)
-                f36 = m36.get(nval2)
-                if f36 is None:
-                    f36 = m36[nval2] = fget(f"s2val={nval2}", z)
-                key = nval2 * 4096 + p2
-                f37 = m37.get(key)
-                if f37 is None:
-                    f37 = m37[key] = fget(
-                        f"s2p+s2val={pstr[p2]}+{nval2}", z)
+                l_s1.append(g + s1)
+                l_s2.append(g + s2)
+                l_s3.append(g + (stack[-3] if len(stack) >= 3 else n))
+                l_b1.append(g + (bp if bp < n else n))
+                l_b2.append(g + (bp + 1 if bp + 1 < n else n))
+                l_b3.append(g + (bp + 2 if bp + 2 < n else n))
+                d = s1 - s2
+                l_d.append(d if d < 5 else 5)
+                l_ne.append(bp < n)
+                l_base.append(g)
+                l_null.append(g + n)
+                wl, pids = c.wl, c.pids
                 ws1, ws2 = wl[s1], wl[s2]
-                # word-keyed memos are capped (tokrow-cache discipline): a
-                # pathological vocabulary degrades to the plain fget path
+                p1s, p2s = pids[s1], pids[s2]
                 key = (ws1, ws2)
                 f15 = m15.get(key)
                 if f15 is None:
                     f15 = fget(f"s1w+s2w={ws1}+{ws2}", z)
                     if len(m15) < 500_000:
                         m15[key] = f15
-                key = (ws1, p2)
+                key = (ws1, p2s)
                 f16 = m16.get(key)
                 if f16 is None:
-                    f16 = fget(f"s1w+s2p={ws1}+{pstr[p2]}", z)
+                    f16 = fget(f"s1w+s2p={ws1}+{pstr[p2s]}", z)
                     if len(m16) < 500_000:
                         m16[key] = f16
-                key = (p1, ws2)
+                key = (p1s, ws2)
                 f17 = m17.get(key)
                 if f17 is None:
-                    f17 = fget(f"s1p+s2w={pstr[p1]}+{ws2}", z)
+                    f17 = fget(f"s1p+s2w={pstr[p1s]}+{ws2}", z)
                     if len(m17) < 500_000:
                         m17[key] = f17
-                trlc1 = tr[n if s1lc is None else s1lc]
-                trrc1 = tr[n if s1rc is None else s1rc]
-                trlc2 = tr[n if s2lc is None else s2lc]
-                trrc2 = tr[n if s2rc is None else s2rc]
-                flat.extend((
-                    t1[0], t1[1], t1[2],          # s1w s1p s1wp
-                    t2[3], t2[4], t2[5],          # s2w s2p s2wp
-                    t3[6],                        # s3p
-                    tb1[7], tb1[8], tb1[9],       # b1w b1p b1wp
-                    tb2[10], tb2[11], tb3[12],    # b2p b2w b3p
-                    f13, f14,
-                    f15, f16, f17,
-                    f18, f19, f20,
-                    f21, f22, f23, f24,
-                    trlc1[13], trrc1[14], trlc2[15], trrc2[16],
-                    trlc1[17], trrc2[18],         # s1lcw s2rcw
-                    f31, f32, f33, f34, f35, f36, f37,
-                    bias,
-                ))
-                buf_nonempty[r] = bool(buf)
-            sub = np.fromiter(flat, dtype=np.int64, count=C * L).reshape(C, L)
-            S = W[sub[:, 0]].copy()
-            for k in range(1, L):
-                S += W[sub[:, k]]
-            S += np.where(buf_nonempty[:, None], self._pen_all,
-                          self._pen_arc_only)
+                l_f15.append(f15)
+                l_f16.append(f16)
+                l_f17.append(f17)
+            gs1 = np.fromiter(l_s1, i64, C)
+            gs2 = np.fromiter(l_s2, i64, C)
+            gs3 = np.fromiter(l_s3, i64, C)
+            gb1 = np.fromiter(l_b1, i64, C)
+            gb2 = np.fromiter(l_b2, i64, C)
+            gb3 = np.fromiter(l_b3, i64, C)
+            dist = np.fromiter(l_d, i64, C)
+            gbase = np.fromiter(l_base, i64, C)
+            gnull = np.fromiter(l_null, i64, C)
+            bufne = np.fromiter(l_ne, bool, C)
+            p1 = PID[gs1]
+            p2 = PID[gs2]
+            p3 = PID[gs3]
+            pb1 = PID[gb1]
+            lc1 = KMIN[gs1]
+            rc1 = KMAX[gs1]
+            lc2 = KMIN[gs2]
+            rc2 = KMAX[gs2]
+            nv1 = KN[gs1]
+            nv2 = KN[gs2]
+            # child rows (sentinel row when absent: PID/LAB/KMIN there are
+            # null/0/−1, matching the scalar path's None handling)
+            glc1 = np.where(lc1 >= 0, gbase + lc1, gnull)
+            grc1 = np.where(rc1 >= 0, gbase + rc1, gnull)
+            glc2 = np.where(lc2 >= 0, gbase + lc2, gnull)
+            grc2 = np.where(rc2 >= 0, gbase + rc2, gnull)
+            l1l = LAB[glc1]
+            l1r = LAB[grc1]
+            l2l = LAB[glc2]
+            l2r = LAB[grc2]
+            gg1l = KMIN[glc1]
+            gg1r = KMAX[grc1]
+            gg2r = KMAX[grc2]
+            g1l = np.where(gg1l >= 0, LAB[gbase + np.maximum(gg1l, 0)], 0)
+            g1r = np.where(gg1r >= 0, LAB[gbase + np.maximum(gg1r, 0)], 0)
+            g2r = np.where(gg2r >= 0, LAB[gbase + np.maximum(gg2r, 0)], 0)
+            cols = (
+                TR[gs1, 0], TR[gs1, 1], TR[gs1, 2],
+                TR[gs2, 3], TR[gs2, 4], TR[gs2, 5],
+                TR[gs3, 6],
+                TR[gb1, 7], TR[gb1, 8], TR[gb1, 9],
+                TR[gb2, 10], TR[gb2, 11], TR[gb3, 12],
+                fill2(T13, p1, p2, fmt["T13"]),
+                fill2(T14, p1, pb1, fmt["T14"]),
+                np.fromiter(l_f15, i64, C),
+                np.fromiter(l_f16, i64, C),
+                np.fromiter(l_f17, i64, C),
+                fill2(T18, p2, pb1, fmt["T18"]),
+                fill3(T19, p1, p2, pb1, fmt["T19"]),
+                fill3(T20, p1, p2, p3, fmt["T20"]),
+                fill1(T21, l1l, fmt["T21"]),
+                fill1(T22, l1r, fmt["T22"]),
+                fill1(T23, l2l, fmt["T23"]),
+                fill1(T24, l2r, fmt["T24"]),
+                TR[glc1, 13], TR[grc1, 14], TR[glc2, 15], TR[grc2, 16],
+                TR[glc1, 17], TR[grc2, 18],
+                fill1(T31, g1l, fmt["T31"]),
+                fill1(T32, g1r, fmt["T32"]),
+                fill1(T33, g2r, fmt["T33"]),
+                fill3(T34, p1, p2, dist, fmt["T34"]),
+                fill1(T35, nv1, fmt["T35"]),
+                fill1(T36, nv2, fmt["T36"]),
+                fill2(T37, nv2, p2, fmt["T37"]),
+            )
+            S = W[cols[0]].copy()
+            for col in cols[1:]:
+                S += W[col]
+            S += bias_row   # 39th feature — same position in the add order
+            S += np.where(bufne[:, None], self._pen_all, self._pen_arc_only)
             best = S.argmax(axis=1)
             for r, c in enumerate(active):
                 kind, rel = acts[int(best[r])].split("|", 1)
+                stack = c.stack
                 if kind == "S":
-                    c.stack.append(c.buffer.pop(0))
-                elif kind == "L":
-                    d = c.stack[-2]
-                    c.head_of[d] = c.stack[-1]
-                    c.label_of[d] = rel
-                    c.labid_of[d] = lab_id(rel)
-                    c.kids_of.setdefault(c.stack[-1], []).append(d)
-                    c.stack.pop(-2)
+                    stack.append(c.bp)
+                    c.bp += 1
+                    continue
+                if kind == "L":
+                    d = stack[-2]
+                    h = stack[-1]
+                    del stack[-2]
                 else:
-                    d = c.stack[-1]
-                    c.head_of[d] = c.stack[-2]
-                    c.label_of[d] = rel
-                    c.labid_of[d] = lab_id(rel)
-                    c.kids_of.setdefault(c.stack[-2], []).append(d)
-                    c.stack.pop()
+                    d = stack[-1]
+                    h = stack[-2]
+                    stack.pop()
+                c.head_of[d] = h
+                c.label_of[d] = rel
+                g = c.base
+                LAB[g + d] = lab_id(rel)
+                gh = g + h
+                KN[gh] += 1
+                if KMIN[gh] < 0 or d < KMIN[gh]:
+                    KMIN[gh] = d
+                if d > KMAX[gh]:
+                    KMAX[gh] = d
         return n_out
 
     def _finalize(self, words, pos, n, stack, head_of, label_of):

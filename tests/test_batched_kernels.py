@@ -119,3 +119,21 @@ def test_annotate_batch_equals_per_doc():
     batch = _annotate_batch(pool)
     singles = [_annotate_batch([spans])[0] for spans in pool]
     assert batch == singles
+
+
+def test_parse_batch_flat_state_isolation(annotated_pool):
+    """r6 vectorized decode keeps per-token state (child extents, valences,
+    arc labels) in flat arrays indexed by per-sentence base offsets — a
+    mixed batch must decode every sentence exactly as a singleton batch
+    does (catches any cross-sentence offset contamination)."""
+    from corenlp_spark.models.parser import get_trained_parser
+
+    p = get_trained_parser()
+    segs = _sentence_segs(annotated_pool)
+    mixed = p.parse_batch(segs)
+    # singleton calls build their own flat arrays from scratch
+    singles = [p.parse_batch([s])[0] for s in segs[:150]]
+    assert mixed[:150] == singles
+    # and a reversed-order batch must not change any result
+    rev = p.parse_batch(list(reversed(segs)))
+    assert rev == list(reversed(mixed))
