@@ -382,8 +382,25 @@ DEFAULT_OPTIONS = {
 }
 
 
+_DEFAULT_RESOLVED: dict | None = None
+
+
 def _resolve_options(options: dict | None) -> dict:
-    opt = dict(DEFAULT_OPTIONS, **(options or {}))
+    global _DEFAULT_RESOLVED
+    if not options:
+        # default options resolve once; callers never mutate the dict
+        # (per-line recursion copies before overriding)
+        if _DEFAULT_RESOLVED is None:
+            d = dict(DEFAULT_OPTIONS)
+            _apply_option_defaults(d)
+            _DEFAULT_RESOLVED = d
+        return _DEFAULT_RESOLVED
+    opt = dict(DEFAULT_OPTIONS, **options)
+    _apply_option_defaults(opt)
+    return opt
+
+
+def _apply_option_defaults(opt: dict) -> None:
     if opt["quotes"] is None:
         opt["quotes"] = "latex" if opt["normalize_quotes"] else "not_cp1252"
     if opt["ellipses"] is None:
@@ -394,7 +411,6 @@ def _resolve_options(options: dict | None) -> dict:
         opt["strict_acronym"] = bool(opt["strict_treebank3"])
     if opt["strict_fraction"] is None:
         opt["strict_fraction"] = bool(opt["strict_treebank3"])
-    return opt
 
 
 # quote mapping tables per enum value (PTBLexer latexQuotes/unicodeQuotes/
